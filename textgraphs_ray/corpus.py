@@ -1,0 +1,180 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md F5).
+
+Emits the engine's canonical input table (BASELINE.json ``input_hint``)::
+
+    documents(doc_id: string,
+              spans: list<struct<kind, text, media_ref, offset:int32>>)
+
+plus a ground-truth table mapping each entity mention to its canonical
+entity id — the oracle for pairwise-F1 scoring of the clustering stage.
+
+Properties (seed-fixed, parameterized by ``n_docs``):
+
+- entity pool of ``n_docs // 10`` canonical two-token names; each doc
+  mentions 1-4 entities as ``ent`` spans with surface-form variants
+  (case changes, initials, one-edit typos) so Jaro-Winkler/Levenshtein
+  scoring is exercised;
+- every 7th doc carries a ``media`` span (``media_ref="m://<hash>"``,
+  ``text=""``) whose synthetic embedding (hash-seeded vector, see
+  ``stages/encode.py``) matches its entity's other mentions;
+- one hot entity appears in 5% of all docs → a skewed block that the
+  blocking stage must salt;
+- filler ``lem``/``dep`` spans from a fixed vocabulary.
+
+No external data; everything derives from ``seed``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pyarrow as pa
+
+from .schema import DOCUMENTS
+
+_FIRST = ["Alice", "Brandon", "Carla", "Dmitri", "Elena", "Farid", "Grace", "Hiro",
+          "Ingrid", "Jamal", "Katya", "Liam", "Mona", "Nikhil", "Olga", "Pedro",
+          "Quinn", "Rosa", "Stefan", "Tara", "Umar", "Vera", "Walter", "Ximena",
+          "Yusuf", "Zelda"]
+_LAST = ["Abbott", "Brennan", "Castillo", "Dalton", "Eriksen", "Fontaine", "Gruber",
+         "Hassan", "Ivanov", "Jensen", "Kowalski", "Lindqvist", "Moreau", "Novak",
+         "Okafor", "Petrov", "Quintana", "Rossi", "Schmidt", "Takahashi", "Ueda",
+         "Vargas", "Weber", "Xu", "Yamada", "Zhang"]
+
+_FILLER_NOUNS = ["film", "project", "award", "studio", "career", "interview",
+                 "festival", "archive", "journey", "letter", "report", "story"]
+_FILLER_VERBS = ["directed", "visited", "founded", "studied", "wrote", "produced"]
+_FILLER_DEPS = [("the", "DET"), ("a", "DET"), ("of", "ADP"), ("in", "ADP"),
+                ("with", "ADP"), ("and", "CCONJ"), ("was", "AUX"), ("is", "AUX")]
+
+
+def canonical_entities(n: int, rng: random.Random) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    while len(out) < n:
+        name = f"{rng.choice(_FIRST)} {rng.choice(_LAST)}"
+        if name not in seen:
+            seen.add(name)
+            out.append(name)
+    return out
+
+
+def variant_of(name: str, rng: random.Random) -> str:
+    """Deterministic surface-form variant: identity, case change,
+    initial, or a one-edit typo."""
+    kind = rng.randrange(6)
+    first, last = name.split(" ", 1)
+    if kind <= 1:
+        return name                       # exact
+    if kind == 2:
+        return name.upper()               # case variant
+    if kind == 3:
+        return f"{first[0]}. {last}"      # initial
+    if kind == 4:                         # one-char deletion typo in last name
+        if len(last) > 4:
+            i = rng.randrange(1, len(last) - 1)
+            return f"{first} {last[:i] + last[i + 1:]}"
+        return name
+    # transposition typo
+    if len(last) > 4:
+        i = rng.randrange(1, len(last) - 2)
+        swapped = last[:i] + last[i + 1] + last[i] + last[i + 2:]
+        return f"{first} {swapped}"
+    return name
+
+
+def media_ref_for(entity: str) -> str:
+    return "m://" + hashlib.sha1(entity.encode("utf-8")).hexdigest()[:16]
+
+
+def generate(n_docs: int, *, seed: int = 42) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Return ``(documents, truth, assets)`` tables.
+
+    ``truth(doc_id, offset, entity_id, surface)`` labels every ``ent``
+    and ``media`` span with its canonical entity index.
+
+    ``assets(media_ref, payload)`` is the opaque media store: the
+    decode STUB (``stages/encode.MediaDecodeStub``) "decodes" a payload
+    back to text deterministically — standing in for image/audio
+    decoding libraries absent from this container.
+    """
+    rng = random.Random(seed)
+    n_ents = max(2, n_docs // 10)
+    pool = canonical_entities(n_ents, rng)
+    hot_idx = 0  # pool[0] is the hot entity (5% of docs)
+
+    doc_ids: list[str] = []
+    span_col: list[list[dict]] = []
+    t_doc: list[str] = []
+    t_off: list[int] = []
+    t_ent: list[int] = []
+    t_surface: list[str] = []
+
+    for d in range(n_docs):
+        doc_id = f"doc-{seed}-{d:08d}"
+        n_mentions = rng.randrange(1, 5)
+        ents = [rng.randrange(n_ents) for _ in range(n_mentions)]
+        if rng.random() < 0.05:
+            ents[0] = hot_idx
+        spans: list[dict] = []
+        offset = 0
+
+        def emit(kind: str, text: str, media_ref: str = "") -> int:
+            nonlocal offset
+            spans.append({"kind": kind, "text": text,
+                          "media_ref": media_ref, "offset": offset})
+            o = offset
+            offset += max(1, len(text.split(" ")))
+            return o
+
+        for m, ent_idx in enumerate(ents):
+            surface = variant_of(pool[ent_idx], rng)
+            # filler prefix: dep + lem spans
+            w, p = rng.choice(_FILLER_DEPS)
+            emit("dep", w)
+            emit("lem", rng.choice(_FILLER_NOUNS))
+            o = emit("ent", surface)
+            t_doc.append(doc_id); t_off.append(o)
+            t_ent.append(ent_idx); t_surface.append(surface)
+            emit("lem", rng.choice(_FILLER_VERBS))
+
+        if d % 7 == 0:
+            ent_idx = ents[0]
+            o = emit("media", "", media_ref_for(pool[ent_idx]))
+            t_doc.append(doc_id); t_off.append(o)
+            t_ent.append(ent_idx); t_surface.append("")
+
+        doc_ids.append(doc_id)
+        span_col.append(spans)
+
+    documents = pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": span_col}, schema=DOCUMENTS
+    )
+    truth = pa.table({
+        "doc_id": pa.array(t_doc, pa.string()),
+        "offset": pa.array(t_off, pa.int32()),
+        "entity_id": pa.array(t_ent, pa.int64()),
+        "surface": pa.array(t_surface, pa.string()),
+    })
+    assets = pa.table({
+        "media_ref": pa.array([media_ref_for(e) for e in pool], pa.string()),
+        "payload": pa.array([e.encode("utf-8") for e in pool], pa.binary()),
+    })
+    return documents, truth, assets
+
+
+def write_corpus(out_dir: str, n_docs: int, *, seed: int = 42,
+                 shards: int = 8) -> None:
+    """Write a sharded parquet corpus (one file per shard so reads
+    parallelize and a resumable run can skip finished shards)."""
+    import os
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs, truth, assets = generate(n_docs, seed=seed)
+    per = max(1, (len(docs) + shards - 1) // shards)
+    for s in range(0, len(docs), per):
+        pq.write_table(docs.slice(s, per), f"{out_dir}/documents-{s // per:05d}.parquet")
+    pq.write_table(truth, f"{out_dir}/truth.parquet")
+    pq.write_table(assets, f"{out_dir}/assets.parquet")

@@ -1,0 +1,157 @@
+"""Knowledge-graph mapping tables + deterministic local entity linking.
+
+Reproduces the *semantics* of the reference's ``KGWikiMedia`` wrapper
+(``/root/reference/textgraphs/kg.py:48-211``): the OntoTypes4 → IRI
+``NER_MAP`` (kg.py:52-143), the namespace-prefix table (kg.py:145-162),
+``remap_ner`` (kg.py:237-263) and ``normalize_prefix`` (kg.py:266-303).
+
+The reference links entities through live DBPedia/Wikidata HTTP APIs
+(kg.py:479-498, 676-684); this sandbox has no network, so linking is a
+deterministic local function: the IRI is the dbr: slug of the
+*canonical* surface form, and the secondary Wikidata equivalence
+(kg.py:1068-1142 ``owl:sameAs``) is a content-hash pseudo-QID.  The
+distributed pattern is the real one: distinct-key pre-resolution then
+broadcast join (SURVEY.md T5/J4-J7).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+# OntoTypes4 NER label → canonical IRI + metadata (facts mirrored from
+# reference kg.py:52-143; 18 entries).
+NER_MAP: dict[str, dict] = {
+    "CARDINAL": {"iri": "http://dbpedia.org/resource/Cardinal_number",
+                 "definition": "Numerals that do not fall under another type",
+                 "label": "cardinal number"},
+    "DATE": {"iri": "http://dbpedia.org/ontology/date",
+             "definition": "Absolute or relative dates or periods",
+             "label": "date"},
+    "EVENT": {"iri": "http://dbpedia.org/ontology/Event",
+              "definition": "Named hurricanes, battles, wars, sports events, etc.",
+              "label": "event"},
+    "FAC": {"iri": "http://dbpedia.org/ontology/Infrastructure",
+            "definition": "Buildings, airports, highways, bridges, etc.",
+            "label": "infrastructure"},
+    "GPE": {"iri": "http://dbpedia.org/ontology/Country",
+            "definition": "Countries, cities, states",
+            "label": "country"},
+    "LANGUAGE": {"iri": "http://dbpedia.org/ontology/Language",
+                 "definition": "Any named language",
+                 "label": "language"},
+    "LAW": {"iri": "http://dbpedia.org/ontology/Law",
+            "definition": "Named documents made into laws",
+            "label": "law"},
+    "LOC": {"iri": "http://dbpedia.org/ontology/Place",
+            "definition": "Non-GPE locations, mountain ranges, bodies of water",
+            "label": "place"},
+    "MONEY": {"iri": "http://dbpedia.org/resource/Money",
+              "definition": "Monetary values, including unit",
+              "label": "money"},
+    "NORP": {"iri": "http://dbpedia.org/ontology/nationality",
+             "definition": "Nationalities or religious or political groups",
+             "label": "nationality"},
+    "ORDINAL": {"iri": "http://dbpedia.org/resource/Ordinal_number",
+                "definition": "Ordinal number, i.e., first, second, etc.",
+                "label": "ordinal number"},
+    "ORG": {"iri": "http://dbpedia.org/ontology/Organisation",
+            "definition": "Companies, agencies, institutions, etc.",
+            "label": "organization"},
+    "PERCENT": {"iri": "http://dbpedia.org/resource/Percentage",
+                "definition": "Percentage",
+                "label": "percentage"},
+    "PERSON": {"iri": "http://dbpedia.org/ontology/Person",
+               "definition": "People, including fictional",
+               "label": "person"},
+    "PRODUCT": {"iri": "http://dbpedia.org/ontology/product",
+                "definition": "Vehicles, weapons, foods, etc. (Not services)",
+                "label": "product"},
+    "QUANTITY": {"iri": "http://dbpedia.org/resource/Quantity",
+                 "definition": "Measurements, as of weight or distance",
+                 "label": "quantity"},
+    "TIME": {"iri": "http://dbpedia.org/ontology/time",
+             "definition": "Times smaller than a day",
+             "label": "time"},
+    "WORK OF ART": {"iri": "http://dbpedia.org/resource/Work_of_art",
+                    "definition": "Titles of books, songs, etc.",
+                    "label": "work of art"},
+}
+
+# RDF namespace prefixes (facts mirrored from reference kg.py:145-162).
+NS_PREFIX: dict[str, str] = {
+    "dbc": "http://dbpedia.org/resource/Category:",
+    "dbt": "http://dbpedia.org/resource/Template:",
+    "dbr": "http://dbpedia.org/resource/",
+    "yago": "http://dbpedia.org/class/yago/",
+    "dbd": "http://dbpedia.org/datatype/",
+    "dbo": "http://dbpedia.org/ontology/",
+    "dbp": "http://dbpedia.org/property/",
+    "units": "http://dbpedia.org/units/",
+    "dbpedia-commons": "http://commons.dbpedia.org/resource/",
+    "dbpedia-wikicompany": "http://dbpedia.openlinksw.com/wikicompany/",
+    "dbpedia-wikidata": "http://wikidata.dbpedia.org/resource/",
+    "wd": "http://www.wikidata.org/",
+    "wd_ent": "http://www.wikidata.org/entity/",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "schema": "https://schema.org/",
+    "owl": "http://www.w3.org/2002/07/owl#",
+}
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+SKOS_BROADER = "http://www.w3.org/2004/02/skos/core#broader"
+
+# Link-accept thresholds (reference defaults.py:13-14,28).
+MIN_ALIAS = 0.8
+MIN_SIMILARITY = 0.9
+
+
+def remap_ner(label: str | None) -> str | None:
+    """OntoTypes4 label → canonical IRI (reference kg.py:237-263)."""
+    if not label:
+        return None
+    meta = NER_MAP.get(label)
+    return meta["iri"] if meta is not None else None
+
+
+def normalize_prefix(iri: str) -> str:
+    """Fully-qualified IRI → ``prefix:slug`` (reference kg.py:266-303).
+
+    Longest-matching namespace path wins (the reference relies on dict
+    order with dbc/dbt before dbr; matching longest-path-first is
+    order-free and equivalent).
+    """
+    p = urlparse(iri)
+    best: tuple[int, str, str] | None = None
+    for prefix, ns in NS_PREFIX.items():
+        np_ = urlparse(ns)
+        if p.netloc == np_.netloc and p.path.startswith(np_.path):
+            cand = (len(np_.path), prefix, np_.path)
+            if best is None or cand[0] > best[0]:
+                best = cand
+    if best is None:
+        return iri
+    _, prefix, ns_path = best
+    if p.fragment:
+        return f"{prefix}:{p.fragment}"
+    return f"{prefix}:{p.path.replace(ns_path, '', 1)}"
+
+
+def iri_slug(surface: str) -> str:
+    """Surface form → dbr slug (reference doc.py:1013 munging)."""
+    return surface.replace(" ", "_").replace(".", "_")
+
+
+def link_iri(canonical_surface: str) -> str:
+    """Deterministic local stand-in for DBPedia lookup: canonical
+    surface form → dbr: IRI."""
+    return NS_PREFIX["dbr"] + iri_slug(canonical_surface)
+
+
+def wikidata_iri(canonical_surface: str) -> str:
+    """Deterministic pseudo-QID for the secondary Wikidata link
+    (stand-in for reference kg.py:1068-1142)."""
+    import hashlib
+    h = int(hashlib.sha1(canonical_surface.encode("utf-8")).hexdigest()[:8], 16)
+    return NS_PREFIX["wd_ent"] + f"Q{h % 10_000_000}"

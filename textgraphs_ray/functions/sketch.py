@@ -1,0 +1,142 @@
+"""Sketching kernels: shingles, MinHash/LSH bands, SimHash, and the
+shingle-hash embedding used by the encoder actor pool.
+
+The reference blocks implicitly by exact lemma-key equality
+(``/root/reference/textgraphs/graph.py:134-157``) and doc-local pairing
+(``pipe.py:379-431``); MinHash/LSH blocking is the explicit sketch the
+north rule adds for 10^12-row scale (SURVEY.md A16).  All kernels are
+batch-vectorized: shingles for a whole batch are flattened once and
+reduced with ``np.minimum.reduceat`` — no per-string Python DP.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def char_shingles(text: str, k: int = 3) -> list[str]:
+    """Character k-shingles of a normalized string (lower, single-space)."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return [t] if t else []
+    return [t[i: i + k] for i in range(len(t) - k + 1)]
+
+
+def hash64(values: list[str]) -> np.ndarray:
+    """FNV-1a 64-bit over utf-8 strings → uint64 array."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = 0xCBF29CE484222325
+        for ch in v.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+def minhash_batch(texts: list[str], *, num_perm: int = 64, k: int = 3,
+                  seed: int = 42) -> np.ndarray:
+    """(N, num_perm) uint64 MinHash signatures for a batch of strings.
+
+    Flattens every string's shingle hashes into one array, applies all
+    permutations as one (P, total) broadcast, and reduces per string
+    with ``minimum.reduceat`` — one vectorized pass per batch.
+    """
+    a, b = _perm_params(num_perm, seed)
+    all_hashes: list[np.ndarray] = []
+    offsets = [0]
+    for t in texts:
+        sh = char_shingles(t, k)
+        if not sh:
+            sh = ["\x00"]
+        all_hashes.append(hash64(sh))
+        offsets.append(offsets[-1] + len(sh))
+    flat = np.concatenate(all_hashes) if all_hashes else np.zeros(0, np.uint64)
+    n = len(texts)
+    if flat.size == 0:
+        return np.zeros((n, num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (P, total): universal hash then fold to 61-bit Mersenne field
+        ph = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE
+    starts = np.array(offsets[:-1], dtype=np.int64)
+    sig = np.minimum.reduceat(ph, starts, axis=1)  # (P, N)
+    return sig.T.copy()
+
+
+def band_keys(signatures: np.ndarray, *, bands: int = 16) -> np.ndarray:
+    """(N, bands) uint64 band hashes from (N, P) signatures (P % bands == 0).
+
+    Equal band hash ⇔ equal signature slice ⇒ LSH candidate bucket.
+    """
+    n, p = signatures.shape
+    r = p // bands
+    sl = signatures[:, : bands * r].reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(r):
+            h = (h ^ sl[:, :, j]) * _FNV_PRIME
+    return h
+
+
+def simhash_batch(texts: list[str], *, k: int = 3) -> np.ndarray:
+    """64-bit SimHash per string (bit-majority over shingle hashes)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = char_shingles(t, k)
+        if not sh:
+            out[i] = 0
+            continue
+        h = hash64(sh)
+        bitmat = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
+        maj = (bitmat.sum(axis=0) * 2 > len(sh)).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(maj << bits)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Popcount of XOR for aligned uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def jaccard_shingles(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(char_shingles(a, k)), set(char_shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def shingle_embedding_batch(texts: list[str], *, dim: int = 64,
+                            k: int = 3) -> np.ndarray:
+    """(N, dim) float32 embeddings: signed feature hashing of character
+    shingles, L2-normalized.  Similar surface forms share most shingles
+    ⇒ high cosine — the deterministic stand-in for the reference's
+    transformer encoders (``rel.py:121-142``), with identical Ray
+    plumbing (actor pool, batched inference)."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        sh = char_shingles(t, k)
+        if not sh:
+            continue
+        h = hash64(sh)
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0).astype(np.float32)
+        np.add.at(out[i], idx, sign)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms

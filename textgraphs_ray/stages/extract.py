@@ -1,0 +1,235 @@
+"""Span extraction + lemma normalization stages (SURVEY.md M1-M8).
+
+Two ``map_batches`` stages, both expressed as callable classes so Ray
+Data runs them as actor pools (linguistic tables compiled once per
+actor, per reference ``pipe.py:434-438`` "one of the more expensive
+operations"):
+
+- :class:`Spanify` — raw-text documents → canonical input-hint table
+  ``documents(doc_id, spans:list<struct<kind,text,media_ref,offset>>)``.
+  Stand-in for the reference's three spaCy parses
+  (``pipe.py:216-270``); kind priority ENT > LEM(NOUN/PROPN/VERB) > DEP
+  (``doc.py:199-239``), plus ``chu`` spans for unseen noun chunks
+  (``pipe.py:327-373``, re-specified as span algebra per SURVEY H5).
+
+- :class:`ExtractSpans` — canonical documents → exploded ``SPANS`` rows
+  with the invariant ``lemma_key`` (``pipe.py:273-311``), POS, NER
+  label, sentence ids, and intra-row dependency heads
+  (``doc.py:440-463``).  Head resolution never leaves the row: no
+  shuffle, zero-copy Arrow in/out.
+
+Per-row invariant: the emitted rows, re-grouped by ``doc_id`` and
+sorted by ``offset``, reproduce the input span sequence
+``(kind, text, media_ref, order)`` exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import nlp
+from ..schema import SPANS
+
+_SENT_FINAL = {".", "!", "?"}
+
+
+class Spanify:
+    """documents(doc_id, text) → documents(doc_id, spans) [input-hint schema].
+
+    Stateful stage: the "parser" (closed-class tables, compiled
+    regexes) is built once per actor in ``__init__``.
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        # touch module-level compiled state so load cost lands here
+        self._parse = nlp.parse
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = [str(v) for v in batch.column(self.id_col).to_pylist()]
+        texts = batch.column(self.text_col).to_pylist()
+        span_col: list[list[dict]] = []
+        for text in texts:
+            doc = self._parse(text or "")
+            spans: list[dict] = []
+            ent_starts = {e.start: e for e in doc.ents}
+            ent_member = set()
+            for e in doc.ents:
+                ent_member.update(range(e.start, e.start + e.length))
+            for t in doc.tokens:
+                if t.i in ent_member:
+                    e = ent_starts.get(t.i)
+                    if e is not None:
+                        spans.append({"kind": "ent", "text": e.text,
+                                      "media_ref": "", "offset": e.start})
+                    continue
+                if t.pos in ("NOUN", "PROPN", "VERB"):
+                    kind = "lem"
+                else:
+                    kind = "dep"
+                spans.append({"kind": kind, "text": t.text,
+                              "media_ref": "", "offset": t.i})
+            # unseen noun chunks: multi-token chunks not identical to an
+            # entity span and containing >1 nominal (pipe.py:350-358)
+            ent_exact = {(e.start, e.length) for e in doc.ents}
+            for c in doc.chunks:
+                if c.length > 1 and (c.start, c.length) not in ent_exact:
+                    spans.append({"kind": "chu", "text": c.text,
+                                  "media_ref": "", "offset": c.start})
+            spans.sort(key=lambda s: (s["offset"], s["kind"]))
+            span_col.append(spans)
+        from ..schema import DOCUMENTS
+        return pa.Table.from_pydict(
+            {"doc_id": doc_ids, "spans": span_col}, schema=DOCUMENTS)
+
+
+def _pos_lemmas_for_span(kind: str, text: str) -> tuple[str, list[str], list[str]]:
+    """Return (pos, lemmas, poses) for one span's token sequence."""
+    words = text.split(" ") if text else []
+    if kind == "ent":
+        lemmas = [nlp.lemma_of(w) for w in words]
+        poses = ["PROPN"] * len(words)
+        return "PROPN", lemmas, poses
+    if not words:
+        return "", [], []
+    w = words[0]
+    pos = nlp.pos_of(w, sent_initial=False, prev_pos="")
+    return pos, [nlp.lemma_of(w)], [pos]
+
+
+def analyze_spans(kinds: list[str], texts: list[str], media_refs: list[str],
+                  offsets: list[int]) -> dict[str, list]:
+    """Pure function of one document's span sequence → derived columns.
+
+    Sentence ids come from sentence-final punctuation ``dep`` spans;
+    dependency heads use the deterministic nearest-following-verb rule
+    (stand-in for the reference's spaCy heads, ``doc.py:440-459``).
+    ``chu`` spans take the multi-token lemma key like entities.
+    """
+    n = len(kinds)
+    pos_col = [""] * n
+    key_col = [""] * n
+    label_col = [""] * n
+    sent_col = [0] * n
+    head_col = [0] * n
+    dep_col = [""] * n
+    subobj_col = [False] * n
+    len_col = [1] * n
+
+    # sentence segmentation
+    sent = 0
+    sent_of: list[int] = []
+    for i in range(n):
+        sent_of.append(sent)
+        if kinds[i] == "dep" and texts[i] in _SENT_FINAL:
+            sent += 1
+
+    for i in range(n):
+        kind, text = kinds[i], texts[i]
+        sent_col[i] = sent_of[i]
+        if kind == "media":
+            key_col[i] = "media:" + media_refs[i]
+            len_col[i] = 1
+            dep_col[i] = "media"
+            head_col[i] = offsets[i]
+            continue
+        pos, lemmas, poses = _pos_lemmas_for_span(kind, text)
+        pos_col[i] = pos
+        len_col[i] = max(1, len(lemmas))
+        if kind == "dep":
+            key_col[i] = nlp.lemma_key_single(
+                lemmas[0] if lemmas else "", pos, placeholder_idx=offsets[i])
+        elif kind in ("ent", "chu"):
+            key_col[i] = nlp.lemma_key_tokens(lemmas, poses)
+            if kind == "ent":
+                label_col[i] = nlp.ner_label(text)
+        elif kind == "iri":
+            key_col[i] = text
+            label_col[i] = text
+        else:  # lem
+            key_col[i] = nlp.lemma_key_single(lemmas[0] if lemmas else "", pos)
+
+    # dependency heads per sentence over non-chu, non-media spans
+    by_sent: dict[int, list[int]] = {}
+    for i in range(n):
+        if kinds[i] in ("chu", "media"):
+            head_col[i] = offsets[i]
+            dep_col[i] = dep_col[i] or "noun_chunk"
+            continue
+        by_sent.setdefault(sent_of[i], []).append(i)
+    for _, idxs in by_sent.items():
+        verbs = [i for i in idxs if pos_col[i] in ("VERB", "AUX")]
+        root = verbs[0] if verbs else idxs[0]
+        for j, i in enumerate(idxs):
+            if i == root:
+                head_col[i] = offsets[i]
+                dep_col[i] = "ROOT"
+                continue
+            nxt = next((v for v in verbs if v > i), root)
+            head_col[i] = offsets[nxt]
+            pos = pos_col[i]
+            if pos in ("NOUN", "PROPN"):
+                if i < root:
+                    dep_col[i] = "nsubj"
+                    subobj_col[i] = True
+                elif j > 0 and pos_col[idxs[j - 1]] == "ADP":
+                    dep_col[i] = "pobj"
+                    subobj_col[i] = True
+                else:
+                    dep_col[i] = "obj" if pos == "NOUN" else "appos"
+            elif pos == "PUNCT":
+                dep_col[i] = "punct"
+                head_col[i] = offsets[root]
+            elif pos == "DET":
+                dep_col[i] = "det"
+            elif pos == "ADJ":
+                dep_col[i] = "amod"
+            elif pos == "ADP":
+                dep_col[i] = "prep"
+            else:
+                dep_col[i] = "dep"
+
+    return {"pos": pos_col, "lemma_key": key_col, "label": label_col,
+            "sent_id": sent_col, "head_offset": head_col, "dep_rel": dep_col,
+            "sub_obj": subobj_col, "span_len": len_col}
+
+
+class ExtractSpans:
+    """documents(doc_id, spans) → one SPANS row per span occurrence."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_list = batch.column("spans").combine_chunks()
+        if isinstance(spans_list, pa.ChunkedArray):  # pragma: no cover
+            spans_list = spans_list.combine_chunks()
+        doc_ids = batch.column("doc_id").to_pylist()
+        offsets_arr = spans_list.offsets.to_numpy(zero_copy_only=False)
+        lengths = np.diff(offsets_arr)
+        flat = spans_list.flatten()
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        media = flat.field("media_ref").to_pylist()
+        offs = flat.field("offset").to_pylist()
+
+        out: dict[str, list] = {
+            "doc_id": list(np.repeat(np.asarray(doc_ids, dtype=object), lengths)),
+            "offset": offs, "kind": kinds, "text": texts, "media_ref": media,
+            "lemma_key": [], "pos": [], "label": [], "sent_id": [],
+            "head_offset": [], "dep_rel": [], "sub_obj": [], "span_len": [],
+        }
+        pos = 0
+        for ln in lengths:
+            ln = int(ln)
+            derived = analyze_spans(kinds[pos:pos + ln], texts[pos:pos + ln],
+                                    media[pos:pos + ln], offs[pos:pos + ln])
+            out["lemma_key"].extend(derived["lemma_key"])
+            out["pos"].extend(derived["pos"])
+            out["label"].extend(derived["label"])
+            out["sent_id"].extend(derived["sent_id"])
+            out["head_offset"].extend(derived["head_offset"])
+            out["dep_rel"].extend(derived["dep_rel"])
+            out["sub_obj"].extend(derived["sub_obj"])
+            out["span_len"].extend(derived["span_len"])
+            pos += ln
+        return pa.Table.from_pydict(out, schema=SPANS)
