@@ -33,14 +33,33 @@ import pyarrow as pa
 
 from .schema import DOCUMENTS
 
-_FIRST = ["Alice", "Brandon", "Carla", "Dmitri", "Elena", "Farid", "Grace", "Hiro",
-          "Ingrid", "Jamal", "Katya", "Liam", "Mona", "Nikhil", "Olga", "Pedro",
-          "Quinn", "Rosa", "Stefan", "Tara", "Umar", "Vera", "Walter", "Ximena",
-          "Yusuf", "Zelda"]
-_LAST = ["Abbott", "Brennan", "Castillo", "Dalton", "Eriksen", "Fontaine", "Gruber",
-         "Hassan", "Ivanov", "Jensen", "Kowalski", "Lindqvist", "Moreau", "Novak",
-         "Okafor", "Petrov", "Quintana", "Rossi", "Schmidt", "Takahashi", "Ueda",
-         "Vargas", "Weber", "Xu", "Yamada", "Zhang"]
+# Curated, pairwise-distant name lists: the pool constraints below
+# guarantee planted variants are unambiguous (Febrl-style synthetic ER
+# benchmark design), so pairwise F1 against generator truth is a
+# well-defined target.
+_FIRST = ["Alice", "Armand", "Aiko", "Brandon", "Beatriz", "Bjorn", "Carla",
+          "Chidi", "Casper", "Dmitri", "Dolores", "Declan", "Elena", "Ewan",
+          "Esteban", "Farid", "Fumiko", "Fergus", "Grace", "Gunnar", "Giulia",
+          "Hiro", "Henrike", "Hamza", "Ingrid", "Idris", "Ximena", "Jamal",
+          "Johanna", "Jiro", "Katya", "Kwame", "Kerstin", "Liam", "Lucinda",
+          "Leopold", "Mona", "Matteo", "Mirjam", "Nikhil", "Noelle", "Njord",
+          "Olga", "Osman", "Orsolya", "Pedro", "Priya", "Quinn", "Quiteria",
+          "Rosa", "Ruben", "Raisa", "Stefan", "Sakura", "Soren", "Tara",
+          "Tobias", "Tsubasa", "Umar", "Ulrike", "Vera", "Vikram", "Walter",
+          "Wanda", "Yusuf", "Yolanda", "Zelda", "Zoltan"]
+_LAST = ["Abbott", "Brennan", "Castillo", "Dalton", "Eriksen", "Fontaine",
+         "Gruber", "Hassan", "Ivanov", "Jensen", "Kowalski", "Lindqvist",
+         "Moreau", "Novak", "Okafor", "Petrov", "Quintana", "Rossi", "Schmidt",
+         "Takahashi", "Ueda", "Vargas", "Weber", "Xiong", "Yamada", "Zhang",
+         "Adeyemi", "Bergstrom", "Carvalho", "Dubois", "Eklund", "Ferreira",
+         "Galindo", "Horvath", "Iwasaki", "Jablonski", "Kapoor", "Lombardi",
+         "Mendoza", "Nakamura", "Olofsson", "Pellegrini", "Quraishi", "Ramirez",
+         "Sandoval", "Morozova", "Urbina", "Villanueva", "Watanabe", "Yilmaz",
+         "Zielinski", "Acheampong", "Bhattacharya", "Csikos", "Dimitrov",
+         "Engelbrecht", "Fitzgerald", "Gonzalez", "Haugland", "Iglesias",
+         "Whitfield", "Krishnan", "Lefebvre", "Marchetti", "Nystrom",
+         "Obrien", "Pacheco", "Rahimi", "Soderberg", "Thorvald", "Uchida",
+         "Vasquez", "Wojcik", "Yoshida", "Zapatero"]
 
 _FILLER_NOUNS = ["film", "project", "award", "studio", "career", "interview",
                  "festival", "archive", "journey", "letter", "report", "story"]
@@ -49,20 +68,37 @@ _FILLER_DEPS = [("the", "DET"), ("a", "DET"), ("of", "ADP"), ("in", "ADP"),
                 ("with", "ADP"), ("and", "CCONJ"), ("was", "AUX"), ("is", "AUX")]
 
 
+MAX_POOL = 2500  # capacity bound of the unambiguous name space
+
+
 def canonical_entities(n: int, rng: random.Random) -> list[str]:
+    """Entity pool with unambiguity constraints: full name unique AND
+    (first-initial, last) unique — so an initial variant "F. Last" maps
+    to exactly one pool entity and same-last entities always differ in
+    first initial (keeps the alias rule precision-safe)."""
+    n = min(n, MAX_POOL)
     seen: set[str] = set()
+    initial_last: set[tuple[str, str]] = set()
     out: list[str] = []
-    while len(out) < n:
-        name = f"{rng.choice(_FIRST)} {rng.choice(_LAST)}"
-        if name not in seen:
-            seen.add(name)
-            out.append(name)
+    attempts = 0
+    while len(out) < n and attempts < 200 * n:
+        attempts += 1
+        first = rng.choice(_FIRST)
+        last = rng.choice(_LAST)
+        name = f"{first} {last}"
+        il = (first[0], last)
+        if name in seen or il in initial_last:
+            continue
+        seen.add(name)
+        initial_last.add(il)
+        out.append(name)
     return out
 
 
 def variant_of(name: str, rng: random.Random) -> str:
     """Deterministic surface-form variant: identity, case change,
-    initial, or a one-edit typo."""
+    initial, or a one-edit typo in the last name (interior position,
+    only when long enough to stay unambiguous)."""
     kind = rng.randrange(6)
     first, last = name.split(" ", 1)
     if kind <= 1:
@@ -72,12 +108,12 @@ def variant_of(name: str, rng: random.Random) -> str:
     if kind == 3:
         return f"{first[0]}. {last}"      # initial
     if kind == 4:                         # one-char deletion typo in last name
-        if len(last) > 4:
+        if len(last) > 5:
             i = rng.randrange(1, len(last) - 1)
             return f"{first} {last[:i] + last[i + 1:]}"
         return name
     # transposition typo
-    if len(last) > 4:
+    if len(last) > 5:
         i = rng.randrange(1, len(last) - 2)
         swapped = last[:i] + last[i + 1] + last[i] + last[i + 2:]
         return f"{first} {swapped}"
@@ -100,8 +136,8 @@ def generate(n_docs: int, *, seed: int = 42) -> tuple[pa.Table, pa.Table, pa.Tab
     decoding libraries absent from this container.
     """
     rng = random.Random(seed)
-    n_ents = max(2, n_docs // 10)
-    pool = canonical_entities(n_ents, rng)
+    pool = canonical_entities(max(2, n_docs // 10), rng)
+    n_ents = len(pool)
     hot_idx = 0  # pool[0] is the hot entity (5% of docs)
 
     doc_ids: list[str] = []

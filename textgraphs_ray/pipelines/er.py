@@ -1,0 +1,126 @@
+"""Flagship entity-resolution pipeline (north_rule stages 1-5).
+
+    documents ──ExtractSpans──► spans ──build_nodes──► nodes
+        │                                        │
+        └─extract_raw_edges─► edges              ├─ ent/media mentions
+                                                 ▼
+      MinHash/LSH blocking ──► candidate pairs ──► PairScorer (actor pool)
+                                                 ▼
+      match edges ──► iterative groupby-min label propagation ──► clusters
+                                                 ▼
+                      per-cluster TextRank post-pass (stages/rank.py)
+
+Everything is a Dataset transform; the only materialized intermediates
+are the small reused ones (adjacency in the closure loop, node table
+for ranking).  Reference lifecycle being reproduced: ``demo.py:43-220``
+(parse → collect → link → infer → rank), re-expressed as streaming
+batch stages per SURVEY.md §3.1.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..stages.blocking import candidate_pairs
+from ..stages.cluster import propagate_labels
+from ..stages.extract import ExtractSpans, Spanify
+from ..stages.scoring import score_pairs
+
+
+def extract_spans(docs_ds: "ray.data.Dataset", *,
+                  concurrency=None, batch_size: int = 256) -> "ray.data.Dataset":
+    kwargs = {"batch_format": "pyarrow", "batch_size": batch_size,
+              "concurrency": concurrency or 4}
+    return docs_ds.map_batches(ExtractSpans, **kwargs)
+
+
+def spanify_text(docs_ds: "ray.data.Dataset", *, text_col: str = "text",
+                 id_col: str = "doc_id", concurrency=None,
+                 batch_size: int = 256) -> "ray.data.Dataset":
+    kwargs = {"batch_format": "pyarrow", "batch_size": batch_size,
+              "fn_constructor_kwargs": {"text_col": text_col, "id_col": id_col},
+              "concurrency": concurrency or 4}
+    return docs_ds.map_batches(Spanify, **kwargs)
+
+
+def mentions_from_spans(spans_ds: "ray.data.Dataset",
+                        assets_ref=None) -> "ray.data.Dataset":
+    """SPANS rows → distinct mention table (key, text).
+
+    Text mentions: ``ent`` spans keyed by lemma key.  Media mentions:
+    ``media`` spans keyed by ``media:<ref>`` whose text is the decoded
+    payload (deterministic decode STUB, ``stages/encode.py``); absent
+    an asset store they block only on exact ref equality.
+
+    Distinctness comes from a groupby on ``key`` — this is the skew
+    guard: a hot surface form is one blocking row regardless of its
+    occurrence count.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("kind"), value_set=pa.array(["ent", "media"]))
+        t = batch.filter(mask)
+        return pa.table({
+            "key": t.column("lemma_key"),
+            "text": t.column("text"),
+            "media_ref": t.column("media_ref"),
+            "kind": t.column("kind"),
+        })
+
+    mentions = spans_ds.map_batches(project, batch_format="pyarrow")
+    distinct = mentions.groupby("key").aggregate(
+        Min("text", alias_name="text"),
+        Min("media_ref", alias_name="media_ref"),
+        Min("kind", alias_name="kind"),
+        Count(alias_name="n_mentions"),
+    )
+
+    if assets_ref is not None:
+        from ..stages.encode import MediaDecodeStub
+
+        def decode_media(cls_batch: pa.Table, lookup: dict) -> pa.Table:
+            kinds = cls_batch.column("kind").to_pylist()
+            refs = cls_batch.column("media_ref").to_pylist()
+            texts = cls_batch.column("text").to_pylist()
+            out = [lookup.get(r, "") if k == "media" else t
+                   for k, r, t in zip(kinds, refs, texts)]
+            return cls_batch.set_column(
+                cls_batch.schema.get_field_index("text"), "text",
+                pa.array(out, pa.string()))
+
+        class _Decoder(MediaDecodeStub):
+            def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+                return decode_media(batch, self.lookup)
+
+        distinct = distinct.map_batches(
+            _Decoder, batch_format="pyarrow", concurrency=2,
+            fn_constructor_args=(assets_ref,))
+    return distinct
+
+
+def resolve_entities(docs_ds: "ray.data.Dataset", *,
+                     assets: pa.Table | None = None,
+                     num_partitions: int = 16,
+                     concurrency=None,
+                     checkpoint_fn=None) -> dict:
+    """Run extract → block → score → cluster; return the dict of
+    result Datasets (lazy where possible)."""
+    spans = extract_spans(docs_ds, concurrency=concurrency)
+    assets_ref = ray.put(assets) if assets is not None else None
+    mentions = mentions_from_spans(spans, assets_ref).materialize()
+    pairs = candidate_pairs(mentions, concurrency=concurrency)
+    matches = score_pairs(pairs, concurrency=concurrency).materialize()
+    clusters = propagate_labels(
+        mentions, matches, num_partitions=num_partitions,
+        checkpoint_fn=checkpoint_fn)
+    return {
+        "spans": spans,
+        "mentions": mentions,
+        "match_edges": matches,
+        "clusters": clusters,
+    }

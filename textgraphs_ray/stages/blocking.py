@@ -1,0 +1,148 @@
+"""MinHash/LSH blocking with explicit skew handling (SURVEY.md A16/H2).
+
+The reference has no blocking stage — node identity is exact lemma-key
+equality (``/root/reference/textgraphs/graph.py:134-157``) and candidate
+pairs are doc-local (``pipe.py:379-431``).  At 10^12 documents,
+candidate generation must be sub-quadratic: MinHash signatures over
+normalized surface shingles → LSH band keys → one groupby shuffle on
+``(band_id, band_hash)`` → within-block pair generation.
+
+Skew handling (north_rule requirement): a block larger than
+``block_cap`` does NOT emit all C(g,2) pairs.  Members are sorted by
+normalized text and each pairs with its next ``window`` neighbors —
+pair count g·w instead of g², while the chain keeps the block connected
+so transitive closure still merges it.  The truncation is explicit and
+deterministic; recall accounting belongs to the metrics sink.
+
+Input mentions must already be distinct per key (the node-upsert
+groupby provides that), which is itself the biggest skew guard: a hot
+surface form occurring in 5% of all docs is ONE row here, not 5% of the
+corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.sketch import band_keys, minhash_batch
+
+NUM_PERM = 64
+NUM_BANDS = 32  # r=2 rows/band: high candidate recall at J≈0.35, scorer filters
+BLOCK_CAP = 32       # full pairing below this size
+NEIGHBOR_WINDOW = 5  # sorted-neighborhood width above the cap
+
+
+def normalize_surface(text: str) -> str:
+    return " ".join(text.lower().replace(".", "").split())
+
+
+class BandEmitter:
+    """mentions(key, text) → (band_id, band_hash, key, norm_text) rows.
+
+    One row per (mention, band): N×bands rows feed the blocking
+    shuffle.  Signature computation is one vectorized pass per batch.
+    """
+
+    def __init__(self, *, num_perm: int = NUM_PERM, bands: int = NUM_BANDS) -> None:
+        self.num_perm = num_perm
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.sketch import hash64
+
+        all_keys = batch.column("key").to_pylist()
+        all_texts = [normalize_surface(t or "")
+                     for t in batch.column("text").to_pylist()]
+        # empty-text mentions (e.g. undecoded media) cannot match
+        # textually — identical keys already share a node upstream
+        keep = [i for i, t in enumerate(all_texts) if t]
+        keys = [all_keys[i] for i in keep]
+        texts = [all_texts[i] for i in keep]
+        n = len(keys)
+        sigs = minhash_batch(texts, num_perm=self.num_perm)
+        bh = band_keys(sigs, bands=self.bands)  # (N, bands)
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
+
+        # second blocking pass: last token of the normalized surface —
+        # catches initials + first-token typos that shingle MinHash
+        # misses (standard multi-pass blocking)
+        last_tok = [t.rsplit(" ", 1)[-1] for t in texts]
+        lt_hash = hash64(last_tok)
+
+        return pa.table({
+            "band_id": pa.array(
+                np.concatenate([band_id, np.full(n, -1, dtype=np.int32)])),
+            "band_hash": pa.array(
+                np.concatenate([bh.ravel(), lt_hash]), pa.uint64()),
+            "key": pa.array(
+                list(np.repeat(np.asarray(keys, dtype=object), self.bands))
+                + keys, pa.string()),
+            "norm_text": pa.array(
+                list(np.repeat(np.asarray(texts, dtype=object), self.bands))
+                + texts, pa.string()),
+        })
+
+
+def _pairs_for_block(g: pd.DataFrame) -> pd.DataFrame:
+    """Within-block candidate pairs; salted sorted-neighborhood above cap."""
+    g = g.drop_duplicates("key").sort_values("norm_text", kind="stable")
+    keys = g["key"].to_numpy()
+    texts = g["norm_text"].to_numpy()
+    n = len(keys)
+    a_k: list[str] = []; b_k: list[str] = []
+    a_t: list[str] = []; b_t: list[str] = []
+    if n < 2:
+        return pd.DataFrame({"key_a": [], "key_b": [], "text_a": [], "text_b": []})
+    if n <= BLOCK_CAP:
+        iu, ju = np.triu_indices(n, k=1)
+    else:
+        offs = np.arange(1, NEIGHBOR_WINDOW + 1)
+        iu = np.repeat(np.arange(n), len(offs))
+        ju = (iu + np.tile(offs, n))
+        mask = ju < n
+        iu, ju = iu[mask], ju[mask]
+    for i, j in zip(iu, ju):
+        ka, kb = keys[i], keys[j]
+        ta, tb = texts[i], texts[j]
+        if ka > kb:
+            ka, kb, ta, tb = kb, ka, tb, ta
+        if ka == kb:
+            continue
+        a_k.append(ka); b_k.append(kb); a_t.append(ta); b_t.append(tb)
+    return pd.DataFrame({"key_a": a_k, "key_b": b_k, "text_a": a_t, "text_b": b_t})
+
+
+def candidate_pairs(mentions_ds: "ray.data.Dataset", *,
+                    concurrency: int | None = None) -> "ray.data.Dataset":
+    """mentions(key, text) → distinct candidate pairs
+    (key_a, key_b, text_a, text_b).
+
+    Two shuffles: blocking groupby on (band_id, band_hash), then pair
+    dedup — a groupby-aggregate on the pair key (the same pair
+    surfaces in several bands; the texts are functionally dependent on
+    the keys so Min is a pure dedup, no per-group Python).
+    """
+    from ray.data.aggregate import Min
+
+    kwargs = {"batch_format": "pyarrow", "concurrency": concurrency or 4}
+    banded = mentions_ds.map_batches(BandEmitter, **kwargs)
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        _pairs_for_block, batch_format="pandas")
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        pk = pc.binary_join_element_wise(
+            batch.column("key_a"), batch.column("key_b"), "\x1f")
+        return batch.append_column("pair_key", pk)
+
+    deduped = (pairs.map_batches(add_pair_key, batch_format="pyarrow")
+               .groupby("pair_key")
+               .aggregate(Min("key_a", alias_name="key_a"),
+                          Min("key_b", alias_name="key_b"),
+                          Min("text_a", alias_name="text_a"),
+                          Min("text_b", alias_name="text_b")))
+    return deduped.drop_columns(["pair_key"])
