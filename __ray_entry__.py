@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then ``entry()`` as a smoke check,
+then runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares it
+against the matching ``oracle_sql()[name]`` via DuckDB (row-count +
+schema + order-insensitive value-hash).  Nothing here may call
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names match between Ray results and oracle SQL exactly; floats
+are rounded identically on both sides so value hashes align.
 """
 
 from __future__ import annotations
@@ -18,27 +15,410 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship ER pipeline over the sf0.001 documents: text → spans →
+    blocking → scoring → transitive clustering.  Returns clusters."""
+    from textgraphs_ray.pipelines.er import (extract_spans, resolve_entities,
+                                             spanify_text)
+
+    docs = spanify_text(
+        _docs("/root/testdata/sf0.001", columns=["doc_id", "text"]),
+        concurrency=2).materialize()
+    res = resolve_entities(docs, num_partitions=4, concurrency=2)
+    return res["clusters"]
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each mirrors one SURVEY.md §2 operator family)
+
+
+def _q_j1_node_upsert(sf_dir: str):
+    """J1/A1: groupby-upsert with count + min-id (dict upsert → shuffle)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "source"])
+    out = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc"))
+    return out
+
+
+def _q_j2_edge_dedup(sf_dir: str):
+    """J2/A2: composite-key dedup with count + aggregate over lineitem."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_quantity"])
+    out = ds.groupby(["l_orderkey", "l_partkey"]).aggregate(
+        Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_qty"), "sum_qty",
+                               pc.round(t.column("sum_qty"), 4)),
+        batch_format="pyarrow")
+
+
+def _q_j3_anti_join(sf_dir: str):
+    """J3: anti-join via broadcast key set (customers with no orders)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    keys = set()
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        keys.update(b.column("o_custkey").to_pylist())
+    key_ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        mask = [v not in ks for v in batch.column("c_custkey").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def _q_o1_topk(sf_dir: str):
+    """O1: global sort + limit (top-10 orders by totalprice)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort("o_totalprice", descending=True).limit(10)
+    return top.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "total": pc.round(t.column("o_totalprice"), 2)}),
+        batch_format="pyarrow")
+
+
+def _q_a2_count_agg(sf_dir: str):
+    """A2/A3: grouped count + sum over the events stream table."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value",
+            pc.round(t.column("sum_value"), 4)),
+        batch_format="pyarrow")
+
+
+def _q_m12_filter(sf_dir: str):
+    """M12/M13: vectorized predicate filter + projection."""
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_chars"), 500)),
+        batch_format="pyarrow")
+
+
+def _q_join_groupby(sf_dir: str):
+    """Hash join (orders ⨝ customer) + grouped revenue rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    j = orders.join(cust, join_type="inner", on=("o_custkey",),
+                    num_partitions=8)
+    out = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue",
+            pc.round(t.column("revenue"), 2)),
+        batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash partition + per-group keeper (J1 on
+    md5 fingerprints; collisions planted via 24-char prefix)."""
+    from ray.data.aggregate import Min, Sum
+    import hashlib
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def add_fp(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["fp"] = [hashlib.md5(t[:24].encode()).hexdigest()
+                    for t in df["text"]]
+        return df.groupby("fp", as_index=False).agg(
+            n_dups=("doc_id", "size"), keeper=("doc_id", "min"))
+
+    return ds.map_batches(add_fp, batch_format="pyarrow").groupby(
+        "fp").aggregate(Min("keeper", alias_name="keeper"),
+                        Sum("n_dups", alias_name="n_dups"))
+
+
+def _q_token_count(sf_dir: str):
+    """Token counting over documents (whitespace semantics aligned with
+    the SQL oracle's regexp_split_to_array)."""
+    from textgraphs_ray.stages.text import TokenCounter
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def _q_fingerprint(sf_dir: str):
+    """Document fingerprinting (md5 content hash column)."""
+    from textgraphs_ray.stages.text import Fingerprinter
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "fp_md5"])
+
+
+def _q_quality(sf_dir: str):
+    """Quality scoring: punctuation ratio (rounded 6dp to align with
+    the SQL oracle)."""
+    from textgraphs_ray.stages.text import QualityScorer
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "punct_ratio": pc.round(t.column("punct_ratio"), 6)}),
+        batch_format="pyarrow")
+
+
+def _q_knn_brute(sf_dir: str):
+    """Brute-force cosine top-k over the embeddings table: queries are
+    vec_id < 5; k=5 neighbors excluding self."""
+    from textgraphs_ray.stages.similarity import knn_brute
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = duck_queries_mat(sf_dir)
+    out = knn_brute(ds, qdf, k=5, exclude_self=True)
+    out["sim"] = out["sim"].round(4)
+    return out[["query_id", "rank", "vec_id", "sim"]]
+
+
+def duck_queries_mat(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(5)
+    return np.stack(df["embedding"].to_numpy())
+
+
+# rows-only pipelines (non-SQL-expressible: NLP/ER/GOR/sketch ops) -----------
+
+
+def _q_er_spans(sf_dir: str):
+    from textgraphs_ray.pipelines.er import extract_spans, spanify_text
+
+    docs = spanify_text(_docs(sf_dir, columns=["doc_id", "text"]),
+                        concurrency=2)
+    return extract_spans(docs, concurrency=2)
+
+
+def _q_er_clusters(sf_dir: str):
+    from textgraphs_ray.pipelines.er import resolve_entities, spanify_text
+
+    docs = spanify_text(_docs(sf_dir, columns=["doc_id", "text"]),
+                        concurrency=2).materialize()
+    return resolve_entities(docs, num_partitions=4, concurrency=2)["clusters"]
+
+
+def _q_er_phrases(sf_dir: str):
+    from textgraphs_ray.pipelines.er import extract_spans, spanify_text
+    from textgraphs_ray.pipelines.phrases import ranked_phrases
+
+    docs = spanify_text(_docs(sf_dir, columns=["doc_id", "text"]),
+                        concurrency=2).materialize()
+    # rank a bounded slice (driver harness runs this at sf0.01)
+    docs = docs.limit(200).materialize()
+    spans = extract_spans(docs, concurrency=2)
+    return ranked_phrases(docs, spans)
+
+
+def _q_gor_affinity(sf_dir: str):
+    from textgraphs_ray.pipelines.gor import affinity_scores, load_ingram
+
+    edges, rels, _ = load_ingram("/root/reference/examples/ingram.json")
+    df = affinity_scores(rd.from_arrow(edges), rels)
+    df["score"] = df["score"].round(6)
+    return df
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from textgraphs_ray.stages.dedup import minhash_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return minhash_dedup(ds, jaccard_threshold=0.6, concurrency=2)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from textgraphs_ray.stages.dedup import simhash_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return simhash_dedup(ds, concurrency=2)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    from textgraphs_ray.stages.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_dedup(ds, cosine_threshold=0.95, concurrency=2)
+
+
+def _q_knn_lsh(sf_dir: str):
+    from textgraphs_ray.stages.similarity import knn_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, duck_queries_mat(sf_dir), k=5)
+    out["sim"] = out["sim"].round(4)
+    return out
+
+
+def _q_media_features(sf_dir: str):
+    from textgraphs_ray.stages.media import (DecodeStub, MediaFeaturizer,
+                                             synth_media_table)
+
+    ds = rd.from_arrow(synth_media_table(200))
+    out = (ds.map_batches(DecodeStub, batch_format="pyarrow",
+                          batch_size=32, concurrency=2)
+           .map_batches(MediaFeaturizer, batch_format="pyarrow",
+                        batch_size=32, concurrency=2))
+    return out.select_columns(["media_ref", "media_type", "decoded_bytes",
+                               "checksum"])
+
+
+def _q_lang_id(sf_dir: str):
+    from textgraphs_ray.stages.text import LangId
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked relational operators
+        "j1_node_upsert": _q_j1_node_upsert,
+        "j2_edge_dedup": _q_j2_edge_dedup,
+        "j3_anti_join": _q_j3_anti_join,
+        "o1_topk": _q_o1_topk,
+        "a2_count_agg": _q_a2_count_agg,
+        "m12_filter": _q_m12_filter,
+        "join_groupby": _q_join_groupby,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "quality_punct": _q_quality,
+        "knn_brute": _q_knn_brute,
+        # rows-only pipelines
+        "er_spans": _q_er_spans,
+        "er_clusters": _q_er_clusters,
+        "er_phrases": _q_er_phrases,
+        "gor_affinity": _q_gor_affinity,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "knn_lsh": _q_knn_lsh,
+        "media_features": _q_media_features,
+        "lang_id": _q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "j1_node_upsert": """
+            SELECT lang, source, count(*) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM documents GROUP BY lang, source
+        """,
+        "j2_edge_dedup": """
+            SELECT l_orderkey, l_partkey, count(*) AS cnt,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey, l_partkey
+        """,
+        "j3_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "o1_topk": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "a2_count_agg": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "m12_filter": """
+            SELECT doc_id, n_chars FROM documents WHERE n_chars > 500
+        """,
+        "join_groupby": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "dedup_exact": """
+            SELECT md5(substr(text, 1, 24)) AS fp,
+                   min(doc_id) AS keeper, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "quality_punct": """
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                         * 1.0 / length(text), 6) AS punct_ratio
+            FROM documents
+        """,
+        "knn_brute": """
+            WITH q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                       vec_id AS q_id, embedding AS q_emb
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.q_emb, e.embedding) AS raw_sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.q_id
+            ), ranked AS (
+                SELECT query_id, vec_id, raw_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY raw_sim DESC, vec_id ASC) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id, round(raw_sim, 4) AS sim
+            FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+    }

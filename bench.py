@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` runs the headline ER pipeline twice in fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs plus the scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N node comparison).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+ER_DOCS = int(os.environ.get("GRAFT_ER_DOCS", "20000"))
+CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", f"/tmp/graft_corpus_{ER_DOCS}")
+
+
+def ensure_corpus() -> str:
+    """Deterministic F5 corpus in the input_hint schema (built once,
+    reused across bench invocations and both scaling levels)."""
+    marker = os.path.join(CORPUS_DIR, "truth.parquet")
+    if not os.path.exists(marker):
+        from textgraphs_ray.corpus import write_corpus
+
+        write_corpus(CORPUS_DIR, ER_DOCS, shards=32)
+    return CORPUS_DIR
+
+
+def main() -> None:
+    import ray
+    import ray.data as rd
+
+    corpus_dir = ensure_corpus()
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from textgraphs_ray.pipelines.er import resolve_entities
+    from textgraphs_ray.pipelines.gor import affinity_scores, load_ingram
+    from textgraphs_ray.stages.dedup import exact_dedup, minhash_dedup
+    from textgraphs_ray.stages.similarity import knn_brute
+    from textgraphs_ray.stages.text import QualityScorer, TokenCounter
+
+    queries: dict[str, float] = {}
+    assets = pq.read_table(os.path.join(corpus_dir, "assets.parquet"))
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    rd.read_parquet(corpus_dir).count()
+
+    # headline: full ER chain on the interleaved corpus
+    t0 = time.perf_counter()
+    docs_ds = rd.read_parquet(
+        [os.path.join(corpus_dir, f) for f in sorted(os.listdir(corpus_dir))
+         if f.startswith("documents-")])
+    n_docs = docs_ds.count()
+    res = resolve_entities(docs_ds, assets=assets,
+                           num_partitions=max(8, NUM_CPUS // 2),
+                           concurrency=max(2, NUM_CPUS // 2))
+    n_clusters = res["clusters"].count()
+    t_er = time.perf_counter() - t0
+    queries["er_resolve"] = round(t_er, 3)
+
+    # secondary pipelines over driver testdata
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    (docs.map_batches(TokenCounter, batch_format="pyarrow",
+                      concurrency=max(2, NUM_CPUS // 4))
+     .map_batches(QualityScorer, batch_format="pyarrow",
+                  concurrency=max(2, NUM_CPUS // 4))
+     .count())
+    queries["text_analysis"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    exact_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id", "text"])).count()
+    queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    minhash_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"]),
+                  concurrency=max(2, NUM_CPUS // 4)).count()
+    queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    import numpy as np
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmat = np.stack(emb.to_pandas().sort_values("vec_id").head(8)
+                    ["embedding"].to_numpy())
+    knn_brute(rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]), qmat, k=10)
+    queries["knn_brute"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    edges, rels, _ = load_ingram("/root/reference/examples/ingram.json")
+    affinity_scores(rd.from_arrow(edges), rels)
+    queries["gor_affinity"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "graft_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "er_docs": n_docs,
+        "er_clusters": n_clusters,
+        "docs_per_sec": round(n_docs / t_er, 1),
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    ensure_corpus()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["er_resolve"]
+    t_hi = r_hi["queries"]["er_resolve"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "er_sec_lo": t_lo, "er_sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,77 @@
+"""Label-propagation closure tests + synonym bootstrap (FIXTURES F4)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from textgraphs_ray.sources.ttl import bootstrap_tables, parse_ttl
+from textgraphs_ray.stages.cluster import propagate_labels
+
+
+def _cluster(nodes, edges):
+    nds = rd.from_arrow(pa.table({"key": pa.array(nodes, pa.string())}))
+    eds = rd.from_arrow(pa.table({
+        "key_a": pa.array([e[0] for e in edges], pa.string()),
+        "key_b": pa.array([e[1] for e in edges], pa.string()),
+    }))
+    df = propagate_labels(nds, eds, num_partitions=2).to_pandas()
+    return dict(zip(df["key"], df["cluster_id"]))
+
+
+def test_chain_closure():
+    got = _cluster(list("abcdef"), [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+    assert got["e"] == "e" and got["f"] == "f"
+
+
+def test_star_and_disconnected():
+    got = _cluster(["hub", "s1", "s2", "s3", "lone"],
+                   [("hub", "s1"), ("hub", "s2"), ("s3", "hub")])
+    assert len({got["hub"], got["s1"], got["s2"], got["s3"]}) == 1
+    assert got["lone"] == "lone"
+
+
+def test_no_edges():
+    got = _cluster(["x", "y"], [])
+    assert got == {"x": "x", "y": "y"}
+
+
+TTL = """
+@prefix dbo: <http://dbpedia.org/ontology/> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+
+<entity/werner_PROPN> a dbo:Person ;
+    skos:prefLabel "Werner"@en .
+
+<entity/werner_PROPN_herzog_PROPN> a dbo:Person ;
+    skos:prefLabel "Werner Herzog"@en.
+
+dbo:Person skos:definition "People, including fictional"@en ;
+    skos:prefLabel "person"@en .
+
+<entity/werner_PROPN_herzog_PROPN> skos:broader <entity/werner_PROPN> .
+"""
+
+
+def test_parse_ttl_triples():
+    triples = parse_ttl(TTL)
+    assert ("entity/werner_PROPN", "rdf:type", "dbo:Person") in triples
+    assert ("entity/werner_PROPN_herzog_PROPN", "skos:broader",
+            "entity/werner_PROPN") in triples
+
+
+def test_synonym_bootstrap_drives_merge():
+    """FIXTURES F4: after closure, werner.PROPN and
+    werner.PROPN.herzog.PROPN share a cluster (reference
+    doc.py:1197-1201 skos:broader bootstrap)."""
+    nodes_t, edges_t = bootstrap_tables(TTL)
+    keys = nodes_t.column("key").to_pylist()
+    assert "werner.PROPN" in keys
+    assert "werner.PROPN.herzog.PROPN" in keys
+    syn = [(s, d) for s, d, k in zip(edges_t.column("src_key").to_pylist(),
+                                     edges_t.column("dst_key").to_pylist(),
+                                     edges_t.column("kind").to_pylist())
+           if k == "syn"]
+    got = _cluster(keys, syn)
+    assert got["werner.PROPN"] == got["werner.PROPN.herzog.PROPN"]

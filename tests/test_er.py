@@ -1,0 +1,92 @@
+"""ER pipeline tests: pairwise F1, media merges, skew (FIXTURES.md F5)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import ray.data as rd
+
+
+def _pairwise(rows):
+    tp = fp = fn = 0
+    for (k1, e1, c1), (k2, e2, c2) in combinations(rows, 2):
+        same_t, same_p = e1 == e2, c1 == c2
+        if same_t and same_p:
+            tp += 1
+        elif same_p:
+            fp += 1
+        elif same_t:
+            fn += 1
+    prec = tp / max(1, tp + fp)
+    rec = tp / max(1, tp + fn)
+    return prec, rec, 2 * prec * rec / max(1e-9, prec + rec)
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def er_result(small_corpus):
+    """One shared ER run for all assertions in this module."""
+    from textgraphs_ray.pipelines.er import resolve_entities
+
+    docs, truth, assets = small_corpus
+    res = resolve_entities(rd.from_arrow(docs), assets=assets,
+                           num_partitions=4)
+    clusters = res["clusters"].to_pandas()
+    spans = res["spans"].to_pandas()
+    truth_df = truth.to_pandas()
+    m = truth_df.merge(spans[["doc_id", "offset", "lemma_key"]],
+                       on=["doc_id", "offset"], how="left")
+    m = m.merge(clusters, left_on="lemma_key", right_on="key", how="left")
+    return res, m
+
+
+def test_pairwise_f1(er_result):
+    """North rule: pairwise F1 ≥ 0.99 on labeled pairs (we evaluate on
+    ALL labeled pairs — a superset of the same-block requirement)."""
+    _, m = er_result
+    assert m["lemma_key"].notna().all()
+    assert m["cluster_id"].notna().all()
+    keys = m.drop_duplicates("lemma_key")
+    rows = list(zip(keys["lemma_key"], keys["entity_id"], keys["cluster_id"]))
+    prec, rec, f1 = _pairwise(rows)
+    assert f1 >= 0.99, (prec, rec, f1)
+
+
+def test_media_mentions_join_text_clusters(er_result):
+    """media spans (decoded via the stub + cosine scoring) must land in
+    the same cluster as their entity's text mentions."""
+    _, m = er_result
+    media = m[m["surface"] == ""]
+    assert len(media) > 0
+    for _, row in media.iterrows():
+        text_rows = m[(m["entity_id"] == row["entity_id"]) & (m["surface"] != "")]
+        if len(text_rows) == 0:
+            continue
+        assert (text_rows["cluster_id"] == row["cluster_id"]).any(), \
+            row["lemma_key"]
+
+
+def test_hot_entity_single_cluster(er_result):
+    """The planted hot entity (5% of docs → skewed block) must resolve
+    to one cluster despite block capping/salting."""
+    _, m = er_result
+    hot = m[m["entity_id"] == 0]
+    assert len(hot) > 5
+    assert hot["cluster_id"].nunique() == 1
+
+
+def test_cluster_determinism(small_corpus, er_result):
+    """Same input → identical clustering under different partitioning
+    (H1 order independence)."""
+    from textgraphs_ray.pipelines.er import resolve_entities
+
+    docs, _, assets = small_corpus
+    a = er_result[0]["clusters"].to_pandas()
+    b = resolve_entities(
+        rd.from_arrow(docs).repartition(7), assets=assets,
+        num_partitions=5)["clusters"].to_pandas()
+    a = a.sort_values("key").reset_index(drop=True)
+    b = b.sort_values("key").reset_index(drop=True)
+    assert a.equals(b)

@@ -1,0 +1,145 @@
+"""Unit tests for the batched kernels (no Ray needed)."""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import numpy as np
+import pytest
+
+from textgraphs_ray.functions.sketch import (band_keys, char_shingles,
+                                             hamming64, jaccard_shingles,
+                                             minhash_batch,
+                                             shingle_embedding_batch,
+                                             simhash_batch)
+from textgraphs_ray.functions.strsim import (cosine_batch, jaro_winkler,
+                                             jaro_winkler_batch,
+                                             levenshtein_batch,
+                                             levenshtein_sim_batch)
+from textgraphs_ray.functions import kg
+from textgraphs_ray.functions import nlp
+
+
+def _lev_ref(a: str, b: str) -> int:
+    @functools.lru_cache(maxsize=None)
+    def d(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                   d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+    return d(len(a), len(b))
+
+
+def test_levenshtein_matches_reference_dp():
+    words = ["", "a", "kitten", "sitting", "Dalton", "Dalotn", "flaw",
+             "lawn", "Werner Herzog", "W. Herzog", "xyzzy"]
+    pairs = list(itertools.product(words, words))
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    exp = [_lev_ref(a, b) for a, b in pairs]
+    assert list(got) == exp
+
+
+def test_jaro_winkler_published_values():
+    assert round(jaro_winkler("martha", "marhta"), 4) == 0.9611
+    assert round(jaro_winkler("dwayne", "duane"), 2) == 0.84
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+
+
+def test_batch_wrappers():
+    sims = levenshtein_sim_batch(["abcd", "abcd"], ["abcd", "abxd"])
+    assert sims[0] == 1.0 and 0.7 < sims[1] < 0.8
+    jws = jaro_winkler_batch(["martha"], ["marhta"])
+    assert round(jws[0], 4) == 0.9611
+
+
+def test_cosine_batch():
+    a = np.array([[1.0, 0.0], [1.0, 1.0]])
+    b = np.array([[1.0, 0.0], [-1.0, -1.0]])
+    out = cosine_batch(a, b)
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(-1.0)
+
+
+def test_minhash_estimates_jaccard():
+    a = "alice brennan the filmmaker from berlin"
+    b = "alice brenan the filmmaker from berlin"
+    c = "completely different string about xylophones"
+    sigs = minhash_batch([a, b, c], num_perm=256)
+    est_ab = (sigs[0] == sigs[1]).mean()
+    est_ac = (sigs[0] == sigs[2]).mean()
+    true_ab = jaccard_shingles(a, b)
+    assert abs(est_ab - true_ab) < 0.15
+    assert est_ac < 0.15
+
+
+def test_band_keys_lsh_property():
+    sigs = minhash_batch(["werner herzog", "werner herzog", "dietrich"],
+                         num_perm=64)
+    bands = band_keys(sigs, bands=16)
+    assert (bands[0] == bands[1]).all()          # identical strings
+    assert (bands[0] == bands[2]).sum() < 16     # different strings
+
+
+def test_simhash_hamming():
+    h = simhash_batch(["alice brennan", "alice brenan", "zzz qqq xxx"])
+    near = hamming64(h[0:1], h[1:2])[0]
+    far = hamming64(h[0:1], h[2:3])[0]
+    assert near < far
+
+
+def test_shingle_embedding_cosine_orders_similarity():
+    e = shingle_embedding_batch(["alice brennan", "ALICE BRENNAN",
+                                 "alice brenan", "xylophone quartet"])
+    sim_same = float(e[0] @ e[1])
+    sim_near = float(e[0] @ e[2])
+    sim_far = float(e[0] @ e[3])
+    assert sim_same == pytest.approx(1.0, abs=1e-6)  # case-normalized
+    assert sim_near > 0.8 > sim_far
+
+
+def test_char_shingles():
+    assert char_shingles("ab", 3) == ["ab"]
+    assert char_shingles("abcd", 3) == ["abc", "bcd"]
+    assert char_shingles("", 3) == []
+
+
+def test_kg_normalize_prefix():
+    assert kg.normalize_prefix("http://dbpedia.org/ontology/Person") == "dbo:Person"
+    assert kg.normalize_prefix("http://dbpedia.org/resource/Category:Foo") == "dbc:Foo"
+    assert kg.normalize_prefix("http://dbpedia.org/resource/Thing") == "dbr:Thing"
+    assert kg.normalize_prefix(
+        "http://www.w3.org/2002/07/owl#sameAs") == "owl:sameAs"
+    assert kg.normalize_prefix("http://example.com/x") == "http://example.com/x"
+
+
+def test_kg_remap_ner():
+    assert kg.remap_ner("PERSON") == "http://dbpedia.org/ontology/Person"
+    assert kg.remap_ner("GPE") == "http://dbpedia.org/ontology/Country"
+    assert kg.remap_ner("NOPE") is None
+    assert kg.remap_ner(None) is None
+
+
+def test_lemma_keys_match_reference_semantics():
+    # reference pipe.py:273-311 examples (FIXTURES.md F1 table)
+    assert nlp.lemma_key_tokens(["werner", "herzog"], ["PROPN", "PROPN"]) == \
+        "werner.PROPN.herzog.PROPN"
+    assert nlp.lemma_key_single("be", "AUX", placeholder_idx=2) == "2.be.AUX"
+    assert nlp.lemma_key_single("filmmaker", "NOUN") == "filmmaker.NOUN"
+
+
+def test_parse_herzog_pos():
+    doc = nlp.parse("Werner Herzog is a remarkable filmmaker and "
+                    "intellectual originally from Germany, the son of "
+                    "Dietrich Herzog.")
+    ents = [(e.text, e.label) for e in doc.ents]
+    assert ("Werner Herzog", "PERSON") in ents
+    assert ("Germany", "GPE") in ents
+    assert ("Dietrich Herzog", "PERSON") in ents
+    by_text = {t.text: t for t in doc.tokens}
+    assert by_text["is"].pos == "AUX" and by_text["is"].lemma == "be"
+    assert by_text["filmmaker"].pos == "NOUN"
+    assert by_text["remarkable"].pos == "ADJ"

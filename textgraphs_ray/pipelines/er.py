@@ -34,7 +34,7 @@ from ..stages.scoring import score_pairs
 def extract_spans(docs_ds: "ray.data.Dataset", *,
                   concurrency=None, batch_size: int = 256) -> "ray.data.Dataset":
     kwargs = {"batch_format": "pyarrow", "batch_size": batch_size,
-              "concurrency": concurrency or 4}
+              "concurrency": concurrency or (1, 4)}
     return docs_ds.map_batches(ExtractSpans, **kwargs)
 
 
@@ -43,7 +43,7 @@ def spanify_text(docs_ds: "ray.data.Dataset", *, text_col: str = "text",
                  batch_size: int = 256) -> "ray.data.Dataset":
     kwargs = {"batch_format": "pyarrow", "batch_size": batch_size,
               "fn_constructor_kwargs": {"text_col": text_col, "id_col": id_col},
-              "concurrency": concurrency or 4}
+              "concurrency": concurrency or (1, 4)}
     return docs_ds.map_batches(Spanify, **kwargs)
 
 
@@ -98,7 +98,7 @@ def mentions_from_spans(spans_ds: "ray.data.Dataset",
                 return decode_media(batch, self.lookup)
 
         distinct = distinct.map_batches(
-            _Decoder, batch_format="pyarrow", concurrency=2,
+            _Decoder, batch_format="pyarrow", concurrency=(1, 2),
             fn_constructor_args=(assets_ref,))
     return distinct
 

@@ -128,7 +128,7 @@ def candidate_pairs(mentions_ds: "ray.data.Dataset", *,
     """
     from ray.data.aggregate import Min
 
-    kwargs = {"batch_format": "pyarrow", "concurrency": concurrency or 4}
+    kwargs = {"batch_format": "pyarrow", "concurrency": concurrency or (1, 4)}
     banded = mentions_ds.map_batches(BandEmitter, **kwargs)
     pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
         _pairs_for_block, batch_format="pandas")

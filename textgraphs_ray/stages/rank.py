@@ -1,0 +1,214 @@
+"""Per-cluster TextRank + rank restacking (SURVEY.md A3-A9, O1, H3).
+
+The reference runs ``nx.pagerank(alpha=0.85)`` over the whole in-memory
+lemma graph (``/root/reference/textgraphs/doc.py:927-932``), then
+"restacks" so entities outrank lemmas (``doc.py:796-890``).  A global
+graph is forbidden at 10^12 scale (north_rule), so PageRank runs
+per-partition: nodes/edges are grouped by a partition key (the entity
+``cluster_id``, or ``doc_id`` for document-local ranking) and a bounded
+power iteration runs inside ``map_groups`` — execution stays streaming.
+
+The restack replaces the reference's pulp/CBC linear program
+(``doc.py:740-793``) with its closed-form solution (H3): at the
+optimum the slack is 0 and both equality constraints bind, giving a
+2×2 linear system::
+
+    coef0·sum_e + coef1·sum_l = 1
+    coef0·min_e − coef1·max_l = 0
+
+⇒ coef0 = max_l / D, coef1 = min_e / D, D = sum_e·max_l + sum_l·min_e.
+Falls back to raw ranks when either side is empty (``doc.py:872-874``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+PAGERANK_ALPHA = 0.85  # reference defaults.py:31
+
+
+def solve_restack_coeffs(sum_e: float, sum_l: float,
+                         min_e: float, max_l: float) -> tuple[float, float]:
+    """Closed form of the reference's LP (doc.py:771-793) at slack=0."""
+    d = sum_e * max_l + sum_l * min_e
+    if d <= 0.0:
+        return 1.0, 0.0
+    coef0 = max_l / d
+    coef1 = min_e / d
+    if coef0 < coef1:  # the LP constrains coef0 ≥ coef1
+        s = sum_e + sum_l
+        return 1.0 / s, 1.0 / s
+    return coef0, coef1
+
+
+def calc_quantile_bins(num_rows: int) -> np.ndarray:
+    """Reference util.py:65-85: ⌈4·ln n⌉ evenly spaced quantile bins."""
+    granularity = max(round(math.log(num_rows) * 4), 1) if num_rows > 0 else 1
+    return np.linspace(0, 1, num=granularity, endpoint=True)
+
+
+def stripe_column(values, bins: np.ndarray) -> np.ndarray:
+    """Reference util.py:88-113: digitize into quantile stripes."""
+    s = pd.Series(values)
+    q = s.quantile(bins, interpolation="nearest")
+    return np.digitize(values, q) - 1
+
+
+def root_mean_square(values) -> float:
+    """Reference util.py:116-132."""
+    a = np.asarray(values, dtype=np.float64)
+    if a.size == 0:
+        return 0.0
+    return float(np.sqrt((a ** 2).sum() / a.size))
+
+
+def pagerank_power(n: int, src: np.ndarray, dst: np.ndarray,
+                   *, alpha: float = PAGERANK_ALPHA, iters: int = 50,
+                   tol: float = 1e-9) -> np.ndarray:
+    """Vectorized power iteration on an edge list (0-based node ids).
+
+    Matches ``networkx.pagerank`` semantics on a directed multigraph:
+    dangling mass redistributed uniformly; parallel edges add weight.
+    """
+    rank = np.full(n, 1.0 / max(n, 1))
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    dangling = out_deg == 0
+    for _ in range(iters):
+        contrib = np.where(dangling, 0.0, rank / np.maximum(out_deg, 1.0))
+        new = np.zeros(n)
+        np.add.at(new, dst, contrib[src])
+        new = alpha * (new + rank[dangling].sum() / max(n, 1)) + (1 - alpha) / max(n, 1)
+        if np.abs(new - rank).sum() < tol:
+            rank = new
+            break
+        rank = new
+    return rank
+
+
+def restack_ranks(df: pd.DataFrame) -> np.ndarray:
+    """Reference ``_restack_ranks`` (doc.py:796-890) over a node frame
+    with columns [weight, count, hood, subobj, entity]."""
+    n = len(df)
+    if n == 0:
+        return np.zeros(0)
+    df1 = df[["weight", "count", "hood", "subobj"]].astype(float).copy()
+    df1.loc[df1["count"] < 1, "weight"] = 0.0
+
+    maxes = df1.max(axis=0).replace(0.0, 1.0)
+    df2 = df1 / maxes
+    bins = calc_quantile_bins(n)
+    striped = pd.DataFrame({c: stripe_column(df2[c].to_numpy(), bins)
+                            for c in df2.columns})
+    rank = striped.apply(root_mean_square, axis=1).to_numpy()
+    rank[df1["count"].to_numpy() < 1] = 0.0
+    total = rank.sum()
+    if total > 0:
+        rank = rank / total
+
+    entity = df["entity"].to_numpy(dtype=bool)
+    e_ranks = rank[entity & (rank > 0)]
+    l_ranks = rank[~entity & (rank > 0)]
+    if len(e_ranks) < 1 or len(l_ranks) < 1:
+        return rank
+    coef0, coef1 = solve_restack_coeffs(
+        sum_e=float(e_ranks.sum()), sum_l=float(l_ranks.sum()),
+        min_e=float(e_ranks.min()), max_l=float(l_ranks.max()))
+    stacked = np.where(entity, rank * coef0, rank * coef1)
+    stacked[rank == 0] = 0.0
+    return stacked
+
+
+def _rank_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One partition (cluster or document): local graph → ranked nodes.
+
+    Expects rows of node/edge union: node rows (key, kind, count,
+    sub_obj) and edge rows (src_key, dst_key).  Emits (key, weight,
+    neighbors).
+    """
+    nodes = g[g["row_kind"] == "node"]
+    edges = g[g["row_kind"] == "edge"]
+    keys = nodes["key"].tolist()
+    idx = {k: i for i, k in enumerate(keys)}
+    n = len(keys)
+    src = np.array([idx[s] for s in edges["src_key"] if s in idx
+                    ], dtype=np.int64) if len(edges) else np.zeros(0, np.int64)
+    # align dst with filtered src
+    pairs = [(idx[s], idx[d]) for s, d in zip(edges["src_key"], edges["dst_key"])
+             if s in idx and d in idx]
+    if pairs:
+        src = np.array([p[0] for p in pairs], dtype=np.int64)
+        dst = np.array([p[1] for p in pairs], dtype=np.int64)
+    else:
+        src = np.zeros(0, np.int64)
+        dst = np.zeros(0, np.int64)
+
+    pr = pagerank_power(n, src, dst)
+
+    # neighbor counts: distinct successors, matching
+    # ``nx.neighbors`` on the reference's MultiDiGraph (doc.py:914-924)
+    neigh = np.zeros(n, dtype=np.int64)
+    if pairs:
+        uniq = np.unique(np.array(pairs, dtype=np.int64), axis=0)
+        neigh = np.bincount(uniq[:, 0], minlength=n)
+
+    df = pd.DataFrame({
+        "weight": pr,
+        "count": nodes["count"].to_numpy(),
+        "hood": neigh,
+        "subobj": nodes["sub_obj"].to_numpy(dtype=float),
+        "entity": (nodes["kind"] == "ent").to_numpy(),
+    })
+    stacked = restack_ranks(df)
+    return pd.DataFrame({
+        "key": keys,
+        "part": nodes["part"].iloc[0] if n else "",
+        "weight": stacked,
+        "neighbors": neigh.astype(np.int32),
+    })
+
+
+def rank_partitions(nodes_ds: "ray.data.Dataset",
+                    edges_ds: "ray.data.Dataset",
+                    *, part_col: str = "part") -> "ray.data.Dataset":
+    """Per-partition TextRank post-pass.
+
+    ``nodes_ds`` columns: (part, key, kind, count, sub_obj);
+    ``edges_ds`` columns: (part, src_key, dst_key).  One shuffle keyed
+    on the partition column; the graph never materializes globally.
+    """
+    import pyarrow as pa
+
+    def tag_nodes(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "part": t.column(part_col),
+            "row_kind": pa.array(["node"] * n),
+            "key": t.column("key"),
+            "kind": t.column("kind"),
+            "count": t.column("count"),
+            "sub_obj": t.column("sub_obj"),
+            "src_key": pa.array([""] * n),
+            "dst_key": pa.array([""] * n),
+        })
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "part": t.column(part_col),
+            "row_kind": pa.array(["edge"] * n),
+            "key": pa.array([""] * n),
+            "kind": pa.array([""] * n),
+            "count": pa.array(np.zeros(n, np.int64)),
+            "sub_obj": pa.array([False] * n),
+            "src_key": t.column("src_key"),
+            "dst_key": t.column("dst_key"),
+        })
+
+    union = (nodes_ds.map_batches(tag_nodes, batch_format="pyarrow")
+             .union(edges_ds.map_batches(tag_edges, batch_format="pyarrow")))
+    return union.groupby("part").map_groups(_rank_group, batch_format="pandas")

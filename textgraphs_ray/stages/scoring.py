@@ -137,5 +137,5 @@ class PairScorer:
 def score_pairs(pairs_ds: "ray.data.Dataset", *,
                 concurrency=None, batch_size: int = 8192) -> "ray.data.Dataset":
     kwargs = {"batch_format": "pyarrow", "batch_size": batch_size,
-              "concurrency": concurrency or 4}
+              "concurrency": concurrency or (1, 4)}
     return pairs_ds.map_batches(PairScorer, **kwargs)

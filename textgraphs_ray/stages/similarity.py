@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute` — brute-force cosine top-k baseline: every batch is
+  one numpy matmul against the broadcast query matrix (``ray.put``
+  once, fetched once per task); per-batch partial top-k rows are merged
+  by a tiny driver-side reduction.  O(N·Q·D) but perfectly streaming —
+  the correctness oracle for the ANN path.
+
+- :func:`knn_lsh` — random-hyperplane LSH (IVF-style scale path): probe
+  only buckets matching the query signature (multi-probe over Hamming
+  ≤ 1 signatures), exact cosine rerank inside probed buckets.  Recall
+  < 1 by design; the bucket fanout bounds per-query work independent
+  of N.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
+              emb_col: str = "embedding", id_col: str = "vec_id",
+              exclude_self: bool = False) -> pd.DataFrame:
+    """→ DataFrame (query_id, rank, vec_id, sim): exact top-k.
+
+    ``queries`` is (Q, D); broadcast once.  Ties broken by vec_id asc
+    so results are deterministic.
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        sims = _normalize(emb) @ q.T  # (N, Q)
+        kk = min(k + (1 if exclude_self else 0), sims.shape[0])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            idx = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_sim.extend(sims[idx, qi].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "sim": pa.array(out_sim, pa.float64()),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="stable")
+    if exclude_self:
+        parts = parts[parts["query_id"] != parts["vec_id"]]
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount()
+    return top[["query_id", "rank", "vec_id", "sim"]]
+
+
+def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
+            emb_col: str = "embedding", id_col: str = "vec_id",
+            planes: int = 8, seed: int = 42) -> pd.DataFrame:
+    """Approximate top-k: hyperplane-bucketed scan with multi-probe.
+
+    Each batch computes bucket signatures for its vectors and scores
+    only those whose signature is within Hamming ≤ 1 of a query
+    signature — per-batch work shrinks with bucket selectivity.
+    """
+    queries = np.asarray(queries, dtype=np.float32)
+    rng = np.random.RandomState(seed)
+    plane_mat = rng.standard_normal(
+        (queries.shape[1], planes)).astype(np.float32)
+    qn = _normalize(queries)
+    q_sig = ((qn @ plane_mat) > 0) @ (1 << np.arange(planes, dtype=np.int64))
+    # multi-probe: accept buckets at Hamming ≤ 1 from each query signature
+    probe_sets = []
+    for s in q_sig:
+        probes = {int(s)}
+        for b in range(planes):
+            probes.add(int(s) ^ (1 << b))
+        probe_sets.append(probes)
+    shared = ray.put((qn, plane_mat, probe_sets))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, planes_m, probes = ray.get(shared)
+        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        en = _normalize(emb)
+        sig = ((en @ planes_m) > 0) @ (1 << np.arange(planes_m.shape[1],
+                                                      dtype=np.int64))
+        out_q, out_id, out_sim = [], [], []
+        for qi, probe in enumerate(probes):
+            mask = np.isin(sig, list(probe))
+            if not mask.any():
+                continue
+            sims = en[mask] @ q[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx].tolist())
+            out_sim.extend(sims[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "sim": pa.array(out_sim, pa.float64()),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="stable")
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount()
+    return top[["query_id", "rank", "vec_id", "sim"]]

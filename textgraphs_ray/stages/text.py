@@ -1,0 +1,154 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+All are single-pass ``map_batches`` stages (no shuffle).  Regexes and
+language profiles are compiled once per actor (``__init__``), batches
+are processed with vectorized pandas/pyarrow string kernels where the
+kernel exists, Python loops only inside per-string scoring that has no
+columnar equivalent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# Small closed-class profiles per language (public stopword knowledge).
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "was", "for", "with",
+           "that", "on", "as", "are", "at", "this", "from", "by", "it"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+           "por", "con", "para", "es", "del", "se", "no", "su"},
+    "fr": {"le", "la", "les", "de", "des", "et", "en", "un", "une", "du",
+           "que", "qui", "dans", "pour", "est", "sur", "au", "pas"},
+    "de": {"der", "die", "das", "und", "in", "von", "zu", "den", "mit",
+           "ist", "des", "im", "ein", "eine", "auf", "als", "auch"},
+}
+
+_STOP_EN = _LANG_PROFILES["en"]
+
+
+class TokenCounter:
+    """Add ``n_tokens``: whitespace tokens + a BPE-ish sub-token count
+    (word-piece estimate: alpha runs split every 4 chars + digits +
+    punctuation marks)."""
+
+    def __init__(self, *, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.ws = re.compile(r"\s+")
+        self.piece = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        # semantics match the SQL oracle: split the trimmed text on \s+
+        # (empty string → one empty token, as regexp_split_to_array does)
+        n_tok = np.fromiter(
+            (len(self.ws.split(t.strip())) if t is not None else 0
+             for t in texts), dtype=np.int64, count=len(texts))
+        n_bpe = np.fromiter(
+            (len(self.piece.findall(t)) if t else 0 for t in texts),
+            dtype=np.int64, count=len(texts))
+        return (batch.append_column("n_tokens", pa.array(n_tok))
+                .append_column("n_bpe_tokens", pa.array(n_bpe)))
+
+
+class QualityScorer:
+    """Add quality signals: punctuation ratio, uppercase ratio, mean
+    word length, stopword ratio, and a [0,1] composite score.
+
+    Mirrors standard pretraining-corpus filters (C4/Gopher-style
+    length/punct/stopword heuristics), expressed as one vectorized
+    batch pass.
+    """
+
+    def __init__(self, *, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.word = re.compile(r"[A-Za-z']+")
+        self.punct = re.compile(r"[.!?,;:]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        punct_ratio = np.zeros(n)
+        upper_ratio = np.zeros(n)
+        mean_wlen = np.zeros(n)
+        stop_ratio = np.zeros(n)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            ln = len(t)
+            punct_ratio[i] = len(self.punct.findall(t)) / ln
+            upper_ratio[i] = sum(c.isupper() for c in t) / ln
+            words = self.word.findall(t.lower())
+            if words:
+                mean_wlen[i] = sum(map(len, words)) / len(words)
+                stop_ratio[i] = sum(w in _STOP_EN for w in words) / len(words)
+        score = np.clip(
+            0.25 * (punct_ratio > 0.001)
+            + 0.25 * np.clip(stop_ratio / 0.1, 0, 1)
+            + 0.25 * np.clip(mean_wlen / 4.0, 0, 1) * (mean_wlen < 12)
+            + 0.25 * (upper_ratio < 0.3),
+            0, 1)
+        return (batch.append_column("punct_ratio", pa.array(punct_ratio))
+                .append_column("upper_ratio", pa.array(upper_ratio))
+                .append_column("mean_word_len", pa.array(mean_wlen))
+                .append_column("stopword_ratio", pa.array(stop_ratio))
+                .append_column("quality_score", pa.array(score)))
+
+
+class LangId:
+    """Add ``lang_pred``: argmax stopword-profile overlap (n-gram/word
+    heuristic langid); "und" when no profile scores."""
+
+    def __init__(self, *, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        out = []
+        for t in texts:
+            words = self.word.findall((t or "").lower())
+            # CJK heuristic: any han codepoint dominates
+            if t and any("一" <= c <= "鿿" for c in t[:200]):
+                out.append("zh")
+                continue
+            best, best_n = "und", 0
+            for lang, prof in self.profiles.items():
+                k = sum(w in prof for w in words)
+                if k > best_n:
+                    best, best_n = lang, k
+            out.append(best)
+        return batch.append_column("lang_pred", pa.array(out, pa.string()))
+
+
+class Fingerprinter:
+    """Add ``fp_md5`` (exact content fingerprint) and ``fp_rolling``
+    (64-bit rolling/Karp-Rabin hash over normalized words — robust to
+    whitespace differences)."""
+
+    def __init__(self, *, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        roll = np.zeros(len(texts), dtype=np.uint64)
+        B = np.uint64(1000003)
+        for i, t in enumerate(texts):
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for w in self.ws.split((t or "").strip()):
+                    wh = np.uint64(
+                        int(hashlib.blake2b(w.encode(), digest_size=8)
+                            .hexdigest(), 16))
+                    h = h * B + wh
+            roll[i] = h
+        return (batch.append_column("fp_md5", pa.array(md5s, pa.string()))
+                .append_column("fp_rolling", pa.array(roll, pa.uint64())))
