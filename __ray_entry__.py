@@ -74,10 +74,15 @@ def _q_j2_edge_dedup(sf_dir: str):
 
 
 def _q_j3_anti_join(sf_dir: str):
-    """J3: anti-join via broadcast key set (customers with no orders)."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    """J3: anti-join via broadcast key set — customers who never placed
+    a high-value (>100000) order."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 100000.0)),
+        batch_format="pyarrow")
     keys = set()
-    for b in orders.iter_batches(batch_format="pyarrow"):
+    for b in big.iter_batches(batch_format="pyarrow"):
         keys.update(b.column("o_custkey").to_pylist())
     key_ref = ray.put(keys)
 
@@ -235,11 +240,16 @@ def _q_er_spans(sf_dir: str):
 
 
 def _q_er_clusters(sf_dir: str):
-    from textgraphs_ray.pipelines.er import resolve_entities, spanify_text
+    """Full ER chain over the deterministic F5 corpus in the input_hint
+    schema (the driver documents are entity-free lowercase vocab, so
+    the flagship runs on the engine's canonical seeded corpus — no
+    external data, byte-stable across runs)."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import resolve_entities
 
-    docs = spanify_text(_docs(sf_dir, columns=["doc_id", "text"]),
-                        concurrency=2).materialize()
-    return resolve_entities(docs, num_partitions=4, concurrency=2)["clusters"]
+    docs, _, assets = generate(2000)
+    return resolve_entities(rd.from_arrow(docs), assets=assets,
+                            num_partitions=4, concurrency=2)["clusters"]
 
 
 def _q_er_phrases(sf_dir: str):
@@ -362,7 +372,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j3_anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
         """,
         "o1_topk": """
             SELECT o_orderkey, round(o_totalprice, 2) AS total

@@ -89,17 +89,21 @@ class PairScorer:
         lev = levenshtein_sim_batch(a, b)
         compat = np.array([name_compat(x, y) for x, y in zip(a, b)])
 
-        # first-token initial conflict between multi-token names vetoes
-        # similarity accepts: "j moreau" vs "q moreau" has JW 0.92 but
-        # is a different-person pair by construction
-        def _conflict(x: str, y: str) -> bool:
-            tx, ty = x.split(), y.split()
-            return (len(tx) >= 2 and len(ty) >= 2
-                    and tx[0][:1] != ty[0][:1])
+        # Whole-string similarity is only trusted for single-token
+        # surfaces: between multi-token names a shared first token
+        # inflates JW past 0.9 for different people ("walter galindo"
+        # vs "walter ivanov" → 0.92), and differing initials alone keep
+        # JW high ("j moreau" vs "q moreau" → 0.92).  Multi-token pairs
+        # route exclusively through the token-aware alias rule.
+        def _both_multi(x: str, y: str) -> bool:
+            return len(x.split()) >= 2 and len(y.split()) >= 2
 
-        conflict = np.array([_conflict(x, y) for x, y in zip(a, b)])
-        jw = np.where(conflict, 0.0, jw)
-        lev = np.where(conflict, 0.0, lev)
+        multi = np.array([_both_multi(x, y) for x, y in zip(a, b)])
+        conflict = np.array(
+            [_both_multi(x, y) and x.split()[0][:1] != y.split()[0][:1]
+             for x, y in zip(a, b)])
+        jw = np.where(multi, 0.0, jw)
+        lev = np.where(multi, 0.0, lev)
 
         media = np.array([x.startswith("media:") or y.startswith("media:")
                           for x, y in zip(ka, kb)])
