@@ -1,0 +1,69 @@
+"""Checkpoint/resume tests (FIXTURES F5 resume clause; SURVEY S9).
+
+Simulated crash: run the checkpointed pipeline, delete the cluster
+stage (as if the run died mid-closure), re-run — earlier stages must be
+skipped (resumed=True) and the final clusters byte-identical.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+import ray.data as rd
+
+from textgraphs_ray.pipelines.er_resume import (resolve_entities_checkpointed,
+                                                stage_hashes)
+from textgraphs_ray.state.checkpoint import (read_manifest, read_stage,
+                                             run_or_resume, write_stage)
+
+
+def test_write_read_manifest(tmp_path):
+    ds = rd.range(100)
+    m = write_stage(ds, str(tmp_path), "numbers")
+    assert m["rows"] == 100
+    assert read_manifest(str(tmp_path), "numbers")["content_hash"] == \
+        m["content_hash"]
+    back = read_stage(str(tmp_path), "numbers")
+    assert back.count() == 100
+
+
+def test_run_or_resume_skips_completed(tmp_path):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return rd.range(10)
+
+    _, _, resumed1 = run_or_resume(str(tmp_path), "s", build)
+    _, _, resumed2 = run_or_resume(str(tmp_path), "s", build)
+    assert not resumed1 and resumed2
+    assert len(calls) == 1
+
+
+@pytest.mark.slow
+def test_kill_resume_byte_identical(small_corpus, tmp_path):
+    docs, _, assets = small_corpus
+    root = str(tmp_path / "ckpt")
+
+    r1 = resolve_entities_checkpointed(
+        rd.from_arrow(docs), root, assets=assets, num_partitions=4)
+    h1 = stage_hashes(root)
+    assert not any(r1["resumed"].values())
+    # snapshot before simulating the crash (datasets are lazy readers)
+    a = r1["clusters"].to_pandas().sort_values("key").reset_index(drop=True)
+
+    # simulated crash after scoring: clusters stage lost
+    shutil.rmtree(f"{root}/clusters")
+
+    r2 = resolve_entities_checkpointed(
+        rd.from_arrow(docs), root, assets=assets, num_partitions=4)
+    assert r2["resumed"]["mentions"]
+    assert r2["resumed"]["pairs"]
+    assert r2["resumed"]["matches"]
+    assert not r2["resumed"]["clusters"]
+    h2 = stage_hashes(root)
+    assert h1 == h2  # byte-identical clusters after resume
+
+    b = r2["clusters"].to_pandas().sort_values("key").reset_index(drop=True)
+    assert a.equals(b)

@@ -9,25 +9,36 @@ from textgraphs_ray.sources.ttl import bootstrap_tables, parse_ttl
 from textgraphs_ray.stages.cluster import propagate_labels
 
 
-def _cluster(nodes, edges):
+import pytest
+
+
+def _cluster(nodes, edges, *, driver_threshold=2_000_000):
     nds = rd.from_arrow(pa.table({"key": pa.array(nodes, pa.string())}))
     eds = rd.from_arrow(pa.table({
         "key_a": pa.array([e[0] for e in edges], pa.string()),
         "key_b": pa.array([e[1] for e in edges], pa.string()),
     }))
-    df = propagate_labels(nds, eds, num_partitions=2).to_pandas()
+    df = propagate_labels(nds, eds, num_partitions=2,
+                          driver_threshold=driver_threshold).to_pandas()
     return dict(zip(df["key"], df["cluster_id"]))
 
 
-def test_chain_closure():
-    got = _cluster(list("abcdef"), [("a", "b"), ("b", "c"), ("c", "d")])
+# threshold=0 forces the distributed join+groupby-min+pointer-jump loop;
+# the default exercises the driver union-find fast path — both must
+# produce identical min-label components
+@pytest.mark.parametrize("thr", [0, 2_000_000], ids=["distributed", "driver"])
+def test_chain_closure(thr):
+    got = _cluster(list("abcdef"), [("a", "b"), ("b", "c"), ("c", "d")],
+                   driver_threshold=thr)
     assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
     assert got["e"] == "e" and got["f"] == "f"
 
 
-def test_star_and_disconnected():
+@pytest.mark.parametrize("thr", [0, 2_000_000], ids=["distributed", "driver"])
+def test_star_and_disconnected(thr):
     got = _cluster(["hub", "s1", "s2", "s3", "lone"],
-                   [("hub", "s1"), ("hub", "s2"), ("s3", "hub")])
+                   [("hub", "s1"), ("hub", "s2"), ("s3", "hub")],
+                   driver_threshold=thr)
     assert len({got["hub"], got["s1"], got["s2"], got["s3"]}) == 1
     assert got["lone"] == "lone"
 
@@ -35,6 +46,15 @@ def test_star_and_disconnected():
 def test_no_edges():
     got = _cluster(["x", "y"], [])
     assert got == {"x": "x", "y": "y"}
+
+
+def test_long_chain_distributed_pointer_jump():
+    """64-node chain closes in ≤ max_rounds via pointer jumping
+    (pure neighbor propagation would need 64 rounds)."""
+    nodes = [f"n{i:03d}" for i in range(64)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(63)]
+    got = _cluster(nodes, edges, driver_threshold=0)
+    assert set(got.values()) == {"n000"}
 
 
 TTL = """

@@ -1,0 +1,239 @@
+"""Tests for the training-data operators: dedup family, similarity
+search, text analysis, media plumbing, relations, exports."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def dup_docs():
+    """Documents with planted exact + near duplicates."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the quiet green forest before sunset tonight")
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{c}{v}" for c in "bcdfghjklmnpqrstvz" for v in "aeiou"]
+    rows = []
+    for i in range(20):
+        words = rng.sample(vocab, 18)
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})                      # exact dup
+    rows.append({"doc_id": 102, "text": base.replace("dog", "cat")})  # near dup
+    rows.append({"doc_id": 103, "text": base.replace("quick", "quik")})
+    return pa.Table.from_pylist(rows)
+
+
+def test_exact_dedup(dup_docs):
+    from textgraphs_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(rd.from_arrow(dup_docs)).to_pandas()
+    assert out["n_dups"].sum() == dup_docs.num_rows
+    dups = out[out["n_dups"] > 1]
+    assert len(dups) == 1
+    assert dups.iloc[0]["keeper"] == 100
+    assert dups.iloc[0]["n_dups"] == 2
+
+
+def test_minhash_dedup_clusters_near_dups(dup_docs):
+    from textgraphs_ray.stages.dedup import minhash_dedup
+
+    out = minhash_dedup(rd.from_arrow(dup_docs),
+                        jaccard_threshold=0.6).to_pandas()
+    cl = dict(zip(out["key"], out["cluster_id"]))
+    assert cl["100"] == cl["101"] == cl["102"] == cl["103"]
+    assert cl["0"] != cl["100"]
+    assert len(set(cl.values())) == 21  # 20 uniques + 1 dup cluster
+
+
+def test_simhash_dedup(dup_docs):
+    from textgraphs_ray.stages.dedup import simhash_dedup
+
+    out = simhash_dedup(rd.from_arrow(dup_docs), max_hamming=6).to_pandas()
+    cl = dict(zip(out["key"], out["cluster_id"]))
+    assert cl["100"] == cl["101"]  # exact dup always simhash-identical
+    assert cl["0"] != cl["100"]
+
+
+def test_embedding_dedup():
+    from textgraphs_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = []
+    for i in range(10):
+        rows.append({"vec_id": i,
+                     "embedding": rng.standard_normal(32).astype(
+                         np.float32).tolist()})
+    rows.append({"vec_id": 100, "embedding": base.tolist()})
+    rows.append({"vec_id": 101,
+                 "embedding": (base + 0.01 * rng.standard_normal(32)
+                               .astype(np.float32)).tolist()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = embedding_dedup(ds, cosine_threshold=0.98).to_pandas()
+    cl = dict(zip(out["key"], out["cluster_id"]))
+    assert cl["100"] == cl["101"]
+    assert cl["0"] != cl["100"]
+
+
+def test_knn_brute_exact():
+    from textgraphs_ray.stages.similarity import knn_brute
+
+    rng = np.random.RandomState(1)
+    emb = rng.standard_normal((50, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": [e.tolist() for e in emb]})
+    q = emb[:3]
+    got = knn_brute(rd.from_arrow(t), q, k=4)
+    # brute-force numpy oracle
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = en @ qn.T
+    for qi in range(3):
+        order = np.argsort(-sims[:, qi], kind="stable")[:4]
+        mine = got[got["query_id"] == qi].sort_values("rank")["vec_id"]
+        assert set(mine) == set(order.tolist())
+        assert mine.iloc[0] == qi  # self is the nearest
+
+
+def test_knn_lsh_recall():
+    from textgraphs_ray.stages.similarity import knn_brute, knn_lsh
+
+    rng = np.random.RandomState(2)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": [e.tolist() for e in emb]})
+    q = emb[:5]
+    exact = knn_brute(rd.from_arrow(t), q, k=5)
+    approx = knn_lsh(rd.from_arrow(t), q, k=5, planes=6)
+    # at least the self-match must always be found; overall recall > 0.4
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert qi in a
+        hits += len(e & a)
+    assert hits / 25 > 0.4
+
+
+def test_text_analysis_stages():
+    from textgraphs_ray.stages.text import (Fingerprinter, LangId,
+                                            QualityScorer, TokenCounter)
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["The quick brown fox, with the lazy dog.",
+                           "el perro y el gato en la casa de la abuela",
+                           ""]})
+    ds = rd.from_arrow(t)
+    out = (ds.map_batches(TokenCounter, batch_format="pyarrow",
+                          concurrency=(1, 2))
+           .map_batches(QualityScorer, batch_format="pyarrow",
+                        concurrency=(1, 2))
+           .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+           .map_batches(Fingerprinter, batch_format="pyarrow",
+                        concurrency=(1, 2))).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 8
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "es"
+    assert out.loc[1, "punct_ratio"] > 0
+    assert out.loc[1, "stopword_ratio"] > 0.2
+    import hashlib
+    assert out.loc[3, "fp_md5"] == hashlib.md5(b"").hexdigest()
+    # identical normalized words → identical rolling fp
+    t2 = pa.table({"doc_id": [1, 2],
+                   "text": ["a  b   c", "a b c"]})
+    fp = rd.from_arrow(t2).map_batches(
+        Fingerprinter, batch_format="pyarrow",
+        concurrency=(1, 2)).to_pandas()
+    assert fp["fp_rolling"].iloc[0] == fp["fp_rolling"].iloc[1]
+
+
+def test_media_plumbing():
+    from textgraphs_ray.stages.media import (DecodeStub, FrameSampler,
+                                             MediaFeaturizer,
+                                             synth_media_table)
+
+    t = synth_media_table(30)
+    ds = rd.from_arrow(t)
+    feats = (ds.map_batches(DecodeStub, batch_format="pyarrow",
+                            batch_size=8, concurrency=(1, 2))
+             .map_batches(MediaFeaturizer, batch_format="pyarrow",
+                          batch_size=8, concurrency=(1, 2))).to_pandas()
+    assert len(feats) == 30
+    assert all(len(e) == 64 for e in feats["embedding"])
+    # determinism: same payload → same embedding
+    again = (rd.from_arrow(t).map_batches(
+        MediaFeaturizer, batch_format="pyarrow",
+        concurrency=(1, 2))).to_pandas()
+    np.testing.assert_allclose(np.stack(feats["embedding"].to_numpy()),
+                               np.stack(again["embedding"].to_numpy()))
+
+    frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                            batch_size=8, concurrency=(1, 2)).to_pandas()
+    assert (frames["frame_idx"] % 4 == 0).all()
+    assert len(frames) > 0
+
+    # strict mode marks the decode boundary
+    strict = rd.from_arrow(t.slice(0, 2)).map_batches(
+        DecodeStub, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"strict": True})
+    with pytest.raises(Exception):
+        strict.count()
+
+
+def test_rebel_parser():
+    from textgraphs_ray.stages.relations import parse_rebel_triplets
+
+    decoded = ("<s><triplet> Werner Herzog <per> Germany <loc> "
+               "country of citizenship</s>")
+    out = parse_rebel_triplets(decoded)
+    assert out == [{"head": "Werner Herzog", "head_type": "per",
+                    "type": "country of citizenship",
+                    "tail": "Germany", "tail_type": "loc"}]
+
+    two = ("<triplet> A <per> B <loc> born in "
+           "<triplet> C <org> D <loc> located in")
+    out2 = parse_rebel_triplets(two)
+    assert len(out2) == 2
+    assert out2[1] == {"head": "C", "head_type": "org",
+                       "type": "located in", "tail": "D",
+                       "tail_type": "loc"}
+
+
+def test_infer_relations(small_corpus):
+    from textgraphs_ray.stages.relations import infer_relations
+
+    docs, _, _ = small_corpus
+    edges = infer_relations(rd.from_arrow(docs)).to_pandas()
+    assert len(edges) > 0
+    assert (edges["kind"] == "inf").all()
+    assert (edges["prob"] >= 0.9).all()
+    assert edges["rel"].str.startswith("http://www.wikidata.org/").all()
+
+
+def test_exports(small_corpus):
+    from textgraphs_ray.pipelines.er import extract_spans
+    from textgraphs_ray.sources.exports import export_kuzu_csv, export_rdf
+    from textgraphs_ray.stages.graph import (build_edges, build_nodes,
+                                             extract_raw_edges)
+    import tempfile, os
+
+    docs, _, _ = small_corpus
+    docs_ds = rd.from_arrow(docs.slice(0, 40))
+    nodes = build_nodes(extract_spans(docs_ds)).materialize()
+    edges = build_edges(docs_ds.map_batches(
+        extract_raw_edges, batch_format="pyarrow")).materialize()
+
+    triples = export_rdf(nodes, edges).to_pandas()
+    assert len(triples) > 0
+    assert triples["triple"].str.endswith(" .").all()
+
+    with tempfile.TemporaryDirectory() as d:
+        export_kuzu_csv(nodes, edges, d)
+        assert os.listdir(os.path.join(d, "nodes"))
+        assert os.listdir(os.path.join(d, "edges"))

@@ -6,7 +6,8 @@ Five operators, all built from the same primitives the ER chain uses
 - :func:`exact_dedup` — hash-partition + per-group first (the J1
   pattern on content hashes);
 - :func:`minhash_dedup` — shingle → minhash → band → bucket groupby →
-  Jaccard-verified pairs → connected components;
+  pair dedup → DISTRIBUTED Jaccard verification → connected
+  components;
 - :func:`simhash_dedup` — 64-bit SimHash, banded into 4×16-bit chunks
   (Hamming ≤ 3 guaranteed to collide on ≥1 chunk), verified by
   Hamming distance;
@@ -15,9 +16,11 @@ Five operators, all built from the same primitives the ER chain uses
 - :func:`embedding_dedup` — random-hyperplane LSH buckets over an
   embedding column, cosine-verified pairs.
 
-Each returns ``(id, keep)`` / ``(id, dup_cluster)`` shaped Datasets so
-the caller can anti-join survivors.  Pair generation within buckets is
-capped (sorted-neighbor window) exactly like ER blocking — skew-safe.
+The verification stage is a ``map_batches`` over the pair stream —
+never a driver-side loop — and pairs are deduped (groupby on the pair
+key) before verification so each distinct pair is verified once no
+matter how many bands it collides in.  Pair generation within buckets
+is capped (sorted-neighbor window) exactly like ER blocking: skew-safe.
 """
 
 from __future__ import annotations
@@ -27,11 +30,10 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min, Sum
 
-from ..functions.sketch import (band_keys, hamming64, hash64,
-                                jaccard_shingles, minhash_batch,
-                                simhash_batch)
+from ..functions.sketch import (band_keys, hamming64, jaccard_shingles,
+                                minhash_batch, simhash_batch)
 from ..functions.strsim import cosine_batch
 from .cluster import propagate_labels
 
@@ -48,11 +50,8 @@ def exact_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
         df = batch.select([id_col, text_col]).to_pandas()
         df["fp"] = [hashlib.md5((t or "").encode()).hexdigest()
                     for t in df[text_col]]
-        g = df.groupby("fp", as_index=False).agg(
+        return df.groupby("fp", as_index=False).agg(
             n_dups=(id_col, "size"), keeper=(id_col, "min"))
-        return g
-
-    from ray.data.aggregate import Sum
 
     partial = ds.map_batches(add_fp, batch_format="pyarrow")
     return partial.groupby("fp").aggregate(
@@ -61,10 +60,10 @@ def exact_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
     )
 
 
-def _bucket_pairs(g: pd.DataFrame, *, id_col: str = "id") -> pd.DataFrame:
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket (sorted-window capped)."""
-    g = g.drop_duplicates(id_col).sort_values(id_col, kind="stable")
-    ids = g[id_col].to_numpy()
+    g = g.drop_duplicates("id").sort_values("id", kind="stable")
+    ids = g["id"].to_numpy()
     payload = g["payload"].to_numpy()
     n = len(ids)
     if n < 2:
@@ -84,22 +83,48 @@ def _bucket_pairs(g: pd.DataFrame, *, id_col: str = "id") -> pd.DataFrame:
     })
 
 
-def _pairs_to_clusters(ids_ds, pairs_df: pd.DataFrame,
+def _dedup_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One row per distinct (id_a, id_b) — groupby-aggregate, no
+    per-group Python (payloads are functions of the ids)."""
+    import pyarrow.compute as pc
+
+    def add_key(t: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(t.column("id_a"), pa.string()),
+            pc.cast(t.column("id_b"), pa.string()), "\x1f")
+        return t.append_column("pair_key", pk)
+
+    return (pairs.map_batches(add_key, batch_format="pyarrow")
+            .groupby("pair_key")
+            .aggregate(Min("id_a", alias_name="id_a"),
+                       Min("id_b", alias_name="id_b"),
+                       Min("payload_a", alias_name="payload_a"),
+                       Min("payload_b", alias_name="payload_b"))
+            .drop_columns(["pair_key"]))
+
+
+def _pairs_to_clusters(ids_ds, verified_pairs: "ray.data.Dataset",
                        *, id_col: str) -> "ray.data.Dataset":
-    """Verified pairs → connected components over all ids."""
+    """Verified pair Dataset → connected components over all ids."""
+    import pyarrow.compute as pc
+
     nodes = ids_ds.map_batches(
-        lambda t: pa.table({"key": pa.compute.cast(t.column(id_col),
-                                                   pa.string())}),
+        lambda t: pa.table({"key": pc.cast(t.column(id_col), pa.string())}),
         batch_format="pyarrow")
-    if len(pairs_df) == 0:
-        edges = ray.data.from_arrow(pa.table({
-            "key_a": pa.array([], pa.string()),
-            "key_b": pa.array([], pa.string())}))
-    else:
-        edges = ray.data.from_arrow(pa.table({
-            "key_a": pa.array(pairs_df["id_a"].astype(str)),
-            "key_b": pa.array(pairs_df["id_b"].astype(str))}))
+    edges = verified_pairs.map_batches(
+        lambda t: pa.table({
+            "key_a": pc.cast(t.column("id_a"), pa.string()),
+            "key_b": pc.cast(t.column("id_b"), pa.string())}),
+        batch_format="pyarrow")
     return propagate_labels(nodes, edges, num_partitions=8)
+
+
+def _banded_candidates(ds, bander, concurrency) -> "ray.data.Dataset":
+    banded = ds.map_batches(bander, batch_format="pyarrow",
+                            concurrency=concurrency)
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas")
+    return _dedup_pairs(pairs)
 
 
 def minhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
@@ -125,17 +150,18 @@ def minhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                                               bands), pa.string()),
             })
 
-    banded = ds.map_batches(Bander, batch_format="pyarrow",
-                            concurrency=concurrency)
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas").to_pandas()
-    if len(pairs):
-        pairs = pairs.drop_duplicates(["id_a", "id_b"])
-        jac = np.array([jaccard_shingles(a, b)
-                        for a, b in zip(pairs["payload_a"],
-                                        pairs["payload_b"])])
-        pairs = pairs[jac >= jaccard_threshold]
-    return _pairs_to_clusters(ds, pairs, id_col=id_col)
+    def verify(t: pa.Table) -> pa.Table:
+        jac = np.fromiter(
+            (jaccard_shingles(a, b)
+             for a, b in zip(t.column("payload_a").to_pylist(),
+                             t.column("payload_b").to_pylist())),
+            dtype=np.float64, count=t.num_rows)
+        return t.filter(pa.array(jac >= jaccard_threshold))
+
+    candidates = _banded_candidates(ds, Bander, concurrency)
+    verified = candidates.map_batches(verify, batch_format="pyarrow",
+                                      batch_size=4096)
+    return _pairs_to_clusters(ds, verified, id_col=id_col)
 
 
 def simhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
@@ -157,25 +183,24 @@ def simhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                 "band_hash": pa.array(chunks.ravel(), pa.uint64()),
                 "id": pa.array(np.repeat(np.asarray(ids, object), 4),
                                pa.string()),
-                "payload": pa.array(
-                    np.repeat(sh.astype(np.uint64), 4), pa.uint64()),
+                "payload": pa.array(np.repeat(sh.astype(np.uint64), 4),
+                                    pa.uint64()),
             })
 
-    banded = ds.map_batches(Bander, batch_format="pyarrow",
-                            concurrency=concurrency)
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas").to_pandas()
-    if len(pairs):
-        pairs = pairs.drop_duplicates(["id_a", "id_b"])
-        ham = hamming64(pairs["payload_a"].to_numpy().astype(np.uint64),
-                        pairs["payload_b"].to_numpy().astype(np.uint64))
-        pairs = pairs[ham <= max_hamming]
-    return _pairs_to_clusters(ds, pairs, id_col=id_col)
+    def verify(t: pa.Table) -> pa.Table:
+        ham = hamming64(
+            np.asarray(t.column("payload_a").to_pylist(), dtype=np.uint64),
+            np.asarray(t.column("payload_b").to_pylist(), dtype=np.uint64))
+        return t.filter(pa.array(ham <= max_hamming))
+
+    candidates = _banded_candidates(ds, Bander, concurrency)
+    verified = candidates.map_batches(verify, batch_format="pyarrow",
+                                      batch_size=8192)
+    return _pairs_to_clusters(ds, verified, id_col=id_col)
 
 
 def ngram_jaccard_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
-                        id_col: str = "doc_id",
-                        threshold: float = 0.8,
+                        id_col: str = "doc_id", threshold: float = 0.8,
                         concurrency=(1, 4)) -> "ray.data.Dataset":
     """Exact n-gram Jaccard dedup (banding for candidates, exact
     verification — a stricter verifier than minhash_dedup)."""
@@ -189,7 +214,8 @@ def embedding_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
                     planes: int = 12, seed: int = 42,
                     concurrency=(1, 4)) -> "ray.data.Dataset":
     """Embedding-cosine near-dup: random-hyperplane LSH buckets then
-    cosine verification.  The plane matrix is built once per actor."""
+    distributed cosine verification.  The plane matrix is built once
+    per actor."""
 
     class Bander:
         def __init__(self) -> None:
@@ -212,16 +238,17 @@ def embedding_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
                 "payload": pa.array([e.tobytes() for e in emb], pa.binary()),
             })
 
-    banded = ds.map_batches(Bander, batch_format="pyarrow",
-                            concurrency=concurrency)
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas").to_pandas()
-    if len(pairs):
-        pairs = pairs.drop_duplicates(["id_a", "id_b"])
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
         ea = np.stack([np.frombuffer(b, dtype=np.float32)
-                       for b in pairs["payload_a"]])
+                       for b in t.column("payload_a").to_pylist()])
         eb = np.stack([np.frombuffer(b, dtype=np.float32)
-                       for b in pairs["payload_b"]])
+                       for b in t.column("payload_b").to_pylist()])
         cos = cosine_batch(ea, eb)
-        pairs = pairs[cos >= cosine_threshold]
-    return _pairs_to_clusters(ds, pairs, id_col=id_col)
+        return t.filter(pa.array(cos >= cosine_threshold))
+
+    candidates = _banded_candidates(ds, Bander, concurrency)
+    verified = candidates.map_batches(verify, batch_format="pyarrow",
+                                      batch_size=4096)
+    return _pairs_to_clusters(ds, verified, id_col=id_col)

@@ -1,0 +1,183 @@
+"""Relation inference: entity-pair generation + scorer actor pool
+(SURVEY.md J12/T3/T4/M11/H7).
+
+The reference infers relations with OpenNRE and REBEL transformer
+models (``/root/reference/textgraphs/rel.py:28-307``) over entity pairs
+bounded by graph distance ≤ MAX_SKIP=11 (``pipe.py:379-431``,
+``defaults.py:22``).  Per SURVEY H7, the global-graph Dijkstra bound is
+re-specified block-locally: pairs are generated per document from the
+span sequence with an offset-distance cap — pure span algebra, no
+shuffle.
+
+The scorer is a stateful actor pool whose "model" is deterministic (no
+model downloads here): the relation label is the lemma of the nearest
+verb span between the two entities, accepted with the reference's
+probability floor (OpenNRE ``min_prob = 0.9``, rel.py:98).  A real
+OpenNRE/REBEL model drops into the same class body.
+
+:func:`parse_rebel_triplets` reimplements the REBEL generated-sequence
+decoder (state machine over ``<triplet>/<subj>/<obj>`` markers,
+reference rel.py:174-256) so a real seq2seq output stream can be
+plugged in unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions import kg
+
+MAX_SKIP = 11      # reference defaults.py:22
+MIN_PROB = 0.9     # reference defaults.py:28 / rel.py:98
+
+
+def parse_rebel_triplets(decoded: str) -> list[dict]:
+    """Decode an mREBEL-format generated token stream into typed triples
+    ``{head, head_type, type, tail, tail_type}``.
+
+    State machine with the same semantics as the reference decoder
+    (rel.py:202-254): ``<triplet>``/``<relation>`` opens a new subject;
+    any other ``<X>`` marker is an entity-type tag — after subject or
+    relation text it types the subject and opens the object, otherwise
+    it types the object and opens the relation text.  Special tokens
+    (``<s> </s> <pad> tp_XX __en__``) are stripped first.  Unlike the
+    reference's final flush (which emits a ``rel`` key, rel.py:253),
+    every emitted triple here uses the same key set.
+    """
+    triplets: list[dict] = []
+    state = "x"
+    subject = subject_type = relation = object_ = object_type = ""
+    text = decoded.strip()
+    for tok in ("<s>", "<pad>", "</s>", "tp_XX", "__en__"):
+        text = text.replace(tok, "")
+
+    def flush() -> None:
+        triplets.append({
+            "head": subject.strip(), "head_type": subject_type,
+            "type": relation.strip(),
+            "tail": object_.strip(), "tail_type": object_type,
+        })
+
+    for token in text.split():
+        if token in ("<triplet>", "<relation>"):
+            state = "t"
+            if relation:
+                flush()
+                relation = ""
+            subject = ""
+        elif token.startswith("<") and token.endswith(">"):
+            if state in ("t", "o"):
+                if relation:
+                    flush()
+                state = "s"
+                object_ = ""
+                subject_type = token[1:-1]
+            else:
+                state = "o"
+                object_type = token[1:-1]
+                relation = ""
+        elif state == "t":
+            subject += " " + token
+        elif state == "s":
+            object_ += " " + token
+        elif state == "o":
+            relation += " " + token
+    if subject and relation and object_ and subject_type and object_type:
+        flush()
+    return triplets
+
+
+class RelationScorer:
+    """Actor-pool stage over documents: emits INF edge rows.
+
+    ``__init__`` is where a real model loads (14.5 s for mrebel-large
+    per reference docs/ex0_0.md:661-663 — amortized per actor here);
+    ``__call__`` runs batched over documents.
+    """
+
+    def __init__(self, *, max_skip: int = MAX_SKIP,
+                 min_prob: float = MIN_PROB) -> None:
+        self.max_skip = max_skip
+        self.min_prob = min_prob
+
+    def _score(self, rel_lemma: str) -> float:
+        """Deterministic stand-in for the model softmax: stable in
+        [0.88, 1.0) per relation label."""
+        import hashlib
+        h = int(hashlib.blake2b(rel_lemma.encode(), digest_size=4)
+                .hexdigest(), 16)
+        return 0.88 + (h % 1000) / 1000.0 * 0.12
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .extract import analyze_spans
+
+        spans_list = batch.column("spans").combine_chunks()
+        lengths = np.diff(spans_list.offsets.to_numpy(zero_copy_only=False))
+        flat = spans_list.flatten()
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        media = flat.field("media_ref").to_pylist()
+        offs = flat.field("offset").to_pylist()
+
+        src, dst, rel, iri, prob = [], [], [], [], []
+        pos0 = 0
+        for ln in lengths:
+            ln = int(ln)
+            k = kinds[pos0:pos0 + ln]
+            t = texts[pos0:pos0 + ln]
+            d = analyze_spans(k, t, media[pos0:pos0 + ln],
+                              offs[pos0:pos0 + ln])
+            keys = d["lemma_key"]
+            o = offs[pos0:pos0 + ln]
+            ents = [i for i in range(ln) if k[i] == "ent"]
+            verbs = [(o[i], d["lemma_key"][i].split(".")[0])
+                     for i in range(ln)
+                     if k[i] == "lem" and d["pos"][i] == "VERB"]
+            # ordered pairs within the offset window (J12 block-local)
+            for ai in range(len(ents)):
+                for bi in range(ai + 1, len(ents)):
+                    i, j = ents[ai], ents[bi]
+                    if abs(o[j] - o[i]) > self.max_skip:
+                        continue
+                    between = [v for vo, v in verbs if o[i] < vo < o[j]]
+                    if not between:
+                        continue
+                    rl = between[0]
+                    p = self._score(rl)
+                    if p < self.min_prob:
+                        continue
+                    src.append(keys[i]); dst.append(keys[j])
+                    rel.append(rl); iri.append(self.resolve_rel_iri(rl))
+                    prob.append(p)
+            pos0 += ln
+        return pa.table({
+            "src_key": pa.array(src, pa.string()),
+            "dst_key": pa.array(dst, pa.string()),
+            "kind": pa.array(["inf"] * len(src), pa.string()),
+            "rel": pa.array(iri, pa.string()),
+            "rel_label": pa.array(rel, pa.string()),
+            "prob": pa.array(prob, pa.float64()),
+        })
+
+    @staticmethod
+    def resolve_rel_iri(label: str) -> str:
+        """rel label → deterministic pseudo Wikidata property IRI
+        (stand-in for reference kg.py:370-438 P1628/P2235 resolution;
+        distinct labels resolve identically everywhere — the broadcast
+        join is implicit in determinism)."""
+        import hashlib
+        h = int(hashlib.blake2b(label.encode(), digest_size=4)
+                .hexdigest(), 16)
+        return kg.NS_PREFIX["wd"] + f"prop/direct/P{h % 10000}"
+
+
+def infer_relations(docs_ds: "ray.data.Dataset", *,
+                    concurrency=(1, 4),
+                    batch_size: int = 256) -> "ray.data.Dataset":
+    """documents → INF edge rows via the relation-scorer actor pool."""
+    return docs_ds.map_batches(
+        RelationScorer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
