@@ -110,11 +110,14 @@ def resolve_entities(docs_ds: "ray.data.Dataset", *,
                      checkpoint_fn=None) -> dict:
     """Run extract → block → score → cluster; return the dict of
     result Datasets (lazy where possible)."""
+    from ..stages.scoring import dedup_matches
+
     spans = extract_spans(docs_ds, concurrency=concurrency)
     assets_ref = ray.put(assets) if assets is not None else None
     mentions = mentions_from_spans(spans, assets_ref).materialize()
     pairs = candidate_pairs(mentions, concurrency=concurrency)
-    matches = score_pairs(pairs, concurrency=concurrency).materialize()
+    matches = dedup_matches(
+        score_pairs(pairs, concurrency=concurrency)).materialize()
     clusters = propagate_labels(
         mentions, matches, num_partitions=num_partitions,
         checkpoint_fn=checkpoint_fn)

@@ -64,10 +64,12 @@ def resolve_entities_checkpointed(docs_ds: "ray.data.Dataset", root: str,
                        "sec": round(time.perf_counter() - t0, 3),
                        "rows": pairs.count()})
 
+    from ..stages.scoring import dedup_matches
+
     t0 = time.perf_counter()
     matches, _, resumed["matches"] = run_or_resume(
         root, "matches",
-        lambda: score_pairs(pairs, concurrency=concurrency),
+        lambda: dedup_matches(score_pairs(pairs, concurrency=concurrency)),
         hash_cols=["key_a", "key_b", "method"])
     _log_metric(root, {"stage": "matches", "resumed": resumed["matches"],
                        "sec": round(time.perf_counter() - t0, 3),

@@ -31,7 +31,11 @@ import ray.data
 from ..functions.sketch import band_keys, minhash_batch
 
 NUM_PERM = 64
-NUM_BANDS = 32  # r=2 rows/band: high candidate recall at J≈0.35, scorer filters
+# r=4 rows/band: catches typo-level similarity (J≳0.55) with high
+# probability; lower-J same-entity pairs (initials) are covered by the
+# exact last-token blocking pass, so r=2's junk-candidate volume is
+# unnecessary
+NUM_BANDS = 16
 BLOCK_CAP = 32       # full pairing below this size
 NEIGHBOR_WINDOW = 5  # sorted-neighborhood width above the cap
 
@@ -67,71 +71,87 @@ class BandEmitter:
         bh = band_keys(sigs, bands=self.bands)  # (N, bands)
         band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
 
-        # second blocking pass: last token of the normalized surface —
-        # catches initials + first-token typos that shingle MinHash
-        # misses (standard multi-pass blocking)
+        # Extra blocking passes (standard multi-pass blocking):
+        #  band -1: exact last token — catches initials + first-token
+        #           typos that shingle MinHash misses;
+        #  band -2: exact first token — catches last-token typos whose
+        #           shingle Jaccard falls below the LSH bands'
+        #           sensitivity (variants sort adjacently inside the
+        #           block, so the sorted-neighbor window pairs them
+        #           even in a hot first-name block).
         last_tok = [t.rsplit(" ", 1)[-1] for t in texts]
+        first_tok = [t.split(" ", 1)[0] for t in texts]
         lt_hash = hash64(last_tok)
+        ft_hash = hash64(first_tok)
 
         return pa.table({
             "band_id": pa.array(
-                np.concatenate([band_id, np.full(n, -1, dtype=np.int32)])),
+                np.concatenate([band_id,
+                                np.full(n, -1, dtype=np.int32),
+                                np.full(n, -2, dtype=np.int32)])),
             "band_hash": pa.array(
-                np.concatenate([bh.ravel(), lt_hash]), pa.uint64()),
+                np.concatenate([bh.ravel(), lt_hash, ft_hash]), pa.uint64()),
             "key": pa.array(
                 list(np.repeat(np.asarray(keys, dtype=object), self.bands))
-                + keys, pa.string()),
+                + keys + keys, pa.string()),
             "norm_text": pa.array(
                 list(np.repeat(np.asarray(texts, dtype=object), self.bands))
-                + texts, pa.string()),
+                + texts + texts, pa.string()),
         })
 
 
 def _pairs_for_block(g: pd.DataFrame) -> pd.DataFrame:
-    """Within-block candidate pairs; salted sorted-neighborhood above cap."""
+    """Within-block candidate pairs; salted sorted-neighborhood above
+    cap.  Fully vectorized — no per-pair Python."""
     g = g.drop_duplicates("key").sort_values("norm_text", kind="stable")
     keys = g["key"].to_numpy()
     texts = g["norm_text"].to_numpy()
     n = len(keys)
-    a_k: list[str] = []; b_k: list[str] = []
-    a_t: list[str] = []; b_t: list[str] = []
     if n < 2:
-        return pd.DataFrame({"key_a": [], "key_b": [], "text_a": [], "text_b": []})
+        return pd.DataFrame({"key_a": [], "key_b": [],
+                             "text_a": [], "text_b": []})
     if n <= BLOCK_CAP:
         iu, ju = np.triu_indices(n, k=1)
     else:
         offs = np.arange(1, NEIGHBOR_WINDOW + 1)
         iu = np.repeat(np.arange(n), len(offs))
-        ju = (iu + np.tile(offs, n))
+        ju = iu + np.tile(offs, n)
         mask = ju < n
         iu, ju = iu[mask], ju[mask]
-    for i, j in zip(iu, ju):
-        ka, kb = keys[i], keys[j]
-        ta, tb = texts[i], texts[j]
-        if ka > kb:
-            ka, kb, ta, tb = kb, ka, tb, ta
-        if ka == kb:
-            continue
-        a_k.append(ka); b_k.append(kb); a_t.append(ta); b_t.append(tb)
-    return pd.DataFrame({"key_a": a_k, "key_b": b_k, "text_a": a_t, "text_b": b_t})
+    ka, kb = keys[iu], keys[ju]
+    ta, tb = texts[iu], texts[ju]
+    swap = ka > kb
+    ka2 = np.where(swap, kb, ka)
+    kb2 = np.where(swap, ka, kb)
+    ta2 = np.where(swap, tb, ta)
+    tb2 = np.where(swap, ta, tb)
+    keep = ka2 != kb2
+    return pd.DataFrame({"key_a": ka2[keep], "key_b": kb2[keep],
+                         "text_a": ta2[keep], "text_b": tb2[keep]})
 
 
 def candidate_pairs(mentions_ds: "ray.data.Dataset", *,
-                    concurrency: int | None = None) -> "ray.data.Dataset":
-    """mentions(key, text) → distinct candidate pairs
+                    concurrency: int | None = None,
+                    dedup: bool = False) -> "ray.data.Dataset":
+    """mentions(key, text) → candidate pairs
     (key_a, key_b, text_a, text_b).
 
-    Two shuffles: blocking groupby on (band_id, band_hash), then pair
-    dedup — a groupby-aggregate on the pair key (the same pair
-    surfaces in several bands; the texts are functionally dependent on
-    the keys so Min is a pure dedup, no per-group Python).
+    One blocking shuffle on (band_id, band_hash).  A pair colliding in
+    several bands is emitted once per band; with ``dedup=False``
+    (default) the duplicates flow through — the scorer is vectorized
+    and the closure stage is duplicate-insensitive, so re-scoring a few
+    percent of pairs is cheaper than an extra all-to-all shuffle over
+    the full pair stream.  ``dedup=True`` adds the groupby-aggregate
+    dedup for callers that need distinct pairs (e.g. pair accounting).
     """
-    from ray.data.aggregate import Min
-
     kwargs = {"batch_format": "pyarrow", "concurrency": concurrency or (1, 4)}
     banded = mentions_ds.map_batches(BandEmitter, **kwargs)
     pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
         _pairs_for_block, batch_format="pandas")
+    if not dedup:
+        return pairs
+
+    from ray.data.aggregate import Min
 
     def add_pair_key(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

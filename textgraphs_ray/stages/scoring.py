@@ -143,3 +143,14 @@ def score_pairs(pairs_ds: "ray.data.Dataset", *,
     kwargs = {"batch_format": "pyarrow", "batch_size": batch_size,
               "concurrency": concurrency or (1, 4)}
     return pairs_ds.map_batches(PairScorer, **kwargs)
+
+
+def dedup_matches(matches_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct match edges (a pair scored in several bands appears
+    several times; dedup AFTER scoring because the accepted-edge stream
+    is orders of magnitude smaller than the candidate stream)."""
+    from ray.data.aggregate import Max, Min
+
+    return matches_ds.groupby(["key_a", "key_b"]).aggregate(
+        Max("score", alias_name="score"),
+        Min("method", alias_name="method"))
