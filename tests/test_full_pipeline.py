@@ -1,0 +1,101 @@
+"""Full-lifecycle pipeline + registry + viz + textutil tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def full_result(small_corpus):
+    from textgraphs_ray.pipelines.full import analyze
+
+    docs, _, assets = small_corpus
+    return analyze(rd.from_arrow(docs), assets=assets, num_partitions=4)
+
+
+def test_all_tables_present(full_result):
+    for name in ("spans", "nodes", "edges", "links", "match_edges",
+                 "clusters", "inf_edges"):
+        assert name in full_result
+
+
+def test_links_and_sameas_drive_closure(full_result):
+    links = full_result["links"].to_pandas()
+    dbp = links[links["rel"] == "dbpedia"]
+    assert len(dbp) > 0
+    assert dbp["iri"].str.startswith("http://dbpedia.org/resource/").all()
+    assert dbp["wd_iri"].str.startswith(
+        "http://www.wikidata.org/entity/Q").all()
+    clusters = full_result["clusters"].to_pandas()
+    cl = dict(zip(clusters["key"], clusters["cluster_id"]))
+    # every linked mention clusters together with its DBPedia IRI
+    row = dbp.iloc[0]
+    assert cl[row["key"]] == cl[row["iri"]] == cl[row["wd_iri"]]
+
+
+def test_inf_edges(full_result):
+    inf = full_result["inf_edges"].to_pandas()
+    assert (inf["kind"] == "inf").all()
+    assert (inf["prob"] >= 0.9).all()
+
+
+def test_registry_stage_specs(small_corpus):
+    from textgraphs_ray.registry import StageSpec, register_scorer, registry
+
+    assert "spanify" in registry.extractors
+    assert "string-sim" in registry.scorers
+
+    calls = []
+
+    def custom(batch: pa.Table) -> pa.Table:
+        calls.append(1)
+        return batch
+
+    register_scorer("custom", StageSpec(custom))
+    docs, _, _ = small_corpus
+    out = registry.scorers["custom"].apply(rd.from_arrow(docs.slice(0, 10)))
+    assert out.count() == 10
+
+
+def test_wordcloud_weights():
+    from textgraphs_ray.stages.viz import wordcloud_weights
+
+    ds = rd.from_arrow(pa.table({
+        "text": ["a", "b", "c"], "weight": [0.5, 0.25, 0.0]}))
+    out = wordcloud_weights(ds).to_pandas().set_index("text")
+    assert out.loc["a", "freq"] == 1000.0
+    assert out.loc["b", "freq"] == 500.0
+    assert out.loc["c", "freq"] == 0.0
+
+
+def test_cluster_communities():
+    from textgraphs_ray.stages.viz import cluster_communities
+
+    edges = rd.from_arrow(pa.table({
+        "part": ["p"] * 5,
+        "src_key": ["a", "b", "c", "x", "y"],
+        "dst_key": ["b", "c", "a", "y", "z"],
+    }))
+    out = cluster_communities(edges).to_pandas()
+    comm = dict(zip(out["key"], out["community"]))
+    # reference semantics (vis.py:193-195): skip GN level 1, take level
+    # 2 → on this graph {a} {b,c} {x} {y,z}; components never mix
+    assert comm["b"] == comm["c"]
+    assert comm["y"] == comm["z"]
+    assert {comm["a"], comm["b"]}.isdisjoint({comm["x"], comm["y"]})
+
+
+def test_strip_markdown_and_iri_roundtrip():
+    from textgraphs_ray.functions.textutil import (best_alias_match,
+                                                   iri_to_lemma_key,
+                                                   lemma_key_to_iri,
+                                                   strip_markdown)
+
+    assert strip_markdown("# Title\n**bold** and [link](http://x) `code`") \
+        == "Title bold and link code"
+    key = "werner.PROPN.herzog.PROPN"
+    assert iri_to_lemma_key(lemma_key_to_iri(key)) == key
+    assert best_alias_match([("a", 0.5), ("b", 0.9), ("c", 0.9)]) == ("c", 0.9)
+    assert best_alias_match([]) is None
