@@ -100,24 +100,53 @@ class BandEmitter:
         })
 
 
-def _pairs_for_block(g: pd.DataFrame) -> pd.DataFrame:
-    """Within-block candidate pairs; salted sorted-neighborhood above
-    cap.  Fully vectorized — no per-pair Python."""
-    g = g.drop_duplicates("key").sort_values("norm_text", kind="stable")
+PAIR_PARTITIONS = 256  # coarse shuffle key for pair generation
+
+
+def segmented_pair_indices(sizes: np.ndarray, *, cap: int = BLOCK_CAP,
+                           window: int = NEIGHBOR_WINDOW
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Global (i, j) index pairs for contiguous groups of the given
+    sizes: full C(g,2) pairing for groups ≤ cap, sorted-neighbor
+    window pairing above (the salting/skew cap, SURVEY H2)."""
+    iu_parts: list[np.ndarray] = []
+    ju_parts: list[np.ndarray] = []
+    start = 0
+    for g in sizes:
+        g = int(g)
+        if g >= 2:
+            if g <= cap:
+                iu, ju = np.triu_indices(g, k=1)
+            else:
+                offs = np.arange(1, window + 1)
+                iu = np.repeat(np.arange(g), window)
+                ju = iu + np.tile(offs, g)
+                mask = ju < g
+                iu, ju = iu[mask], ju[mask]
+            iu_parts.append(iu + start)
+            ju_parts.append(ju + start)
+        start += g
+    if not iu_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(iu_parts), np.concatenate(ju_parts)
+
+
+def _pairs_for_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse partition (many LSH buckets): vectorized pair
+    generation across every bucket in a single call.
+
+    Ray-level groups are the 256 coarse partitions, not the millions of
+    individual buckets — per-group scheduling overhead disappears while
+    the within-bucket semantics (dedup by key, sort by text, cap +
+    window) are unchanged.
+    """
+    g = (g.drop_duplicates(["band_id", "band_hash", "key"])
+         .sort_values(["band_id", "band_hash", "norm_text"], kind="stable"))
+    sizes = g.groupby(["band_id", "band_hash"], sort=False).size().to_numpy()
     keys = g["key"].to_numpy()
     texts = g["norm_text"].to_numpy()
-    n = len(keys)
-    if n < 2:
-        return pd.DataFrame({"key_a": [], "key_b": [],
-                             "text_a": [], "text_b": []})
-    if n <= BLOCK_CAP:
-        iu, ju = np.triu_indices(n, k=1)
-    else:
-        offs = np.arange(1, NEIGHBOR_WINDOW + 1)
-        iu = np.repeat(np.arange(n), len(offs))
-        ju = iu + np.tile(offs, n)
-        mask = ju < n
-        iu, ju = iu[mask], ju[mask]
+    iu, ju = segmented_pair_indices(sizes)
     ka, kb = keys[iu], keys[ju]
     ta, tb = texts[iu], texts[ju]
     swap = ka > kb
@@ -146,8 +175,18 @@ def candidate_pairs(mentions_ds: "ray.data.Dataset", *,
     """
     kwargs = {"batch_format": "pyarrow", "concurrency": concurrency or (1, 4)}
     banded = mentions_ds.map_batches(BandEmitter, **kwargs)
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_for_block, batch_format="pandas")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        part = pc.cast(
+            pc.bit_wise_and(t.column("band_hash"),
+                            pa.scalar(PAIR_PARTITIONS - 1, pa.uint64())),
+            pa.int32())
+        return t.append_column("part", part)
+
+    pairs = (banded.map_batches(add_part, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(_pairs_for_partition, batch_format="pandas"))
     if not dedup:
         return pairs
 

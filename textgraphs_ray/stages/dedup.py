@@ -60,26 +60,23 @@ def exact_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
     )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (sorted-window capped)."""
-    g = g.drop_duplicates("id").sort_values("id", kind="stable")
+def _bucket_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized candidate pairs across every LSH bucket in one coarse
+    partition (same pattern as blocking._pairs_for_partition)."""
+    from .blocking import segmented_pair_indices
+
+    g = (g.drop_duplicates(["band_id", "band_hash", "id"])
+         .sort_values(["band_id", "band_hash", "id"], kind="stable"))
+    sizes = g.groupby(["band_id", "band_hash"], sort=False).size().to_numpy()
     ids = g["id"].to_numpy()
     payload = g["payload"].to_numpy()
-    n = len(ids)
-    if n < 2:
-        return pd.DataFrame({"id_a": [], "id_b": [],
-                             "payload_a": [], "payload_b": []})
-    if n <= 2 * PAIR_CAP_WINDOW:
-        iu, ju = np.triu_indices(n, k=1)
-    else:
-        offs = np.arange(1, PAIR_CAP_WINDOW + 1)
-        iu = np.repeat(np.arange(n), len(offs))
-        ju = iu + np.tile(offs, n)
-        mask = ju < n
-        iu, ju = iu[mask], ju[mask]
+    iu, ju = segmented_pair_indices(sizes, cap=2 * PAIR_CAP_WINDOW,
+                                    window=PAIR_CAP_WINDOW)
+    ia, ib = ids[iu], ids[ju]
+    keep = ia != ib
     return pd.DataFrame({
-        "id_a": ids[iu], "id_b": ids[ju],
-        "payload_a": payload[iu], "payload_b": payload[ju],
+        "id_a": ia[keep], "id_b": ib[keep],
+        "payload_a": payload[iu][keep], "payload_b": payload[ju][keep],
     })
 
 
@@ -120,10 +117,22 @@ def _pairs_to_clusters(ids_ds, verified_pairs: "ray.data.Dataset",
 
 
 def _banded_candidates(ds, bander, concurrency) -> "ray.data.Dataset":
+    from .blocking import PAIR_PARTITIONS
+
     banded = ds.map_batches(bander, batch_format="pyarrow",
                             concurrency=concurrency)
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        part = pc.cast(
+            pc.bit_wise_and(t.column("band_hash"),
+                            pa.scalar(PAIR_PARTITIONS - 1, pa.uint64())),
+            pa.int32())
+        return t.append_column("part", part)
+
+    pairs = (banded.map_batches(add_part, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(_bucket_pairs_partition, batch_format="pandas"))
     return _dedup_pairs(pairs)
 
 
