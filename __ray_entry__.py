@@ -326,6 +326,72 @@ def _q_lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def _q_a3_distinct_count(sf_dir: str):
+    """A3 analog: per-key distinct-count via two-level groupby (the
+    neighbor-count pattern: dedup on (key, value) then count)."""
+    from ray.data.aggregate import Count
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag"])
+    distinct = li.groupby(["l_orderkey", "l_returnflag"]).aggregate(
+        Count(alias_name="_n"))
+    return distinct.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_flags")).select_columns(
+        ["l_orderkey", "n_flags"])
+
+
+def _q_union(sf_dir: str):
+    """§2.7 union: two filtered streams unioned then aggregated."""
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    hi = ev.map_batches(
+        lambda t: t.filter(pc.greater(t.column("value"), 50.0)),
+        batch_format="pyarrow")
+    lo = ev.map_batches(
+        lambda t: t.filter(pc.less(t.column("value"), 10.0)),
+        batch_format="pyarrow")
+    return hi.union(lo).groupby("event_type").aggregate(
+        Count(alias_name="n"))
+
+
+def _q_infer_relations(sf_dir: str):
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.stages.relations import infer_relations
+
+    docs, _, _ = generate(1000)
+    return infer_relations(rd.from_arrow(docs), concurrency=(1, 2))
+
+
+def _q_rdf_export(sf_dir: str):
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import extract_spans
+    from textgraphs_ray.sources.exports import export_rdf
+    from textgraphs_ray.stages.graph import (build_edges, build_nodes,
+                                             extract_raw_edges)
+
+    docs, _, _ = generate(300)
+    docs_ds = rd.from_arrow(docs)
+    nodes = build_nodes(extract_spans(docs_ds, concurrency=(1, 2)))
+    edges = build_edges(docs_ds.map_batches(extract_raw_edges,
+                                            batch_format="pyarrow"))
+    return export_rdf(nodes, edges)
+
+
+def _q_wordcloud(sf_dir: str):
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import extract_spans
+    from textgraphs_ray.pipelines.phrases import ranked_phrases
+    from textgraphs_ray.stages.viz import wordcloud_weights
+
+    docs, _, _ = generate(100)
+    docs_ds = rd.from_arrow(docs)
+    phrases = ranked_phrases(docs_ds, extract_spans(docs_ds,
+                                                    concurrency=(1, 2)))
+    return wordcloud_weights(phrases)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -355,6 +421,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "media_features": _q_media_features,
         "lang_id": _q_lang_id,
+        "a3_distinct_count": _q_a3_distinct_count,
+        "union_agg": _q_union,
+        "infer_relations": _q_infer_relations,
+        "rdf_export": _q_rdf_export,
+        "wordcloud": _q_wordcloud,
     }
 
 
@@ -431,5 +502,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank, vec_id, round(raw_sim, 4) AS sim
             FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+        "a3_distinct_count": """
+            SELECT l_orderkey,
+                   count(DISTINCT l_returnflag) AS n_flags
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "union_agg": """
+            SELECT event_type, count(*) AS n FROM (
+                SELECT event_type FROM events WHERE value > 50.0
+                UNION ALL
+                SELECT event_type FROM events WHERE value < 10.0
+            ) GROUP BY event_type
         """,
     }

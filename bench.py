@@ -128,10 +128,16 @@ def main() -> None:
 
 
 def scaling() -> None:
-    ensure_corpus()
+    # Scaling verdicts need a compute-dominated job: at 20k docs the
+    # fixed per-stage costs (stage startup, driver union-find, small
+    # shuffles) flatten the curve, so the N-vs-4N comparison runs the
+    # ER chain over a 100k-doc corpus unless overridden.
+    scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "100000")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_ER_DOCS=scaling_docs)
+        env.pop("GRAFT_CORPUS_DIR", None)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
