@@ -41,7 +41,10 @@ def entry() -> Any:
     docs = spanify_text(
         _docs("/root/testdata/sf0.001", columns=["doc_id", "text"]),
         concurrency=2).materialize()
-    res = resolve_entities(docs, num_partitions=4, concurrency=2)
+    # driver documents carry no named entities, so the flagship resolves
+    # at lemma-key granularity (reference J1 node upsert, graph.py:134-157)
+    res = resolve_entities(docs, num_partitions=4, concurrency=2,
+                           kinds=("ent", "media", "lem"))
     return res["clusters"]
 
 
@@ -392,6 +395,177 @@ def _q_wordcloud(sf_dir: str):
     return wordcloud_weights(phrases)
 
 
+_LANG_IRI = {"en": "wd:Q1860", "de": "wd:Q188", "fr": "wd:Q150",
+             "es": "wd:Q1321", "zh": "wd:Q7850"}
+
+
+def _q_m6_label_remap(sf_dir: str):
+    """M6: NER-label→IRI style broadcast-dict remap (Arrow dict lookup
+    inside MB, never a shuffle join for an 18-entry map), then rollup."""
+    from ray.data.aggregate import Count
+
+    ref = ray.put(_LANG_IRI)
+
+    def remap(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        iri = pa.array([m.get(v, "owl:Thing")
+                        for v in t.column("lang").to_pylist()], pa.string())
+        return pa.table({"lang_iri": iri})
+
+    ds = _docs(sf_dir, columns=["lang"])
+    return ds.map_batches(remap, batch_format="pyarrow").groupby(
+        "lang_iri").aggregate(Count(alias_name="n"))
+
+
+def _q_m9_iri_slug(sf_dir: str):
+    """M9/§2.8: IRI slug munging — vectorized utf8 replace/lower (the
+    `replace(' ','_').replace('.','_')` path of doc.py:1013)."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "slug": pc.replace_substring(
+                pc.replace_substring(pc.utf8_lower(t.column("p_name")),
+                                     " ", "_"), ".", "_")}),
+        batch_format="pyarrow")
+
+
+def _q_a8_stripe(sf_dir: str):
+    """A7/A8: quantile-bin digitize — global min/max aggregated once,
+    broadcast into a vectorized stripe MB (util.py:88-113 semantics,
+    linear bins; bin count = ceil(4·ln n) per util.py:65-85)."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    agg = ds.aggregate(Min("o_totalprice", alias_name="lo"),
+                       Max("o_totalprice", alias_name="hi"))
+    n = ds.count()
+    lo, hi = float(agg["lo"]), float(agg["hi"])
+    nbins = int(math.ceil(4.0 * math.log(n)))
+
+    def stripe(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        s = np.floor((v - lo) / (hi - lo) * nbins)
+        s = np.minimum(s, nbins - 1).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "stripe": pa.array(s, pa.int64())})
+
+    return ds.map_batches(stripe, batch_format="pyarrow")
+
+
+def _q_a9_rms(sf_dir: str):
+    """A9: row-wise RMS across 4 feature columns (util.py:116-132) —
+    one vectorized expression per batch."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"] + cols)
+
+    def rms(t: pa.Table) -> pa.Table:
+        m = np.stack([t.column(c).to_numpy(zero_copy_only=False)
+                      for c in cols], axis=1)
+        r = np.sqrt((m * m).sum(axis=1) / 4.0)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_linenumber": t.column("l_linenumber"),
+                         "rms": pa.array(np.round(r, 4), pa.float64())})
+
+    return ds.map_batches(rms, batch_format="pyarrow")
+
+
+def _q_o2_group_max(sf_dir: str):
+    """O2: per-group argmax (alias best-match kg.py:536-550) as
+    GB.max + equality semi-join back — no global sort."""
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    best = ds.groupby("s_nationkey").aggregate(
+        Max("s_acctbal", alias_name="best_bal"))
+    best_ref = ray.put({r["s_nationkey"]: r["best_bal"]
+                        for r in best.take_all()})
+
+    def argmax(t: pa.Table) -> pa.Table:
+        m = ray.get(best_ref)
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        bal = t.column("s_acctbal").to_numpy(zero_copy_only=False)
+        mask = np.asarray([bal[i] == m[nk[i]] for i in range(len(nk))])
+        return t.filter(pa.array(mask))
+
+    winners = ds.map_batches(argmax, batch_format="pyarrow")
+    out = winners.groupby("s_nationkey").aggregate(
+        Min("s_suppkey", alias_name="s_suppkey"),
+        Max("s_acctbal", alias_name="best_bal"))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("best_bal"),
+                               "best_bal", pc.round(t.column("best_bal"), 2)),
+        batch_format="pyarrow")
+
+
+def _q_knn_ivf(sf_dir: str):
+    from textgraphs_ray.stages.similarity import knn_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, duck_queries_mat(sf_dir), k=5)
+    out["sim"] = out["sim"].round(4)
+    return out
+
+
+def _q_dedup_jaccard(sf_dir: str):
+    from textgraphs_ray.stages.dedup import ngram_jaccard_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(ds, threshold=0.5, concurrency=2)
+
+
+def _q_kuzu_export(sf_dir: str):
+    """S7: graph-DB CSV export projection (nodes.csv/edges.csv rows)."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import extract_spans
+    from textgraphs_ray.sources.exports import export_kuzu_csv
+    from textgraphs_ray.stages.graph import (build_edges, build_nodes,
+                                             extract_raw_edges)
+
+    docs, _, _ = generate(300)
+    docs_ds = rd.from_arrow(docs)
+    nodes = build_nodes(extract_spans(docs_ds, concurrency=(1, 2)))
+    edges = build_edges(docs_ds.map_batches(extract_raw_edges,
+                                            batch_format="pyarrow"))
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="kuzu_", dir="/tmp")
+    try:
+        export_kuzu_csv(nodes, edges, out_dir)
+        return rd.read_csv(f"{out_dir}/nodes").materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _q_nodelink_roundtrip(sf_dir: str):
+    """S3/S5: node-link JSON dump → load roundtrip (the resume path);
+    returns the reloaded node table."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import extract_spans
+    from textgraphs_ray.sources.nodelink import (dump_node_link,
+                                                 load_node_link)
+    from textgraphs_ray.stages.graph import (build_edges, build_nodes,
+                                             extract_raw_edges)
+
+    docs, _, _ = generate(200)
+    docs_ds = rd.from_arrow(docs)
+    nodes = build_nodes(extract_spans(docs_ds, concurrency=(1, 2)))
+    edges = build_edges(docs_ds.map_batches(extract_raw_edges,
+                                            batch_format="pyarrow"))
+    nt = pa.Table.from_pandas(nodes.to_pandas())
+    et = pa.Table.from_pandas(edges.to_pandas())
+    nodes2, _ = load_node_link(dump_node_link(nt, et))
+    return rd.from_arrow(nodes2)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -410,6 +584,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "quality_punct": _q_quality,
         "knn_brute": _q_knn_brute,
+        "m6_label_remap": _q_m6_label_remap,
+        "m9_iri_slug": _q_m9_iri_slug,
+        "a8_quantile_stripe": _q_a8_stripe,
+        "a9_rms": _q_a9_rms,
+        "o2_group_max": _q_o2_group_max,
         # rows-only pipelines
         "er_spans": _q_er_spans,
         "er_clusters": _q_er_clusters,
@@ -426,6 +605,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infer_relations": _q_infer_relations,
         "rdf_export": _q_rdf_export,
         "wordcloud": _q_wordcloud,
+        "knn_ivf": _q_knn_ivf,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "kuzu_export": _q_kuzu_export,
+        "nodelink_roundtrip": _q_nodelink_roundtrip,
     }
 
 
@@ -514,5 +697,46 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT event_type FROM events WHERE value < 10.0
             ) GROUP BY event_type
+        """,
+        "m6_label_remap": """
+            SELECT CASE lang
+                     WHEN 'en' THEN 'wd:Q1860' WHEN 'de' THEN 'wd:Q188'
+                     WHEN 'fr' THEN 'wd:Q150'  WHEN 'es' THEN 'wd:Q1321'
+                     WHEN 'zh' THEN 'wd:Q7850' ELSE 'owl:Thing'
+                   END AS lang_iri, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "m9_iri_slug": """
+            SELECT p_partkey,
+                   replace(replace(lower(p_name), ' ', '_'), '.', '_')
+                       AS slug
+            FROM part
+        """,
+        "a8_quantile_stripe": """
+            WITH s AS (SELECT min(o_totalprice) AS lo,
+                              max(o_totalprice) AS hi,
+                              ceil(4.0 * ln(count(*)))::BIGINT AS nbins
+                       FROM orders)
+            SELECT o_orderkey,
+                   least(floor((o_totalprice - lo) / (hi - lo) * nbins),
+                         nbins - 1)::BIGINT AS stripe
+            FROM orders, s
+        """,
+        "a9_rms": """
+            SELECT l_orderkey, l_linenumber,
+                   round(sqrt((l_quantity * l_quantity
+                               + l_extendedprice * l_extendedprice
+                               + l_discount * l_discount
+                               + l_tax * l_tax) / 4.0), 4) AS rms
+            FROM lineitem
+        """,
+        "o2_group_max": """
+            SELECT s.s_nationkey, min(s.s_suppkey) AS s_suppkey,
+                   round(max(s.s_acctbal), 2) AS best_bal
+            FROM supplier s
+            JOIN (SELECT s_nationkey, max(s_acctbal) AS mx
+                  FROM supplier GROUP BY s_nationkey) b
+              ON s.s_nationkey = b.s_nationkey AND s.s_acctbal = b.mx
+            GROUP BY s.s_nationkey
         """,
     }

@@ -237,3 +237,53 @@ def test_exports(small_corpus):
         export_kuzu_csv(nodes, edges, d)
         assert os.listdir(os.path.join(d, "nodes"))
         assert os.listdir(os.path.join(d, "edges"))
+
+
+def test_knn_ivf_recall():
+    from textgraphs_ray.stages.similarity import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(3)
+    emb = rng.standard_normal((300, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": [e.tolist() for e in emb]})
+    q = emb[:5]
+    exact = knn_brute(rd.from_arrow(t), q, k=5)
+    approx = knn_ivf(rd.from_arrow(t), q, k=5, ncells=8, nprobe=3)
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert qi in a  # self lives in the query's own nearest cell
+        hits += len(e & a)
+    assert hits / 25 > 0.5
+
+
+def test_ngram_jaccard_dedup(dup_docs):
+    from textgraphs_ray.stages.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(rd.from_arrow(dup_docs), threshold=0.5,
+                              concurrency=1).to_pandas()
+    cl = dict(zip(out["key"], out["cluster_id"]))
+    # exact + near dups cluster together; unrelated docs stay separate
+    assert cl["100"] == cl["101"] == cl["102"]
+    assert cl["100"] != cl["0"]
+
+
+def test_kuzu_export_roundtrip(tmp_path, small_corpus):
+    import ray.data as rdm
+
+    from textgraphs_ray.pipelines.er import extract_spans
+    from textgraphs_ray.sources.exports import export_kuzu_csv
+    from textgraphs_ray.stages.graph import (build_edges, build_nodes,
+                                             extract_raw_edges)
+
+    docs, _, _ = small_corpus
+    docs_ds = rd.from_arrow(docs)
+    nodes = build_nodes(extract_spans(docs_ds, concurrency=1))
+    edges = build_edges(docs_ds.map_batches(extract_raw_edges,
+                                            batch_format="pyarrow"))
+    n_nodes = nodes.count()
+    export_kuzu_csv(nodes, edges, str(tmp_path))
+    back = rdm.read_csv(str(tmp_path / "nodes"))
+    assert back.count() == n_nodes
+    assert "key" in back.schema().names

@@ -48,7 +48,8 @@ def spanify_text(docs_ds: "ray.data.Dataset", *, text_col: str = "text",
 
 
 def mentions_from_spans(spans_ds: "ray.data.Dataset",
-                        assets_ref=None) -> "ray.data.Dataset":
+                        assets_ref=None,
+                        kinds: tuple = ("ent", "media")) -> "ray.data.Dataset":
     """SPANS rows → distinct mention table (key, text).
 
     Text mentions: ``ent`` spans keyed by lemma key.  Media mentions:
@@ -63,7 +64,7 @@ def mentions_from_spans(spans_ds: "ray.data.Dataset",
     from ray.data.aggregate import Count, Min
 
     def project(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("kind"), value_set=pa.array(["ent", "media"]))
+        mask = pc.is_in(batch.column("kind"), value_set=pa.array(list(kinds)))
         t = batch.filter(mask)
         return pa.table({
             "key": t.column("lemma_key"),
@@ -107,14 +108,21 @@ def resolve_entities(docs_ds: "ray.data.Dataset", *,
                      assets: pa.Table | None = None,
                      num_partitions: int = 16,
                      concurrency=None,
-                     checkpoint_fn=None) -> dict:
+                     checkpoint_fn=None,
+                     kinds: tuple = ("ent", "media")) -> dict:
     """Run extract → block → score → cluster; return the dict of
-    result Datasets (lazy where possible)."""
+    result Datasets (lazy where possible).
+
+    ``kinds`` selects which span kinds become mentions; pass
+    ``("ent", "media", "lem")`` to resolve at the lemma-key level
+    (the reference's J1 node-upsert granularity, graph.py:134-157)
+    on corpora without named entities."""
     from ..stages.scoring import dedup_matches
 
     spans = extract_spans(docs_ds, concurrency=concurrency)
     assets_ref = ray.put(assets) if assets is not None else None
-    mentions = mentions_from_spans(spans, assets_ref).materialize()
+    mentions = mentions_from_spans(spans, assets_ref,
+                                   kinds=kinds).materialize()
     pairs = candidate_pairs(mentions, concurrency=concurrency)
     matches = dedup_matches(
         score_pairs(pairs, concurrency=concurrency)).materialize()

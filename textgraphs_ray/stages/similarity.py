@@ -123,3 +123,75 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
     top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount()
     return top[["query_id", "rank", "vec_id", "sim"]]
+
+
+def kmeans_centroids(sample: np.ndarray, ncells: int, *, iters: int = 8,
+                     seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample → (ncells, D)
+    normalized centroids.  The sample is small (≤ 4096 rows) — at 100 TB
+    this is `ds.limit(4096)` off the stream head, not a materialize."""
+    rng = np.random.RandomState(seed)
+    sn = _normalize(sample.astype(np.float32))
+    cent = sn[rng.choice(len(sn), size=min(ncells, len(sn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = sn[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
+            emb_col: str = "embedding", id_col: str = "vec_id",
+            ncells: int = 16, nprobe: int = 4, sample_size: int = 4096,
+            seed: int = 42) -> pd.DataFrame:
+    """IVF-style ANN: coarse k-means cells, queries probe their
+    ``nprobe`` nearest cells, exact cosine rerank inside probed cells.
+
+    The centroid table is trained once from a bounded sample and
+    broadcast (``ray.put``); each batch assigns its vectors to cells
+    with one matmul and scores only rows falling in a probed cell —
+    per-query work scales with nprobe/ncells of the data, not N.
+    """
+    sample = np.asarray(
+        [r[emb_col] for r in ds.limit(sample_size).take_all()],
+        dtype=np.float32)
+    cent = kmeans_centroids(sample, ncells, seed=seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    np_ = min(nprobe, cent.shape[0])
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :np_]  # (Q, nprobe)
+    shared = ray.put((qn, cent, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, cmat, probes = ray.get(shared)
+        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        en = _normalize(emb)
+        cell = np.argmax(en @ cmat.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(cell, probes[qi])
+            if not mask.any():
+                continue
+            sims = en[mask] @ q[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx].tolist())
+            out_sim.extend(sims[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "sim": pa.array(out_sim, pa.float64()),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="stable")
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount()
+    return top[["query_id", "rank", "vec_id", "sim"]]
