@@ -566,6 +566,83 @@ def _q_nodelink_roundtrip(sf_dir: str):
     return rd.from_arrow(nodes2)
 
 
+def _q_communities(sf_dir: str):
+    """A14: per-partition community detection over the edge table of
+    the generated corpus (Girvan–Newman level-2, vis.py:188-204)."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.stages.graph import extract_raw_edges
+    from textgraphs_ray.stages.viz import cluster_communities
+
+    docs, _, _ = generate(200)
+    edges = rd.from_arrow(docs).map_batches(extract_raw_edges,
+                                            batch_format="pyarrow")
+    edges = edges.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(["p0"] * t.num_rows, pa.string())),
+        batch_format="pyarrow")
+    return cluster_communities(edges)
+
+
+_BOOT_TTL = """
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix ex: <https://example.org/ent/> .
+ex:big_data skos:broader ex:data_processing .
+ex:stream_processing skos:broader ex:data_processing .
+ex:spark skos:broader ex:big_data .
+"""
+
+
+def _q_ttl_bootstrap(sf_dir: str):
+    """S4: bootstrap TTL → seed nodes + SYN edges unioned with corpus
+    nodes ahead of closure (doc.py:1103-1212 semantics)."""
+    from textgraphs_ray.sources.ttl import bootstrap_tables
+    from textgraphs_ray.stages.cluster import propagate_labels
+
+    nodes_t, edges_t = bootstrap_tables(_BOOT_TTL)
+    nodes = rd.from_arrow(nodes_t).map_batches(
+        lambda t: pa.table({"key": t.column("key")}), batch_format="pyarrow")
+    edges = rd.from_arrow(edges_t).map_batches(
+        lambda t: pa.table({"key_a": t.column("src_key"),
+                            "key_b": t.column("dst_key")}),
+        batch_format="pyarrow")
+    return propagate_labels(nodes, edges, num_partitions=2)
+
+
+def _q_entity_linking(sf_dir: str):
+    """J4-J7: distinct ent/lem nodes → linker actor pool → link rows
+    (key, iri, wd_iri, rel, prob, label)."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import extract_spans
+    from textgraphs_ray.stages.graph import build_nodes
+    from textgraphs_ray.stages.link import link_entities
+
+    docs, _, _ = generate(500)
+    nodes = build_nodes(extract_spans(rd.from_arrow(docs),
+                                      concurrency=(1, 2)))
+    return link_entities(nodes, concurrency=(1, 2))
+
+
+def _q_er_resume(sf_dir: str):
+    """North-rule checkpointing: ER chain with per-stage parquet
+    checkpoints + lineage metrics; second invocation resumes."""
+    import shutil
+    import tempfile
+
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er_resume import (
+        resolve_entities_checkpointed)
+
+    docs, _, assets = generate(1000)
+    root = tempfile.mkdtemp(prefix="er_ckpt_", dir="/tmp")
+    try:
+        res = resolve_entities_checkpointed(
+            rd.from_arrow(docs), root, assets=assets,
+            num_partitions=4, concurrency=(1, 2))
+        return res["clusters"].materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -609,6 +686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "kuzu_export": _q_kuzu_export,
         "nodelink_roundtrip": _q_nodelink_roundtrip,
+        "communities": _q_communities,
+        "ttl_bootstrap": _q_ttl_bootstrap,
+        "entity_linking": _q_entity_linking,
+        "er_resume": _q_er_resume,
     }
 
 
@@ -729,6 +810,39 @@ def oracle_sql() -> dict[str, str]:
                                + l_discount * l_discount
                                + l_tax * l_tax) / 4.0), 4) AS rms
             FROM lineitem
+        """,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '[^a-z]+') AS w,
+                     regexp_matches(left(text, 200), '[一-鿿]') AS has_cjk
+              FROM documents
+            ), k AS (
+              SELECT doc_id, has_cjk,
+                     len(list_filter(w, x -> x IN ('a','and','are','as','at',
+                         'by','for','from','in','is','it','of','on','that',
+                         'the','this','to','was','with'))) AS k_en,
+                     len(list_filter(w, x -> x IN ('con','de','del','el','en',
+                         'es','la','las','los','no','para','por','que','se',
+                         'su','un','una','y'))) AS k_es,
+                     len(list_filter(w, x -> x IN ('au','dans','de','des','du',
+                         'en','est','et','la','le','les','pas','pour','que',
+                         'qui','sur','un','une'))) AS k_fr,
+                     len(list_filter(w, x -> x IN ('als','auch','auf','das',
+                         'den','der','des','die','ein','eine','im','in','ist',
+                         'mit','und','von','zu'))) AS k_de
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN has_cjk THEN 'zh'
+                        WHEN k_en = 0 AND k_es = 0 AND k_fr = 0
+                             AND k_de = 0 THEN 'und'
+                        WHEN k_en >= k_es AND k_en >= k_fr
+                             AND k_en >= k_de THEN 'en'
+                        WHEN k_es >= k_fr AND k_es >= k_de THEN 'es'
+                        WHEN k_fr >= k_de THEN 'fr'
+                        ELSE 'de' END AS lang_pred
+            FROM k
         """,
         "o2_group_max": """
             SELECT s.s_nationkey, min(s.s_suppkey) AS s_suppkey,

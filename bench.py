@@ -22,7 +22,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ER_DOCS = int(os.environ.get("GRAFT_ER_DOCS", "20000"))
-CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", f"/tmp/graft_corpus_{ER_DOCS}")
+# extra filler spans per doc: 0 for the per-round bench (shuffle-heavy
+# regime), ~60 for scaling runs (web-document-sized inputs where
+# per-doc extraction compute dominates, as it does at 100 TB)
+FILLER = int(os.environ.get("GRAFT_FILLER", "0"))
+CORPUS_DIR = os.environ.get(
+    "GRAFT_CORPUS_DIR", f"/tmp/graft_corpus_{ER_DOCS}_f{FILLER}")
 
 
 def ensure_corpus() -> str:
@@ -32,7 +37,7 @@ def ensure_corpus() -> str:
     if not os.path.exists(marker):
         from textgraphs_ray.corpus import write_corpus
 
-        write_corpus(CORPUS_DIR, ER_DOCS, shards=32)
+        write_corpus(CORPUS_DIR, ER_DOCS, shards=32, filler_spans=FILLER)
     return CORPUS_DIR
 
 
@@ -63,13 +68,18 @@ def main() -> None:
 
     # headline: full ER chain on the interleaved corpus
     t0 = time.perf_counter()
+    # pin block count to the cluster size: the sort-based shuffles fan
+    # out (#blocks)² partition objects, so letting the read split into
+    # hundreds of small blocks multiplies shuffle overhead without
+    # adding parallelism
     docs_ds = rd.read_parquet(
         [os.path.join(corpus_dir, f) for f in sorted(os.listdir(corpus_dir))
-         if f.startswith("documents-")])
+         if f.startswith("documents-")],
+        override_num_blocks=2 * NUM_CPUS)
     n_docs = docs_ds.count()
     res = resolve_entities(docs_ds, assets=assets,
                            num_partitions=max(8, NUM_CPUS // 2),
-                           concurrency=max(2, NUM_CPUS // 2))
+                           concurrency=(2, NUM_CPUS))
     n_clusters = res["clusters"].count()
     t_er = time.perf_counter() - t0
     queries["er_resolve"] = round(t_er, 3)
@@ -128,15 +138,18 @@ def main() -> None:
 
 
 def scaling() -> None:
-    # Scaling verdicts need a compute-dominated job: at 20k docs the
-    # fixed per-stage costs (stage startup, driver union-find, small
-    # shuffles) flatten the curve, so the N-vs-4N comparison runs the
-    # ER chain over a 100k-doc corpus unless overridden.
-    scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "100000")
+    # Scaling verdicts need a compute-dominated job: at 20k tiny docs
+    # the fixed per-stage costs (stage startup, driver union-find,
+    # small shuffles) flatten the curve, so the N-vs-4N comparison runs
+    # the ER chain over 150k web-document-sized docs (60 extra filler
+    # spans each ≈ realistic token counts) unless overridden.
+    scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "400000")
+    scaling_filler = os.environ.get("GRAFT_SCALING_FILLER", "200")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_ER_DOCS=scaling_docs)
+                   GRAFT_ER_DOCS=scaling_docs,
+                   GRAFT_FILLER=scaling_filler)
         env.pop("GRAFT_CORPUS_DIR", None)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout

@@ -124,7 +124,10 @@ def media_ref_for(entity: str) -> str:
     return "m://" + hashlib.sha1(entity.encode("utf-8")).hexdigest()[:16]
 
 
-def generate(n_docs: int, *, seed: int = 42) -> tuple[pa.Table, pa.Table, pa.Table]:
+def generate(n_docs: int, *, seed: int = 42, filler_spans: int = 0,
+             pool_docs: int | None = None, doc_offset: int = 0,
+             doc_seed: int | None = None
+             ) -> tuple[pa.Table, pa.Table, pa.Table]:
     """Return ``(documents, truth, assets)`` tables.
 
     ``truth(doc_id, offset, entity_id, surface)`` labels every ``ent``
@@ -134,9 +137,15 @@ def generate(n_docs: int, *, seed: int = 42) -> tuple[pa.Table, pa.Table, pa.Tab
     decode STUB (``stages/encode.MediaDecodeStub``) "decodes" a payload
     back to text deterministically — standing in for image/audio
     decoding libraries absent from this container.
+
+    ``filler_spans`` appends that many extra dep/lem filler spans per
+    document — web-document-sized inputs for scaling benchmarks, where
+    per-doc extraction compute must dominate fixed stage costs (real
+    docs are hundreds of tokens, not ten).
     """
-    rng = random.Random(seed)
-    pool = canonical_entities(max(2, n_docs // 10), rng)
+    pool = canonical_entities(max(2, (pool_docs or n_docs) // 10),
+                              random.Random(seed))
+    rng = random.Random(seed if doc_seed is None else doc_seed)
     n_ents = len(pool)
     hot_idx = 0  # pool[0] is the hot entity (5% of docs)
 
@@ -148,7 +157,7 @@ def generate(n_docs: int, *, seed: int = 42) -> tuple[pa.Table, pa.Table, pa.Tab
     t_surface: list[str] = []
 
     for d in range(n_docs):
-        doc_id = f"doc-{seed}-{d:08d}"
+        doc_id = f"doc-{seed}-{doc_offset + d:08d}"
         n_mentions = rng.randrange(1, 5)
         ents = [rng.randrange(n_ents) for _ in range(n_mentions)]
         if rng.random() < 0.05:
@@ -181,6 +190,13 @@ def generate(n_docs: int, *, seed: int = 42) -> tuple[pa.Table, pa.Table, pa.Tab
             t_doc.append(doc_id); t_off.append(o)
             t_ent.append(ent_idx); t_surface.append("")
 
+        for _ in range(filler_spans):
+            if rng.random() < 0.5:
+                w, _p = rng.choice(_FILLER_DEPS)
+                emit("dep", w)
+            else:
+                emit("lem", rng.choice(_FILLER_NOUNS))
+
         doc_ids.append(doc_id)
         span_col.append(spans)
 
@@ -200,17 +216,53 @@ def generate(n_docs: int, *, seed: int = 42) -> tuple[pa.Table, pa.Table, pa.Tab
     return documents, truth, assets
 
 
+def _write_shard(args: tuple) -> str:
+    out_dir, shard, n, seed, filler, pool_docs, offset = args
+    import pyarrow.parquet as pq
+
+    docs, truth, _ = generate(n, seed=seed, filler_spans=filler,
+                              pool_docs=pool_docs, doc_offset=offset,
+                              doc_seed=seed * 100003 + shard)
+    pq.write_table(docs, f"{out_dir}/documents-{shard:05d}.parquet")
+    truth_path = f"{out_dir}/truth-{shard:05d}.parquet"
+    pq.write_table(truth, truth_path)
+    return truth_path
+
+
 def write_corpus(out_dir: str, n_docs: int, *, seed: int = 42,
-                 shards: int = 8) -> None:
+                 shards: int = 8, filler_spans: int = 0) -> None:
     """Write a sharded parquet corpus (one file per shard so reads
-    parallelize and a resumable run can skip finished shards)."""
+    parallelize and a resumable run can skip finished shards).
+
+    Shards are generated in parallel worker processes, each with a
+    deterministic (seed, shard) RNG and the SHARED entity pool derived
+    from (seed, n_docs) — byte-stable output for a given argument
+    tuple, ~cores× faster generation for scaling-bench corpora."""
+    import multiprocessing as mp
     import os
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    docs, truth, assets = generate(n_docs, seed=seed)
-    per = max(1, (len(docs) + shards - 1) // shards)
-    for s in range(0, len(docs), per):
-        pq.write_table(docs.slice(s, per), f"{out_dir}/documents-{s // per:05d}.parquet")
+    per = max(1, (n_docs + shards - 1) // shards)
+    jobs = []
+    off = 0
+    shard = 0
+    while off < n_docs:
+        n = min(per, n_docs - off)
+        jobs.append((out_dir, shard, n, seed, filler_spans, n_docs, off))
+        off += n
+        shard += 1
+
+    if n_docs >= 50_000 and len(jobs) > 1:
+        with mp.get_context("fork").Pool(
+                min(len(jobs), os.cpu_count() or 8)) as pool:
+            truth_paths = pool.map(_write_shard, jobs)
+    else:
+        truth_paths = [_write_shard(j) for j in jobs]
+
+    truth = pa.concat_tables([pq.read_table(p) for p in truth_paths])
     pq.write_table(truth, f"{out_dir}/truth.parquet")
+    for p in truth_paths:
+        os.remove(p)
+    _, _, assets = generate(2, seed=seed, pool_docs=n_docs)
     pq.write_table(assets, f"{out_dir}/assets.parquet")

@@ -33,9 +33,12 @@ from ..stages.scoring import score_pairs
 
 def extract_spans(docs_ds: "ray.data.Dataset", *,
                   concurrency=None, batch_size: int = 256) -> "ray.data.Dataset":
-    kwargs = {"batch_format": "pyarrow", "batch_size": batch_size,
-              "concurrency": concurrency or (1, 4)}
-    return docs_ds.map_batches(ExtractSpans, **kwargs)
+    # ExtractSpans holds no model state → task-based map (no actor
+    # pool ramp-up; work-stealing across the whole cluster).  The
+    # concurrency arg is accepted for API symmetry but tasks autoscale.
+    del concurrency
+    return docs_ds.map_batches(ExtractSpans(), batch_format="pyarrow",
+                               batch_size=batch_size)
 
 
 def spanify_text(docs_ds: "ray.data.Dataset", *, text_col: str = "text",
@@ -61,24 +64,32 @@ def mentions_from_spans(spans_ds: "ray.data.Dataset",
     guard: a hot surface form is one blocking row regardless of its
     occurrence count.
     """
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
     def project(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column("kind"), value_set=pa.array(list(kinds)))
         t = batch.filter(mask)
-        return pa.table({
+        # partial per-batch dedup (combiner): the mention shuffle moves
+        # one row per distinct key per block, not one per occurrence —
+        # at web scale this is the difference between shuffling 10^12
+        # span rows and ~10^9 distinct surface forms
+        part = pa.table({
             "key": t.column("lemma_key"),
             "text": t.column("text"),
             "media_ref": t.column("media_ref"),
             "kind": t.column("kind"),
-        })
+        }).group_by("key").aggregate([
+            ("text", "min"), ("media_ref", "min"), ("kind", "min"),
+            ("key", "count")])
+        return part.rename_columns(
+            ["key", "text", "media_ref", "kind", "n"])
 
     mentions = spans_ds.map_batches(project, batch_format="pyarrow")
     distinct = mentions.groupby("key").aggregate(
         Min("text", alias_name="text"),
         Min("media_ref", alias_name="media_ref"),
         Min("kind", alias_name="kind"),
-        Count(alias_name="n_mentions"),
+        Sum("n", alias_name="n_mentions"),
     )
 
     if assets_ref is not None:
@@ -99,7 +110,7 @@ def mentions_from_spans(spans_ds: "ray.data.Dataset",
                 return decode_media(batch, self.lookup)
 
         distinct = distinct.map_batches(
-            _Decoder, batch_format="pyarrow", concurrency=(1, 2),
+            _Decoder, batch_format="pyarrow", concurrency=(1, 8),
             fn_constructor_args=(assets_ref,))
     return distinct
 
@@ -117,15 +128,17 @@ def resolve_entities(docs_ds: "ray.data.Dataset", *,
     ``("ent", "media", "lem")`` to resolve at the lemma-key level
     (the reference's J1 node-upsert granularity, graph.py:134-157)
     on corpora without named entities."""
-    from ..stages.scoring import dedup_matches
-
     spans = extract_spans(docs_ds, concurrency=concurrency)
     assets_ref = ray.put(assets) if assets is not None else None
     mentions = mentions_from_spans(spans, assets_ref,
                                    kinds=kinds).materialize()
     pairs = candidate_pairs(mentions, concurrency=concurrency)
-    matches = dedup_matches(
-        score_pairs(pairs, concurrency=concurrency)).materialize()
+    # NOTE: match edges are NOT pair-deduped here — transitive closure
+    # is duplicate-insensitive and the accepted-edge stream is small,
+    # so skipping dedup_matches saves a full sort shuffle; callers who
+    # need distinct edges (accounting, exports) apply
+    # scoring.dedup_matches themselves.
+    matches = score_pairs(pairs, concurrency=concurrency).materialize()
     clusters = propagate_labels(
         mentions, matches, num_partitions=num_partitions,
         checkpoint_fn=checkpoint_fn)

@@ -27,6 +27,7 @@ SKOS_DEFINITION = "skos:definition"
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
+        (?P<directive>@[A-Za-z]+) |
         (?P<iri><[^>]*>) |
         (?P<literal>"(?:[^"\\]|\\.)*"(?:@\w+)?) |
         (?P<punct>[;.,]) |
@@ -123,6 +124,11 @@ def bootstrap_tables(ttl: str) -> tuple[pa.Table, pa.Table]:
         if s_key not in node_keys:
             node_keys.append(s_key)
             node_texts.append(labels.get(s, s_key))
+        # objects of synonym edges are closure participants too —
+        # seed them even when they never appear as subjects
+        if p == SKOS_BROADER and o_key not in node_keys:
+            node_keys.append(o_key)
+            node_texts.append(labels.get(o, o_key))
         if p == SKOS_BROADER:
             e_src.append(s_key); e_dst.append(o_key)
             e_kind.append("syn"); e_rel.append(SKOS_BROADER)

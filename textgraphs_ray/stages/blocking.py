@@ -100,7 +100,12 @@ class BandEmitter:
         })
 
 
-PAIR_PARTITIONS = 256  # coarse shuffle key for pair generation
+# Coarse shuffle key for pair generation: enough groups that the
+# widest shard fits one task's heap, few enough that group scheduling
+# doesn't dominate on small inputs.  Partitioning only affects WHERE a
+# bucket's pairs are computed, never which pairs exist, so this can be
+# raised for bigger clusters without changing results.
+PAIR_PARTITIONS = 64
 
 
 def segmented_pair_indices(sizes: np.ndarray, *, cap: int = BLOCK_CAP,
@@ -173,8 +178,9 @@ def candidate_pairs(mentions_ds: "ray.data.Dataset", *,
     the full pair stream.  ``dedup=True`` adds the groupby-aggregate
     dedup for callers that need distinct pairs (e.g. pair accounting).
     """
-    kwargs = {"batch_format": "pyarrow", "concurrency": concurrency or (1, 4)}
-    banded = mentions_ds.map_batches(BandEmitter, **kwargs)
+    # stateless signature computation → task-based map
+    del concurrency
+    banded = mentions_ds.map_batches(BandEmitter(), batch_format="pyarrow")
 
     def add_part(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

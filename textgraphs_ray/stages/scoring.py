@@ -140,9 +140,13 @@ class PairScorer:
 
 def score_pairs(pairs_ds: "ray.data.Dataset", *,
                 concurrency=None, batch_size: int = 8192) -> "ray.data.Dataset":
-    kwargs = {"batch_format": "pyarrow", "batch_size": batch_size,
-              "concurrency": concurrency or (1, 4)}
-    return pairs_ds.map_batches(PairScorer, **kwargs)
+    # PairScorer state is a few scalars + a function ref — no model
+    # load — so it runs as tasks (instance passed as a plain callable):
+    # no pool ramp-up, immediate full-cluster spread.  A real encoder
+    # model would flip this back to a class + concurrency pool (T4).
+    del concurrency
+    return pairs_ds.map_batches(PairScorer(), batch_format="pyarrow",
+                                batch_size=batch_size)
 
 
 def dedup_matches(matches_ds: "ray.data.Dataset") -> "ray.data.Dataset":

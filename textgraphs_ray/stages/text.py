@@ -105,7 +105,10 @@ class LangId:
 
     def __init__(self, *, text_col: str = "text") -> None:
         self.text_col = text_col
-        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        # ascii letter runs: profiles are ascii stopwords, so non-ascii
+        # codepoints act as separators (keeps the op SQL-checkable —
+        # identical to regexp_split_to_array(lower(text), '[^a-z]+'))
+        self.word = re.compile(r"[a-z]+")
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
