@@ -84,6 +84,24 @@ def main() -> None:
     t_er = time.perf_counter() - t0
     queries["er_resolve"] = round(t_er, 3)
 
+    # north-rule metric: pairwise F1 of predicted clusters vs generator
+    # truth (evaluated outside the timed window — it's a check, not a
+    # pipeline stage)
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    truth_df = pq.read_table(
+        os.path.join(corpus_dir, "truth.parquet")).to_pandas()
+    ent_spans = res["spans"].map_batches(
+        lambda t: t.filter(_pc.is_in(t.column("kind"),
+                                     value_set=pa.array(["ent", "media"])))
+        .select(["doc_id", "offset", "lemma_key"]),
+        batch_format="pyarrow").to_pandas()
+    from textgraphs_ray.evaluate import er_f1_against_truth
+
+    er_prec, er_rec, er_f1 = er_f1_against_truth(
+        ent_spans, res["clusters"].to_pandas(), truth_df)
+
     # secondary pipelines over driver testdata
     t0 = time.perf_counter()
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
@@ -132,6 +150,9 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "er_docs": n_docs,
         "er_clusters": n_clusters,
+        "er_f1": round(er_f1, 5),
+        "er_precision": round(er_prec, 5),
+        "er_recall": round(er_rec, 5),
         "docs_per_sec": round(n_docs / t_er, 1),
     }))
     ray.shutdown()
