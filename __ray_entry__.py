@@ -608,6 +608,19 @@ def _q_ttl_bootstrap(sf_dir: str):
     return propagate_labels(nodes, edges, num_partitions=2)
 
 
+def _q_analyze_full(sf_dir: str):
+    """Full lifecycle (SURVEY §3): extract → nodes/edges → linking →
+    relation inference → blocking/scoring → closure with sameAs edges;
+    returns the final cluster assignment."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.full import analyze
+
+    docs, _, assets = generate(500)
+    res = analyze(rd.from_arrow(docs), assets=assets,
+                  num_partitions=4, concurrency=(1, 2))
+    return res["clusters"]
+
+
 def _q_entity_linking(sf_dir: str):
     """J4-J7: distinct ent/lem nodes → linker actor pool → link rows
     (key, iri, wd_iri, rel, prob, label)."""
@@ -690,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_bootstrap": _q_ttl_bootstrap,
         "entity_linking": _q_entity_linking,
         "er_resume": _q_er_resume,
+        "analyze_full": _q_analyze_full,
     }
 
 
