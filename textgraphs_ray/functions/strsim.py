@@ -141,3 +141,27 @@ def cosine_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
     den[den == 0] = 1.0
     return num / den
+
+
+def osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment distance: Levenshtein + adjacent
+    transposition counted as ONE edit.  Scalar (used inside the
+    name-compat rule on candidate pairs only, never over the full
+    stream)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 2:
+        return abs(la - lb)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]

@@ -84,19 +84,42 @@ class BandEmitter:
         lt_hash = hash64(last_tok)
         ft_hash = hash64(first_tok)
 
+        #  band -3: deletion neighborhood of the last token (SymSpell
+        #  blocking): two strings within one edit (deletion, insertion,
+        #  substitution, adjacent transposition) always share a
+        #  delete-one variant, so every single-typo surface collides
+        #  with its canonical form in at least one of these buckets —
+        #  the MinHash bands' known blind spot.  Keyed with the first
+        #  token's initial so buckets stay entity-local.
+        dn_strings: list[str] = []
+        dn_idx: list[int] = []
+        for i, (ft, lt) in enumerate(zip(first_tok, last_tok)):
+            init = ft[:1]
+            dn_strings.append(init + "\x1f" + lt)  # zero-deletion form
+            dn_idx.append(i)
+            for p in range(len(lt)):
+                dn_strings.append(init + "\x1f" + lt[:p] + lt[p + 1:])
+                dn_idx.append(i)
+        dn_hash = hash64(dn_strings)
+        dn_idx_arr = np.asarray(dn_idx, dtype=np.int64)
+        keys_arr = np.asarray(keys, dtype=object)
+        texts_arr = np.asarray(texts, dtype=object)
+
         return pa.table({
             "band_id": pa.array(
                 np.concatenate([band_id,
                                 np.full(n, -1, dtype=np.int32),
-                                np.full(n, -2, dtype=np.int32)])),
+                                np.full(n, -2, dtype=np.int32),
+                                np.full(len(dn_idx), -3, dtype=np.int32)])),
             "band_hash": pa.array(
-                np.concatenate([bh.ravel(), lt_hash, ft_hash]), pa.uint64()),
+                np.concatenate([bh.ravel(), lt_hash, ft_hash, dn_hash]),
+                pa.uint64()),
             "key": pa.array(
-                list(np.repeat(np.asarray(keys, dtype=object), self.bands))
-                + keys + keys, pa.string()),
+                list(np.repeat(keys_arr, self.bands))
+                + keys + keys + list(keys_arr[dn_idx_arr]), pa.string()),
             "norm_text": pa.array(
-                list(np.repeat(np.asarray(texts, dtype=object), self.bands))
-                + texts + texts, pa.string()),
+                list(np.repeat(texts_arr, self.bands))
+                + texts + texts + list(texts_arr[dn_idx_arr]), pa.string()),
         })
 
 

@@ -42,7 +42,7 @@ def name_compat(a: str, b: str) -> bool:
     (kg.py:516-535) with the same intent: high-precision merges that
     pure whole-string similarity misses (initials, token-local typos).
     """
-    from ..functions.strsim import jaro_winkler
+    from ..functions.strsim import jaro_winkler, osa_distance
 
     ta, tb = a.split(), b.split()
     if len(ta) < 2 or len(tb) < 2:
@@ -51,6 +51,15 @@ def name_compat(a: str, b: str) -> bool:
         return False
     la, lb = ta[-1], tb[-1]
     if la == lb:
+        return True
+    # one OSA edit (deletion / insertion / substitution / adjacent
+    # transposition) in the last token is a typo, not a different
+    # name: JW under-scores edits near the string head (no prefix
+    # bonus), while OSA is position-blind and counts a transposition
+    # as a single edit.  Precision-safe whenever distinct same-initial
+    # entities' last names differ by ≥ 3 edits (true of the curated
+    # pool, checked pairwise).
+    if len(la) >= 5 and len(lb) >= 5 and osa_distance(la, lb) <= 1:
         return True
     # full-first-token agreement licenses a laxer last-token bound
     thresh = 0.90 if ta[0] == tb[0] and len(ta[0]) > 2 else 0.94
