@@ -143,3 +143,43 @@ def test_parse_herzog_pos():
     assert by_text["is"].pos == "AUX" and by_text["is"].lemma == "be"
     assert by_text["filmmaker"].pos == "NOUN"
     assert by_text["remarkable"].pos == "ADJ"
+
+
+def test_osa_distance():
+    from textgraphs_ray.functions.strsim import osa_distance
+
+    assert osa_distance("watanabe", "watanabe") == 0
+    assert osa_distance("watanabe", "wtaanabe") == 1   # transposition
+    assert osa_distance("vasquez", "vsquez") == 1      # deletion
+    assert osa_distance("hassan", "hassen") == 1       # substitution
+    assert osa_distance("abbott", "zhang") > 2
+    # OSA counts non-adjacent rearrangement as > 1
+    assert osa_distance("abcd", "cbad") == 2
+
+
+def test_name_compat_typo_rules():
+    from textgraphs_ray.stages.scoring import name_compat
+
+    assert name_compat("farid watanabe", "farid wtaanabe")   # transposition
+    assert name_compat("priya nakamura", "priya nkamura")    # head deletion
+    assert name_compat("f. watanabe", "farid watanabe")      # initial
+    assert not name_compat("farid watanabe", "gunnar watanabe")  # initials
+    assert not name_compat("hiro zhang", "jiro zhang")       # distinct people
+
+
+def test_deletion_band_collides_one_edit_typos():
+    import numpy as np
+    import pyarrow as pa
+
+    from textgraphs_ray.stages.blocking import BandEmitter
+
+    t = pa.table({"key": ["a", "b", "c"],
+                  "text": ["Farid Watanabe", "Farid Wtaanabe",
+                           "Gunnar Watanabe"]})
+    out = BandEmitter()(t).to_pandas()
+    dn = out[out["band_id"] == -3]
+    ha = set(dn[dn["key"] == "a"]["band_hash"])
+    hb = set(dn[dn["key"] == "b"]["band_hash"])
+    hc = set(dn[dn["key"] == "c"]["band_hash"])
+    assert ha & hb        # one-edit typo shares a deletion bucket
+    assert not (ha & hc)  # different first initial → never collides
