@@ -164,7 +164,7 @@ def scaling() -> None:
     # small shuffles) flatten the curve, so the N-vs-4N comparison runs
     # the ER chain over 150k web-document-sized docs (60 extra filler
     # spans each ≈ realistic token counts) unless overridden.
-    scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "400000")
+    scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "800000")
     scaling_filler = os.environ.get("GRAFT_SCALING_FILLER", "200")
 
     def run(ncpu: int) -> dict:
