@@ -608,6 +608,65 @@ def _q_ttl_bootstrap(sf_dir: str):
     return propagate_labels(nodes, edges, num_partitions=2)
 
 
+def _q_window_agg(sf_dir: str):
+    """Tumbling-window aggregate over the event stream: 1-hour windows
+    per event_type (window key computed vectorized in the batch, then
+    one groupby — the streaming-window pattern at any scale)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t.column("ts"), unit="hour")
+        ep = pc.divide(pc.cast(h, pa.int64()), 1_000_000)  # µs → sec
+        return pa.table({"win_start": pc.cast(ep, pa.int64()),
+                         "event_type": t.column("event_type"),
+                         "value": t.column("value")})
+
+    out = (ds.map_batches(win, batch_format="pyarrow")
+           .groupby(["win_start", "event_type"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value")))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"),
+                               "sum_value",
+                               pc.round(t.column("sum_value"), 4)),
+        batch_format="pyarrow")
+
+
+def _q_asof_join(sf_dir: str):
+    """As-of join: for every 'error' event, the most recent preceding
+    'click' by the same user.  Partition by the equi-key (user_id),
+    sort within the group, vectorized searchsorted — the documented
+    pattern for as-of/range joins Ray Data lacks natively (partitioning
+    assumption: one user's history fits one group)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        clicks = g[g["event_type"] == "click"]
+        errs = g[g["event_type"] == "error"]
+        if len(errs) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_click_us": pd.Series([], dtype="int64")})
+        cts = clicks["ts"].to_numpy()
+        ets = errs["ts"].to_numpy()
+        idx = np.searchsorted(cts, ets, side="right") - 1
+        if len(cts):
+            vals = cts[np.maximum(idx, 0)].astype("datetime64[us]").astype(np.int64)
+            last = np.where(idx >= 0, vals, -1)
+        else:
+            last = np.full(len(ets), -1, dtype=np.int64)
+        return pd.DataFrame({"event_id": errs["event_id"].to_numpy(),
+                             "last_click_us": last})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
 def _q_analyze_full(sf_dir: str):
     """Full lifecycle (SURVEY §3): extract → nodes/edges → linking →
     relation inference → blocking/scoring → closure with sameAs edges;
@@ -704,6 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_linking": _q_entity_linking,
         "er_resume": _q_er_resume,
         "analyze_full": _q_analyze_full,
+        "window_agg": _q_window_agg,
+        "asof_join": _q_asof_join,
     }
 
 
@@ -857,6 +918,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN k_fr >= k_de THEN 'fr'
                         ELSE 'de' END AS lang_pred
             FROM k
+        """,
+        "window_agg": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            SELECT e.event_id,
+                   coalesce((SELECT epoch_us(max(c.ts)) FROM events c
+                             WHERE c.user_id = e.user_id
+                               AND c.event_type = 'click'
+                               AND c.ts <= e.ts), -1) AS last_click_us
+            FROM events e WHERE e.event_type = 'error'
         """,
         "o2_group_max": """
             SELECT s.s_nationkey, min(s.s_suppkey) AS s_suppkey,
