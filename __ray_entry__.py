@@ -667,6 +667,57 @@ def _q_asof_join(sf_dir: str):
                                             batch_format="pandas")
 
 
+def _q_json_extract(sf_dir: str):
+    """Vectorized JSON field extraction from the events props column
+    (pc.extract_regex — no per-row Python)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": t.column("event_id"), "k": k})
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def _q_det_sample(sf_dir: str):
+    """Deterministic content-hash sample (~1/16 of documents): the
+    reproducible-sampling pattern — md5 prefix, no RNG, so any worker
+    or rerun selects the same rows."""
+    import hashlib
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keep = [hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
+                for i in ids]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+def _q_partitioned_sink(sf_dir: str):
+    """S9 resumable output: write documents partitioned by lang (one
+    directory per partition key — a failed run skips finished
+    partitions), read back, aggregate."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    out_dir = tempfile.mkdtemp(prefix="sink_", dir="/tmp")
+    try:
+        docs = _docs(sf_dir, columns=["doc_id", "lang"])
+        docs.write_parquet(out_dir, partition_cols=["lang"])
+        back = rd.read_parquet(out_dir)
+        return back.groupby("lang").aggregate(
+            Count(alias_name="n")).materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _q_analyze_full(sf_dir: str):
     """Full lifecycle (SURVEY §3): extract → nodes/edges → linking →
     relation inference → blocking/scoring → closure with sameAs edges;
@@ -765,6 +816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_full": _q_analyze_full,
         "window_agg": _q_window_agg,
         "asof_join": _q_asof_join,
+        "json_extract": _q_json_extract,
+        "det_sample": _q_det_sample,
+        "partitioned_sink": _q_partitioned_sink,
     }
 
 
@@ -932,6 +986,17 @@ def oracle_sql() -> dict[str, str]:
                                AND c.event_type = 'click'
                                AND c.ts <= e.ts), -1) AS last_click_us
             FROM events e WHERE e.event_type = 'error'
+        """,
+        "json_extract": """
+            SELECT event_id, json_extract(props, '$.k')::BIGINT AS k
+            FROM events
+        """,
+        "det_sample": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'
+        """,
+        "partitioned_sink": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
         """,
         "o2_group_max": """
             SELECT s.s_nationkey, min(s.s_suppkey) AS s_suppkey,
