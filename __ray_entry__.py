@@ -667,6 +667,23 @@ def _q_asof_join(sf_dir: str):
                                             batch_format="pandas")
 
 
+def _q_media_frames(sf_dir: str):
+    """Multimodal flat-map: video payloads → sampled frame rows
+    (output rows ≠ input rows; actor-pool stage, small batches for
+    large binary payloads)."""
+    from textgraphs_ray.stages.media import FrameSampler, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(200))
+    out = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                         batch_size=32, concurrency=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_ref": t.column("media_ref"),
+            "frame_idx": t.column("frame_idx"),
+            "frame_len": pc.binary_length(t.column("frame"))}),
+        batch_format="pyarrow")
+
+
 def _q_json_extract(sf_dir: str):
     """Vectorized JSON field extraction from the events props column
     (pc.extract_regex — no per-row Python)."""
@@ -819,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": _q_json_extract,
         "det_sample": _q_det_sample,
         "partitioned_sink": _q_partitioned_sink,
+        "media_frames": _q_media_frames,
     }
 
 
