@@ -1,0 +1,116 @@
+"""Property-based invariants (hypothesis) for the core kernels.
+
+These run entirely driver-side (no Ray round-trips per example) so the
+example budget stays cheap: closure via the driver union-find fast
+path, pair generation and sketches as pure numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --- transitive closure ≡ connected components --------------------------
+
+
+def _brute_components(nodes: list[str], edges: list[tuple[str, str]]):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_closure_matches_brute_union_find(ray_session, data):
+    import ray.data as rd
+
+    from textgraphs_ray.stages.cluster import propagate_labels
+
+    n = data.draw(st.integers(2, 12))
+    nodes = [f"n{i:02d}" for i in range(n)]
+    n_edges = data.draw(st.integers(0, 16))
+    edges = [
+        (nodes[data.draw(st.integers(0, n - 1))],
+         nodes[data.draw(st.integers(0, n - 1))])
+        for _ in range(n_edges)
+    ]
+    expected = _brute_components(nodes, edges)
+
+    nds = rd.from_arrow(pa.table({"key": pa.array(nodes)}))
+    eds = rd.from_arrow(pa.table({
+        "key_a": pa.array([a for a, _ in edges], pa.string()),
+        "key_b": pa.array([b for _, b in edges], pa.string()),
+    }))
+    got = propagate_labels(nds, eds, num_partitions=2).to_pandas()
+    assert dict(zip(got["key"], got["cluster_id"])) == expected
+
+
+# --- pair generation ----------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 12), min_size=1, max_size=8),
+       st.integers(2, 6), st.integers(1, 4))
+def test_segmented_pairs_stay_within_groups(sizes, cap, window):
+    from textgraphs_ray.stages.blocking import segmented_pair_indices
+
+    sz = np.asarray(sizes, dtype=np.int64)
+    iu, ju = segmented_pair_indices(sz, cap=cap, window=window)
+    # every pair is ordered and lands inside one group's index range
+    assert (iu < ju).all()
+    bounds = np.concatenate([[0], np.cumsum(sz)])
+    grp_i = np.searchsorted(bounds, iu, side="right") - 1
+    grp_j = np.searchsorted(bounds, ju, side="right") - 1
+    assert (grp_i == grp_j).all()
+    # small groups are paired exhaustively
+    for gi, g in enumerate(sz):
+        if 2 <= g <= cap:
+            in_g = (grp_i == gi).sum()
+            assert in_g == g * (g - 1) // 2
+
+
+# --- minhash estimate tracks exact jaccard ------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet="abcdefg ", min_size=12, max_size=40),
+       st.integers(0, 8))
+def test_minhash_estimate_tracks_exact_jaccard(base, n_edits):
+    from textgraphs_ray.functions.sketch import (jaccard_shingles,
+                                                 minhash_batch)
+
+    variant = base
+    for i in range(n_edits):
+        pos = (i * 7) % max(1, len(variant) - 1)
+        variant = variant[:pos] + "z" + variant[pos + 1:]
+    exact = jaccard_shingles(base, variant)
+    sa, sb = minhash_batch([base, variant], num_perm=128)
+    est = float((sa == sb).mean())
+    assert abs(est - exact) < 0.2  # 128 perms → σ ≈ 0.044
+
+
+# --- OSA distance basics ------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="abcde", max_size=10),
+       st.text(alphabet="abcde", max_size=10))
+def test_osa_symmetric_and_bounded(a, b):
+    from textgraphs_ray.functions.strsim import osa_distance
+
+    d = osa_distance(a, b)
+    assert d == osa_distance(b, a)
+    assert d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
