@@ -86,17 +86,35 @@ class Spanify:
 
 
 def _pos_lemmas_for_span(kind: str, text: str) -> tuple[str, list[str], list[str]]:
-    """Return (pos, lemmas, poses) for one span's token sequence."""
+    """Return (pos, lemmas, poses) for one span's token sequence.
+
+    Memoized per worker process on (kind, text): corpora repeat surface
+    forms constantly (function words, shared vocabulary, hot entities),
+    so the pos/lemma work runs once per distinct form per worker — the
+    cache is the batch-level analogue of the reference's per-pipeline
+    lemma memo.  Bounded so adversarial high-cardinality text cannot
+    grow it without limit.
+    """
+    hit = _SPAN_MEMO.get((kind, text))
+    if hit is not None:
+        return hit
     words = text.split(" ") if text else []
     if kind == "ent":
         lemmas = [nlp.lemma_of(w) for w in words]
         poses = ["PROPN"] * len(words)
-        return "PROPN", lemmas, poses
-    if not words:
-        return "", [], []
-    w = words[0]
-    pos = nlp.pos_of(w, sent_initial=False, prev_pos="")
-    return pos, [nlp.lemma_of(w)], [pos]
+        out: tuple = ("PROPN", lemmas, poses)
+    elif not words:
+        out = ("", [], [])
+    else:
+        w = words[0]
+        pos = nlp.pos_of(w, sent_initial=False, prev_pos="")
+        out = (pos, [nlp.lemma_of(w)], [pos])
+    if len(_SPAN_MEMO) < 500_000:
+        _SPAN_MEMO[(kind, text)] = out
+    return out
+
+
+_SPAN_MEMO: dict[tuple[str, str], tuple] = {}
 
 
 def analyze_spans(kinds: list[str], texts: list[str], media_refs: list[str],
