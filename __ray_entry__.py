@@ -667,6 +667,23 @@ def _q_asof_join(sf_dir: str):
                                             batch_format="pandas")
 
 
+def _q_median_agg(sf_dir: str):
+    """Exact per-group median (interpolated): groupby.map_groups with a
+    vectorized quantile — the exact-quantile sibling of A7/A8's
+    broadcast approximate stripes."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "median_price": [round(float(np.median(g["o_totalprice"])), 2)],
+        })
+
+    return ds.groupby("o_orderpriority").map_groups(med,
+                                                    batch_format="pandas")
+
+
 def _q_media_frames(sf_dir: str):
     """Multimodal flat-map: video payloads → sampled frame rows
     (output rows ≠ input rows; actor-pool stage, small batches for
@@ -837,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "det_sample": _q_det_sample,
         "partitioned_sink": _q_partitioned_sink,
         "media_frames": _q_media_frames,
+        "median_agg": _q_median_agg,
     }
 
 
@@ -1015,6 +1033,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "partitioned_sink": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "median_agg": """
+            SELECT o_orderpriority,
+                   round(median(o_totalprice), 2) AS median_price
+            FROM orders GROUP BY o_orderpriority
         """,
         "o2_group_max": """
             SELECT s.s_nationkey, min(s.s_suppkey) AS s_suppkey,
