@@ -667,6 +667,32 @@ def _q_asof_join(sf_dir: str):
                                             batch_format="pandas")
 
 
+def _q_er_incremental(sf_dir: str):
+    """Incremental ER: two delta folds over persistent mention/match
+    state reproduce the batch clusters (split-invariance; old-old
+    pairs are never rescored)."""
+    import shutil
+    import tempfile
+
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er_incremental import (
+        resolve_entities_incremental)
+
+    docs, _, assets = generate(800)
+    state = tempfile.mkdtemp(prefix="er_inc_", dir="/tmp")
+    try:
+        resolve_entities_incremental(
+            rd.from_arrow(docs.slice(0, 500)), state, assets=assets,
+            num_partitions=4)
+        res = resolve_entities_incremental(
+            rd.from_arrow(docs.slice(500, 300)), state, assets=assets,
+            num_partitions=4)
+        return res["clusters"].materialize()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(state + ".old", ignore_errors=True)
+
+
 def _q_median_agg(sf_dir: str):
     """Exact per-group median (interpolated): groupby.map_groups with a
     vectorized quantile — the exact-quantile sibling of A7/A8's
@@ -855,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_sink": _q_partitioned_sink,
         "media_frames": _q_media_frames,
         "median_agg": _q_median_agg,
+        "er_incremental": _q_er_incremental,
     }
 
 

@@ -22,6 +22,7 @@ from .functions.strsim import (jaro_winkler, jaro_winkler_batch,
                                osa_distance)
 from .pipelines.er import (extract_spans, mentions_from_spans,
                            resolve_entities, spanify_text)
+from .pipelines.er_incremental import resolve_entities_incremental
 from .pipelines.er_resume import resolve_entities_checkpointed
 from .pipelines.full import analyze
 from .pipelines.gor import affinity_scores, load_ingram
@@ -50,7 +51,8 @@ __all__ = [
     "ranked_phrases",
     "register_extractor", "register_linker", "register_scorer",
     "registry", "remap_ner", "resolve_entities",
-    "resolve_entities_checkpointed", "root_mean_square",
+    "resolve_entities_checkpointed", "resolve_entities_incremental",
+    "root_mean_square",
     "shingle_embedding_batch", "simhash_batch", "simhash_dedup",
     "solve_restack_coeffs",
     "spanify_text", "stripe_column", "write_corpus",

@@ -1,0 +1,151 @@
+"""Incremental entity resolution: fold a delta corpus into existing
+cluster state without rescoring history.
+
+Web-scale corpora arrive as deltas (a day's crawl), not reruns.  The
+batch chain (``pipelines/er.py``) would re-block and re-score the full
+history each time; this variant keeps a tiny persistent state —
+``mentions.parquet`` (distinct surface forms) and ``matches.parquet``
+(accepted match edges) — and per delta:
+
+1. extracts + dedups the delta's mentions (same combiner + groupby);
+2. unions them with prior mentions and re-blocks the union (banding is
+   cheap: O(distinct forms), no pair scoring);
+3. drops candidate pairs where BOTH sides are prior mentions — those
+   pairs were scored in an earlier run and their verdicts are already
+   in ``matches.parquet`` (broadcast membership test, no shuffle);
+4. scores only the surviving (new×new, new×old) pairs;
+5. unions new match edges with prior ones and re-runs transitive
+   closure over the merged edge set (closure is cheap relative to
+   scoring and must be global anyway — merges can bridge old
+   clusters);
+6. writes updated state back (atomic directory swap).
+
+Invariant (tested): incremental resolution over any split of a corpus
+produces exactly the clusters of one batch run over the whole corpus —
+because blocking is deterministic per mention, old-old pairs are
+already decided, and closure is associative.
+
+The reference has no incremental path (its engine is per-document and
+in-memory); this is the S9/north-rule resume story extended to data
+growth rather than failure recovery.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..stages.blocking import candidate_pairs
+from ..stages.cluster import propagate_labels
+from ..stages.scoring import score_pairs
+from .er import extract_spans, mentions_from_spans
+
+_MENTIONS = "mentions.parquet"
+_MATCHES = "matches.parquet"
+
+
+def _load_state(state_dir: str) -> tuple[pa.Table | None, pa.Table | None]:
+    mp = os.path.join(state_dir, _MENTIONS)
+    xp = os.path.join(state_dir, _MATCHES)
+    if not (os.path.exists(mp) and os.path.exists(xp)):
+        return None, None
+    return pq.read_table(mp), pq.read_table(xp)
+
+
+def _write_state(state_dir: str, mentions: pa.Table,
+                 matches: pa.Table) -> None:
+    """Atomic state update: write to a sibling tmp dir, swap."""
+    tmp = state_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(mentions, os.path.join(tmp, _MENTIONS))
+    pq.write_table(matches, os.path.join(tmp, _MATCHES))
+    old = state_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(state_dir):
+        os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def resolve_entities_incremental(delta_docs: "ray.data.Dataset",
+                                 state_dir: str, *,
+                                 assets: pa.Table | None = None,
+                                 num_partitions: int = 8,
+                                 concurrency=None,
+                                 kinds: tuple = ("ent", "media")) -> dict:
+    """Fold ``delta_docs`` into the ER state under ``state_dir``.
+
+    Returns {"clusters": Dataset over ALL known mentions, "mentions":
+    ..., "new_matches": ..., "scored_pairs_dropped": int}.
+    """
+    prior_mentions, prior_matches = _load_state(state_dir)
+
+    spans = extract_spans(delta_docs, concurrency=concurrency)
+    assets_ref = ray.put(assets) if assets is not None else None
+    delta_mentions = mentions_from_spans(spans, assets_ref, kinds=kinds)
+
+    if prior_mentions is None:
+        all_mentions = delta_mentions.materialize()
+        prior_keys: set = set()
+    else:
+        from ray.data.aggregate import Min, Sum
+
+        all_mentions = (delta_mentions
+                        .union(ray.data.from_arrow(prior_mentions))
+                        .groupby("key")
+                        .aggregate(Min("text", alias_name="text"),
+                                   Min("media_ref", alias_name="media_ref"),
+                                   Min("kind", alias_name="kind"),
+                                   Sum("n_mentions",
+                                       alias_name="n_mentions"))
+                        .materialize())
+        prior_keys = set(prior_mentions.column("key").to_pylist())
+
+    # NOTE at 10^12 scale ``prior_keys`` becomes a broadcast Bloom
+    # filter / hash-partitioned semi-join; a driver set is fine up to
+    # ~10^8 distinct forms (the state is distinct SURFACE FORMS, not
+    # documents — it grows sublinearly in corpus size).
+    keys_ref = ray.put(prior_keys)
+
+    def drop_old_old(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ka = t.column("key_a").to_pylist()
+        kb = t.column("key_b").to_pylist()
+        keep = [not (a in ks and b in ks) for a, b in zip(ka, kb)]
+        return t.filter(pa.array(keep))
+
+    pairs = candidate_pairs(all_mentions, concurrency=concurrency)
+    fresh_pairs = pairs.map_batches(drop_old_old, batch_format="pyarrow")
+    new_matches = score_pairs(fresh_pairs,
+                              concurrency=concurrency).materialize()
+
+    if prior_matches is not None and prior_matches.num_rows:
+        closure_edges = new_matches.union(
+            ray.data.from_arrow(prior_matches))
+    else:
+        closure_edges = new_matches
+
+    clusters = propagate_labels(all_mentions, closure_edges,
+                                num_partitions=num_partitions)
+
+    # persist updated state (distinct match edges keep state bounded)
+    from ..stages.scoring import dedup_matches
+
+    matches_t = pa.Table.from_pandas(
+        dedup_matches(closure_edges).to_pandas(), preserve_index=False)
+    mentions_t = pa.Table.from_pandas(all_mentions.to_pandas(),
+                                      preserve_index=False)
+    _write_state(state_dir, mentions_t, matches_t)
+
+    return {
+        "clusters": clusters,
+        "mentions": all_mentions,
+        "new_matches": new_matches,
+    }
