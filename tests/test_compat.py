@@ -1,0 +1,46 @@
+"""Reference-API façade: the reference's own extraction test
+(tests/test_extract.py:20-71 in /root/reference) transliterated to the
+compat layer — same call sequence, same expectations."""
+
+from __future__ import annotations
+
+
+def test_extract_herzog_via_compat():
+    import textgraphs_ray.compat as textgraphs
+
+    text = """
+Werner Herzog is a remarkable filmmaker and intellectual originally from Germany, the son of Dietrich Herzog.
+    """
+
+    tg = textgraphs.TextGraphs(factory=textgraphs.PipelineFactory())
+    pipe = tg.create_pipeline(text.strip())
+    tg.collect_graph_elements(pipe, debug=False)
+    tg.perform_entity_linking(pipe, debug=False)
+    tg.construct_lemma_graph(debug=False)
+    tg.calc_phrase_ranks(debug=False)
+
+    results = [(row["text"], row["pos"])
+               for _, row in tg.get_phrases_as_df().iterrows()][:4]
+
+    for pair in [("Germany", "PROPN"), ("Werner Herzog", "PROPN"),
+                 ("Dietrich Herzog", "PROPN")]:
+        assert pair in results
+
+    # exports run off the same state
+    rdf = tg.export_rdf()
+    assert "werner" in rdf.lower()
+    dumped = tg.dump_lemma_graph()
+    assert '"nodes"' in dumped and '"edges"' in dumped
+
+
+def test_compat_multi_doc_accumulation_and_er():
+    import textgraphs_ray.compat as textgraphs
+
+    tg = textgraphs.TextGraphs()
+    for text in ["Werner Herzog directed a film.",
+                 "W. Herzog visited Germany."]:
+        tg.collect_graph_elements(tg.create_pipeline(text))
+    clusters = tg.resolve_entities()
+    cl = dict(zip(clusters["key"], clusters["cluster_id"]))
+    # initial variant resolves to the same entity cluster
+    assert cl["werner.PROPN.herzog.PROPN"] == cl["w..PROPN.herzog.PROPN"]

@@ -1,0 +1,207 @@
+"""Reference-compatible façade (drop-in API parity layer).
+
+Users of DerwenAI/textgraphs drive a class-based, per-document API:
+
+    tg = textgraphs.TextGraphs(factory=textgraphs.PipelineFactory())
+    pipe = tg.create_pipeline(text)
+    tg.collect_graph_elements(pipe)
+    tg.perform_entity_linking(pipe)
+    tg.construct_lemma_graph()
+    tg.calc_phrase_ranks()
+    df = tg.get_phrases_as_df()
+
+(reference ``doc.py:383-959``, ``pipe.py:216-511``, demo ``demo.py``).
+This module reproduces that surface over the Ray Data stages so
+existing reference call sites run unchanged; each method mirrors one
+lifecycle step from SURVEY.md §3.  The façade is for interactive /
+single-document use — corpora should use ``pipelines/er.py`` and
+``pipelines/full.py`` directly (the façade materializes to pandas,
+which is exactly what the reference's in-memory engine does).
+
+Ray Data auto-initializes a local session on first use; the façade
+never calls ``ray.init`` itself (driver-owned sessions pass through).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+class PipelineFactory:
+    """Configuration holder (reference ``pipe.py:440-511``): the spaCy
+    model names become no-ops here — the deterministic NLP stand-in has
+    no models to load — but the constructor signature is preserved."""
+
+    def __init__(self, spacy_model: str = "en_core_web_sm",
+                 ner=None, aux=None, **kwargs) -> None:
+        self.spacy_model = spacy_model
+        self.ner = ner
+        self.aux = aux
+        self.kwargs = kwargs
+
+    def create_pipeline(self, text: str) -> "Pipeline":
+        return Pipeline(text)
+
+
+class Pipeline:
+    """One document's parse state (reference ``pipe.py:216-270``)."""
+
+    def __init__(self, text: str) -> None:
+        self.text = text.strip()
+
+
+class TextGraphs:
+    """Reference lifecycle façade over the Ray stages
+    (``doc.py:383-439`` construction)."""
+
+    def __init__(self, factory: PipelineFactory | None = None) -> None:
+        self.factory = factory or PipelineFactory()
+        self._texts: list[str] = []
+        self._docs_ds = None
+        self._spans = None
+        self._nodes = None
+        self._edges = None
+        self._links = None
+        self._phrases: pd.DataFrame | None = None
+        self._bootstrap_ttl: str | None = None
+
+    # -- lifecycle ------------------------------------------------------
+
+    def create_pipeline(self, text: str) -> Pipeline:
+        return self.factory.create_pipeline(text)
+
+    def collect_graph_elements(self, pipe: Pipeline, *,
+                               debug: bool = False) -> None:
+        """Accumulate one document's spans into the graph tables
+        (reference ``doc.py:441-538``)."""
+        from .pipelines.er import extract_spans, spanify_text
+        from .stages.graph import build_nodes
+
+        self._texts.append(pipe.text)
+        docs = pa.table({
+            "doc_id": pa.array([f"doc-{i:06d}"
+                                for i in range(len(self._texts))]),
+            "text": pa.array(self._texts),
+        })
+        self._docs_ds = spanify_text(rd.from_arrow(docs)).materialize()
+        self._spans = extract_spans(self._docs_ds).materialize()
+        self._nodes = build_nodes(self._spans).materialize()
+        self._edges = None  # invalidated until construct_lemma_graph
+        self._phrases = None
+
+    def perform_entity_linking(self, pipe: Pipeline | None = None, *,
+                               debug: bool = False) -> None:
+        """Deterministic local linking (reference ``kg.py:851-1142``
+        is network-bound; SURVEY J4-J7)."""
+        from .stages.link import link_entities
+
+        if self._nodes is None:
+            raise RuntimeError("collect_graph_elements first")
+        self._links = link_entities(self._nodes).materialize()
+
+    def infer_relations(self, pipe: Pipeline | None = None, *,
+                        debug: bool = False) -> pd.DataFrame:
+        """Relation inference over collected documents (reference
+        ``rel.py``; SURVEY T3/T4, M11)."""
+        from .stages.relations import infer_relations as _infer
+
+        if self._docs_ds is None:
+            raise RuntimeError("collect_graph_elements first")
+        return _infer(self._docs_ds).to_pandas()
+
+    def construct_lemma_graph(self, *, debug: bool = False) -> None:
+        """Dedup edge construction (reference ``doc.py:541-560``)."""
+        from .stages.graph import build_edges, extract_raw_edges
+
+        if self._docs_ds is None:
+            raise RuntimeError("collect_graph_elements first")
+        raw = self._docs_ds.map_batches(extract_raw_edges,
+                                        batch_format="pyarrow")
+        self._edges = build_edges(raw).materialize()
+
+    def calc_phrase_ranks(self, *, pr_alpha: float = 0.85,
+                          debug: bool = False) -> None:
+        """Per-partition TextRank + restack (reference
+        ``doc.py:796-932``; SURVEY A4/A5)."""
+        from .pipelines.phrases import ranked_phrases
+
+        if self._spans is None:
+            raise RuntimeError("collect_graph_elements first")
+        self._phrases = ranked_phrases(self._docs_ds,
+                                       self._spans).to_pandas()
+
+    # -- accessors / exports -------------------------------------------
+
+    def get_phrases_as_df(self) -> pd.DataFrame:
+        """Ranked phrases (reference ``doc.py:973-984``)."""
+        if self._phrases is None:
+            raise RuntimeError("calc_phrase_ranks first")
+        return self._phrases
+
+    def export_rdf(self, *, lang: str = "en") -> str:
+        """N-Triples export (reference ``doc.py:990-1082``)."""
+        from .sources.exports import export_rdf as _rdf
+
+        self._require_graph()
+        lines = _rdf(self._nodes, self._edges, lang=lang).to_pandas()
+        return "\n".join(lines["triple"])
+
+    def export_kuzu(self, out_dir: str) -> None:
+        """nodes/edges CSV export (reference ``doc.py:1215-1353``)."""
+        from .sources.exports import export_kuzu_csv
+
+        self._require_graph()
+        export_kuzu_csv(self._nodes, self._edges, out_dir)
+
+    def dump_lemma_graph(self) -> str:
+        """Canonical node-link JSON (reference ``graph.py:236-296``)."""
+        from .sources.nodelink import dump_node_link
+
+        self._require_graph()
+        return dump_node_link(
+            pa.Table.from_pandas(self._nodes.to_pandas(),
+                                 preserve_index=False),
+            pa.Table.from_pandas(self._edges.to_pandas(),
+                                 preserve_index=False))
+
+    def load_bootstrap_ttl(self, ttl: str) -> None:
+        """Seed synonym/class edges from Turtle (reference
+        ``doc.py:1103-1212``); unioned before closure."""
+        self._bootstrap_ttl = ttl
+
+    def resolve_entities(self, **kwargs) -> pd.DataFrame:
+        """Cluster assignment over collected documents — the engine's
+        flagship chain, exposed on the façade."""
+        from .pipelines.er import resolve_entities as _resolve
+
+        if self._docs_ds is None:
+            raise RuntimeError("collect_graph_elements first")
+        res = _resolve(self._docs_ds, num_partitions=4, **kwargs)
+        clusters = res["clusters"]
+        if self._bootstrap_ttl:
+            from .sources.ttl import bootstrap_tables
+            from .stages.cluster import propagate_labels
+
+            nodes_t, edges_t = bootstrap_tables(self._bootstrap_ttl)
+            nodes = res["mentions"].map_batches(
+                lambda t: pa.table({"key": t.column("key")}),
+                batch_format="pyarrow").union(
+                rd.from_arrow(pa.table({"key": nodes_t.column("key")})))
+            edges = res["match_edges"].map_batches(
+                lambda t: pa.table({"key_a": t.column("key_a"),
+                                    "key_b": t.column("key_b")}),
+                batch_format="pyarrow").union(
+                rd.from_arrow(pa.table({
+                    "key_a": edges_t.column("src_key"),
+                    "key_b": edges_t.column("dst_key")})))
+            clusters = propagate_labels(nodes, edges, num_partitions=4)
+        return clusters.to_pandas()
+
+    def _require_graph(self) -> None:
+        if self._nodes is None:
+            raise RuntimeError("collect_graph_elements first")
+        if self._edges is None:
+            raise RuntimeError("construct_lemma_graph first")

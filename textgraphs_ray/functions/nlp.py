@@ -25,8 +25,12 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-TOKEN_RE = re.compile(r"[A-Za-z0-9_']+|[^\sA-Za-z0-9_']", re.UNICODE)
-SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+# an initial ("W.") stays one token — spaCy's tokenizer exceptions do
+# the same for abbreviations (reference relies on spaCy here)
+TOKEN_RE = re.compile(r"\b[A-Z]\.(?=\s+[A-Z])|[A-Za-z0-9_']+|[^\sA-Za-z0-9_']",
+                      re.UNICODE)
+# don't break a sentence after a single-capital initial
+SENT_SPLIT_RE = re.compile(r"(?<=[.!?])(?<!\b[A-Z]\.)\s+")
 
 # Closed-class word lists (tiny, deterministic; POS tags follow the
 # Universal Dependencies tag set the reference's spaCy models emit).
