@@ -44,3 +44,19 @@ def test_compat_multi_doc_accumulation_and_er():
     cl = dict(zip(clusters["key"], clusters["cluster_id"]))
     # initial variant resolves to the same entity cluster
     assert cl["werner.PROPN.herzog.PROPN"] == cl["w..PROPN.herzog.PROPN"]
+
+
+def test_gor_compat_matches_pipeline():
+    from textgraphs_ray.compat import GraphOfRelations, KGWikiMedia
+
+    g = GraphOfRelations()
+    g.load_ingram("/root/reference/examples/ingram.json")
+    g.seeds()
+    g.construct_gor()
+    df = g.get_affinity_scores()
+    assert len(df) == 12 and {"rel_a", "rel_b", "score"} <= set(df.columns)
+
+    kg = KGWikiMedia()
+    assert kg.remap_ner("PERSON") == "http://dbpedia.org/ontology/Person"
+    assert kg.normalize_prefix(
+        "http://www.w3.org/2002/07/owl#Thing") == "owl:Thing"

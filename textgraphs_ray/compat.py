@@ -205,3 +205,55 @@ class TextGraphs:
             raise RuntimeError("collect_graph_elements first")
         if self._edges is None:
             raise RuntimeError("construct_lemma_graph first")
+
+
+class GraphOfRelations:
+    """Reference ``gor.py`` façade: InGram loader + affinity transform
+    (``gor.py:125-451``; SURVEY S2, A10-A13)."""
+
+    def __init__(self, source=None) -> None:
+        self.source = source
+        self._edges: pa.Table | None = None
+        self._rels: list[str] = []
+
+    def load_ingram(self, json_path: str, *, debug: bool = False) -> None:
+        from .pipelines.gor import load_ingram as _load
+
+        self._edges, self._rels, _ = _load(str(json_path))
+
+    def seeds(self, *, debug: bool = False) -> None:
+        """Half-edge seeding happens inside the distributed transform;
+        kept for call-site compatibility."""
+
+    def construct_gor(self, *, debug: bool = False) -> None:
+        """Pair/arc construction happens inside the distributed
+        transform; kept for call-site compatibility."""
+
+    def get_affinity_scores(self, *, num_perms: int = 0,
+                            debug: bool = False) -> pd.DataFrame:
+        from .pipelines.gor import affinity_scores
+
+        if self._edges is None:
+            raise RuntimeError("load_ingram first")
+        return affinity_scores(rd.from_arrow(self._edges), self._rels)
+
+
+class KGWikiMedia:
+    """Reference ``kg.py`` façade: the deterministic local stand-ins
+    for the DBPedia/Wikidata helpers (``kg.py:237-303, 501-550``)."""
+
+    def remap_ner(self, label):
+        from .functions.kg import remap_ner as _remap
+
+        return _remap(label)
+
+    def normalize_prefix(self, iri: str) -> str:
+        from .functions.kg import normalize_prefix as _norm
+
+        return _norm(iri)
+
+    def resolve_rel_iri(self, rel: str, *, lang: str = "en",
+                        debug: bool = False) -> str:
+        from .functions.kg import link_iri
+
+        return link_iri(rel)
