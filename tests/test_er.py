@@ -90,3 +90,51 @@ def test_cluster_determinism(small_corpus, er_result):
     a = a.sort_values("key").reset_index(drop=True)
     b = b.sort_values("key").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hot_surface_skew_bounded_and_correct():
+    """A hot entity with hundreds of DISTINCT 1-edit surface variants
+    lands in one first-token block; the cap/window + deletion-band
+    blocking must keep pair counts near-linear while still merging the
+    variants with the canonical form."""
+    import pyarrow as pa
+
+    from textgraphs_ray.pipelines.er import resolve_entities
+
+    canonical = "Silvester Quintana"
+    last = canonical.split()[1].lower()
+    variants = {canonical, canonical.upper(), "S. Quintana"}
+    # every single-deletion typo of the last name (distinct surfaces)
+    for p in range(1, len(last) - 1):
+        variants.add("Silvester " + (last[:p] + last[p + 1:]).capitalize())
+    # transpositions
+    for p in range(1, len(last) - 2):
+        sw = last[:p] + last[p + 1] + last[p] + last[p + 2:]
+        variants.add("Silvester " + sw.capitalize())
+    variants = sorted(variants)
+
+    rows = []
+    for i, v in enumerate(variants):
+        rows.append({"doc_id": f"d{i:04d}", "spans": [
+            {"kind": "ent", "text": v, "media_ref": "", "offset": 0}]})
+    # unrelated entities to keep the corpus realistic
+    for i in range(50):
+        rows.append({"doc_id": f"x{i:04d}", "spans": [
+            {"kind": "ent", "text": f"Other{i} Person{i}",
+             "media_ref": "", "offset": 0}]})
+    docs = pa.Table.from_pylist(rows)
+
+    res = resolve_entities(rd.from_arrow(docs), num_partitions=4)
+    cl = res["clusters"].to_pandas()
+    assign = dict(zip(cl["key"], cl["cluster_id"]))
+
+    canon_key = "silvester.PROPN.quintana.PROPN"
+    def key_of(surface: str) -> str:
+        return ".".join(w.lower() + ".PROPN" for w in surface.split())
+
+    merged = sum(1 for v in variants
+                 if assign[key_of(v)] == assign[canon_key])
+    # all 1-edit variants + case + initial forms co-cluster
+    assert merged >= len(variants) - 1
+    # unrelated entities stay singletons
+    assert assign["other0.PROPN.person0.PROPN"] != assign[canon_key]
