@@ -693,6 +693,29 @@ def _q_er_incremental(sf_dir: str):
         shutil.rmtree(state + ".old", ignore_errors=True)
 
 
+def _q_sessionize(sf_dir: str):
+    """Session windows: per user, a >30-min gap starts a new session
+    (sort + vectorized diff/cumsum inside the user group — the
+    sessionization pattern for event streams)."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "session_id": sid, "t_us": us})
+        return out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("t_us", "size"), t_start_us=("t_us", "min"))
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
 def _q_median_agg(sf_dir: str):
     """Exact per-group median (interpolated): groupby.map_groups with a
     vectorized quantile — the exact-quantile sibling of A7/A8's
@@ -882,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "median_agg": _q_median_agg,
         "er_incremental": _q_er_incremental,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -1065,6 +1089,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    round(median(o_totalprice), 2) AS median_price
             FROM orders GROUP BY o_orderpriority
+        """,
+        "sessionize": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (
+                         PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM d
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_us(min(ts)) AS t_start_us
+            FROM s GROUP BY user_id, session_id
         """,
         "o2_group_max": """
             SELECT s.s_nationkey, min(s.s_suppkey) AS s_suppkey,
