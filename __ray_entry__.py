@@ -716,6 +716,81 @@ def _q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def _q_rolling_avg(sf_dir: str):
+    """Per-user rolling mean over the last 3 events (ordered window
+    frame): sort + vectorized sliding sum inside the user group."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        v = g["value"].to_numpy(dtype=np.float64)
+        c = np.concatenate([[0.0], np.cumsum(v)])
+        n = len(v)
+        w = np.minimum(np.arange(1, n + 1), 3)
+        s = c[1:] - c[np.maximum(np.arange(n) - 2, 0)]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "roll_avg": np.round(s / w, 4)})
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+def _q_topk_group(sf_dir: str):
+    """Top-3 orders per customer by totalprice (per-group top-k —
+    GB.map_groups nlargest, deterministic tie-break by orderkey)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="stable").head(3)
+        g = g.copy()
+        g["rk"] = np.arange(1, len(g) + 1)
+        g["o_totalprice"] = g["o_totalprice"].round(2)
+        return g[["o_custkey", "rk", "o_orderkey", "o_totalprice"]]
+
+    return ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+
+
+def _q_pivot(sf_dir: str):
+    """Pivot: per-user event-type counts as columns (conditional
+    aggregation — vectorized masks per batch, then one groupby-sum)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    types = ["click", "view", "purchase", "error"]
+
+    def onehot(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cols = {"user_id": t.column("user_id")}
+        for ty in types:
+            cols["n_" + ty] = pc.cast(pc.equal(et, ty), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(onehot, batch_format="pyarrow").groupby(
+        "user_id").aggregate(
+        *[Sum("n_" + ty, alias_name="n_" + ty) for ty in types])
+
+
+def _q_p90_agg(sf_dir: str):
+    """Exact interpolated p90 per group (numpy linear interpolation ==
+    SQL quantile_cont)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+
+    def p90(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "p90_price": [round(float(np.percentile(
+                g["l_extendedprice"], 90)), 2)],
+        })
+
+    return ds.groupby("l_returnflag").map_groups(p90,
+                                                 batch_format="pandas")
+
+
 def _q_median_agg(sf_dir: str):
     """Exact per-group median (interpolated): groupby.map_groups with a
     vectorized quantile — the exact-quantile sibling of A7/A8's
@@ -906,6 +981,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_agg": _q_median_agg,
         "er_incremental": _q_er_incremental,
         "sessionize": _q_sessionize,
+        "rolling_avg": _q_rolling_avg,
+        "topk_group": _q_topk_group,
+        "pivot": _q_pivot,
+        "p90_agg": _q_p90_agg,
     }
 
 
@@ -1089,6 +1168,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    round(median(o_totalprice), 2) AS median_price
             FROM orders GROUP BY o_orderpriority
+        """,
+        "rolling_avg": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS roll_avg
+            FROM events
+        """,
+        "topk_group": """
+            SELECT o_custkey, rk, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+            WHERE rk <= 3
+        """,
+        "pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "p90_agg": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.9), 2)
+                       AS p90_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "sessionize": """
             WITH d AS (
