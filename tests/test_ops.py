@@ -287,3 +287,25 @@ def test_kuzu_export_roundtrip(tmp_path, small_corpus):
     back = rdm.read_csv(str(tmp_path / "nodes"))
     assert back.count() == n_nodes
     assert "key" in back.schema().names
+
+
+def test_empty_inputs_are_graceful():
+    """Every operator family returns an empty, well-typed result on an
+    empty dataset (no crashes at partition boundaries)."""
+    from textgraphs_ray.stages.dedup import exact_dedup, minhash_dedup
+    from textgraphs_ray.stages.similarity import knn_brute, knn_ivf, knn_lsh
+
+    empty_docs = pa.table({"doc_id": pa.array([], pa.string()),
+                           "text": pa.array([], pa.string())})
+    assert exact_dedup(rd.from_arrow(empty_docs)).count() == 0
+    assert minhash_dedup(rd.from_arrow(empty_docs),
+                         concurrency=1).count() == 0
+
+    emb = pa.table({"vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32()))})
+    q = np.zeros((2, 8), dtype=np.float32)
+    q[:, 0] = 1.0
+    for fn in (knn_brute, knn_lsh):
+        out = fn(rd.from_arrow(emb), q, k=3)
+        assert len(out) == 0
+        assert list(out.columns) == ["query_id", "rank", "vec_id", "sim"]

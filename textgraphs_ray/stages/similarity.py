@@ -57,6 +57,11 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         })
 
     parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
     parts = parts.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True],
         kind="stable")
@@ -117,6 +122,11 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         })
 
     parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
     parts = parts.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True],
         kind="stable")
@@ -189,6 +199,11 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         })
 
     parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
     parts = parts.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True],
         kind="stable")
