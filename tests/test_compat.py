@@ -60,3 +60,17 @@ def test_gor_compat_matches_pipeline():
     assert kg.remap_ner("PERSON") == "http://dbpedia.org/ontology/Person"
     assert kg.normalize_prefix(
         "http://www.w3.org/2002/07/owl#Thing") == "owl:Thing"
+
+
+def test_render_pyvis_styling():
+    import textgraphs_ray.compat as textgraphs
+
+    tg = textgraphs.TextGraphs()
+    tg.collect_graph_elements(tg.create_pipeline(
+        "Werner Herzog directed a film in Germany."))
+    tg.construct_lemma_graph()
+    tg.calc_phrase_ranks()
+    nodes, edges = textgraphs.RenderPyVis(tg).render_lemma_graph()
+    assert {"shape", "color", "size"} <= set(nodes.columns)
+    assert (nodes.loc[nodes["kind"] == "ent", "shape"] == "circle").all()
+    assert len(edges) > 0

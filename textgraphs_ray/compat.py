@@ -257,3 +257,78 @@ class KGWikiMedia:
         from .functions.kg import link_iri
 
         return link_iri(rel)
+
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass
+class NodeStyle:
+    """PyVis node styling (reference ``vis.py:31-37``)."""
+    label: str
+    shape: str
+    color: str
+
+
+NODE_STYLES = [
+    NodeStyle(label="dep", shape="star", color="hsla(72, 19%, 90%, 0.4)"),
+    NodeStyle(label="lem", shape="square", color="hsla(306, 45%, 57%, 0.95)"),
+    NodeStyle(label="ent", shape="circle", color="hsla(65, 46%, 58%, 0.95)"),
+    NodeStyle(label="chu", shape="triangle", color="hsla(72, 19%, 90%, 0.9)"),
+    NodeStyle(label="iri", shape="diamond", color="hsla(55, 17%, 49%, 0.95)"),
+    NodeStyle(label="media", shape="box", color="hsla(200, 40%, 60%, 0.9)"),
+]
+
+
+class RenderPyVis:
+    """Lemma-graph rendering (reference ``vis.py:70-204``): produces
+    the styled node/edge tables; the actual PyVis network is built only
+    when the optional ``pyvis`` package is importable (absent in this
+    container — the data contract is the tested surface)."""
+
+    def __init__(self, tg: TextGraphs) -> None:
+        self.tg = tg
+
+    def styled_nodes(self) -> pd.DataFrame:
+        self.tg._require_graph()
+        styles = {s.label: s for s in NODE_STYLES}
+        df = self.tg._nodes.to_pandas()
+        df["shape"] = [styles[k].shape if k in styles else "dot"
+                       for k in df["kind"]]
+        df["color"] = [styles[k].color if k in styles else "#999"
+                       for k in df["kind"]]
+        # node size follows rank weight when phrase ranks were computed
+        if self.tg._phrases is not None:
+            w = dict(zip(self.tg._phrases["key"],
+                         self.tg._phrases["weight"]))
+            df["size"] = [10 + 60 * float(w.get(k, 0.0))
+                          for k in df["key"]]
+        else:
+            df["size"] = 10.0
+        return df
+
+    def styled_edges(self) -> pd.DataFrame:
+        self.tg._require_graph()
+        return self.tg._edges.to_pandas()
+
+    def render_lemma_graph(self, html_path: str | None = None):
+        """Build the PyVis network when pyvis is available; always
+        returns (nodes_df, edges_df)."""
+        nodes, edges = self.styled_nodes(), self.styled_edges()
+        try:  # pragma: no cover - pyvis absent in this container
+            from pyvis.network import Network
+
+            net = Network(height="1200px")
+            for _, r in nodes.iterrows():
+                net.add_node(r["key"], label=r["text"], shape=r["shape"],
+                             color=r["color"], size=r["size"])
+            for _, r in edges.iterrows():
+                if r["src_key"] in set(nodes["key"]) and \
+                        r["dst_key"] in set(nodes["key"]):
+                    net.add_edge(r["src_key"], r["dst_key"],
+                                 title=r.get("rel", ""))
+            if html_path:
+                net.write_html(html_path)
+        except ImportError:
+            pass
+        return nodes, edges

@@ -107,14 +107,9 @@ def ranked_phrases(docs_ds: "ray.data.Dataset",
     weight), weight>0 only, sorted desc by weight (doc.py:940-959)."""
     nodes = doc_nodes(spans_ds).materialize()
     edges = doc_edges(docs_ds)
-    ranked = rank_partitions(nodes, edges)  # (key, part, weight, neighbors)
-
-    attrs = nodes.map_batches(
-        lambda t: t.select(["part", "key", "text", "pos", "label", "kind",
-                            "count"]),
-        batch_format="pyarrow")
-    joined = ranked.join(attrs, join_type="inner", on=("part", "key"),
-                         num_partitions=8)
+    # rank_partitions carries the node attribute columns through its
+    # one partition shuffle, so no attribute join is needed here
+    joined = rank_partitions(nodes, edges)
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

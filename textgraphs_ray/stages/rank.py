@@ -169,6 +169,15 @@ def _rank_group(g: pd.DataFrame) -> pd.DataFrame:
         "part": nodes["part"].iloc[0] if n else "",
         "weight": stacked,
         "neighbors": neigh.astype(np.int32),
+        # node attributes ride along so downstream phrase emission
+        # needs NO attribute join (Ray's hash join drops the schema of
+        # empty shuffle partitions; carrying columns through the one
+        # existing sort costs a few bytes/row instead)
+        "text": nodes["text"].to_numpy(),
+        "pos": nodes["pos"].to_numpy(),
+        "label": nodes["label"].to_numpy(),
+        "kind": nodes["kind"].to_numpy(),
+        "count": nodes["count"].to_numpy(),
     })
 
 
@@ -192,6 +201,9 @@ def rank_partitions(nodes_ds: "ray.data.Dataset",
             "kind": t.column("kind"),
             "count": t.column("count"),
             "sub_obj": t.column("sub_obj"),
+            "text": t.column("text"),
+            "pos": t.column("pos"),
+            "label": t.column("label"),
             "src_key": pa.array([""] * n),
             "dst_key": pa.array([""] * n),
         })
@@ -205,6 +217,9 @@ def rank_partitions(nodes_ds: "ray.data.Dataset",
             "kind": pa.array([""] * n),
             "count": pa.array(np.zeros(n, np.int64)),
             "sub_obj": pa.array([False] * n),
+            "text": pa.array([""] * n),
+            "pos": pa.array([""] * n),
+            "label": pa.array([""] * n),
             "src_key": t.column("src_key"),
             "dst_key": t.column("dst_key"),
         })
