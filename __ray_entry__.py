@@ -716,6 +716,53 @@ def _q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def _q_multi_join(sf_dir: str):
+    """Three-way join chain + rollup (TPC-H Q5 shape): lineitem ⨝
+    orders ⨝ customer ⨝ nation → revenue per nation.  The two big
+    sides use the distributed hash join; the tiny nation map is a
+    broadcast lookup."""
+    from ray.data.aggregate import Count, Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    li = li.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "rev": pc.multiply(t.column("l_extendedprice"),
+                               pc.subtract(pa.scalar(1.0),
+                                           t.column("l_discount")))}),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j1 = li.join(orders, join_type="inner", on=("o_orderkey",),
+                 num_partitions=8)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    j2 = j1.join(cust, join_type="inner", on=("o_custkey",),
+                 num_partitions=8)
+    nation = {r["n_nationkey"]: r["n_name"] for r in rd.read_parquet(
+        f"{sf_dir}/nation.parquet").take_all()}
+    nref = ray.put(nation)
+
+    def add_name(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        names = [nm[k] for k in t.column("c_nationkey").to_pylist()]
+        return t.append_column("n_name", pa.array(names, pa.string()))
+
+    out = (j2.map_batches(add_name, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("rev", alias_name="revenue")))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"),
+                               "revenue", pc.round(t.column("revenue"), 2)),
+        batch_format="pyarrow")
+
+
 def _q_rolling_avg(sf_dir: str):
     """Per-user rolling mean over the last 3 events (ordered window
     frame): sort + vectorized sliding sum inside the user group."""
@@ -981,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_agg": _q_median_agg,
         "er_incremental": _q_er_incremental,
         "sessionize": _q_sessionize,
+        "multi_join": _q_multi_join,
         "rolling_avg": _q_rolling_avg,
         "topk_group": _q_topk_group,
         "pivot": _q_pivot,
@@ -1168,6 +1216,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    round(median(o_totalprice), 2) AS median_price
             FROM orders GROUP BY o_orderpriority
+        """,
+        "multi_join": """
+            SELECT n_name, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "rolling_avg": """
             SELECT event_id,
