@@ -310,15 +310,17 @@ def _q_knn_lsh(sf_dir: str):
 
 def _q_media_features(sf_dir: str):
     from textgraphs_ray.stages.media import (DecodeStub, MediaFeaturizer,
-                                             synth_media_table)
+                                             ResizeStub, synth_media_table)
 
     ds = rd.from_arrow(synth_media_table(200))
     out = (ds.map_batches(DecodeStub, batch_format="pyarrow",
                           batch_size=32, concurrency=2)
+           .map_batches(ResizeStub, batch_format="pyarrow",
+                        batch_size=32, concurrency=2)
            .map_batches(MediaFeaturizer, batch_format="pyarrow",
                         batch_size=32, concurrency=2))
     return out.select_columns(["media_ref", "media_type", "decoded_bytes",
-                               "checksum"])
+                               "checksum", "out_w", "out_h"])
 
 
 def _q_lang_id(sf_dir: str):

@@ -309,3 +309,20 @@ def test_empty_inputs_are_graceful():
         out = fn(rd.from_arrow(emb), q, k=3)
         assert len(out) == 0
         assert list(out.columns) == ["query_id", "rank", "vec_id", "sim"]
+
+
+def test_resize_stub():
+    from textgraphs_ray.stages.media import ResizeStub, synth_media_table
+
+    t = synth_media_table(12)
+    out = rd.from_arrow(t).map_batches(
+        ResizeStub, batch_format="pyarrow", batch_size=4,
+        concurrency=1).to_pandas()
+    assert (out["resized"].str.len() <= 64 * 64).all()
+    assert (out["out_w"] == 64).all()
+    # strict mode marks the real-codec boundary
+    strict = rd.from_arrow(t.slice(0, 2)).map_batches(
+        ResizeStub, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"strict": True})
+    with pytest.raises(Exception):
+        strict.count()

@@ -85,6 +85,43 @@ class MediaFeaturizer:
         return batch.append_column("embedding", col)
 
 
+class ResizeStub:
+    """Image-resize stage.  STUB: a real implementation calls
+    PIL/opencv inside ``__call__``; here the "resize" is a
+    deterministic byte-level downsample to ``target_bytes`` (stride
+    slicing) with the real Ray-side contract — output schema adds
+    (``resized``, binary) + (``out_w``, ``out_h``, int32), small
+    ``batch_size`` because rows are wide, actor pool because a real
+    resizer holds codec state."""
+
+    def __init__(self, *, target_w: int = 64, target_h: int = 64,
+                 strict: bool = False) -> None:
+        self.target_w = target_w
+        self.target_h = target_h
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "image resize requires PIL/opencv, absent here; "
+                "strict=False runs the deterministic byte downsampler")
+        target = self.target_w * self.target_h
+        out = []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            if len(p) <= target:
+                out.append(p)
+            else:
+                stride = max(1, len(p) // target)
+                out.append(p[::stride][:target])
+        n = batch.num_rows
+        return (batch.append_column("resized", pa.array(out, pa.binary()))
+                .append_column("out_w", pa.array(
+                    np.full(n, self.target_w, np.int32)))
+                .append_column("out_h", pa.array(
+                    np.full(n, self.target_h, np.int32))))
+
+
 class FrameSampler:
     """"video" payload → one child row per sampled frame (every
     ``stride``-th fixed-size slice in the stub; a real decoder would
