@@ -23,7 +23,11 @@ history each time; this variant keeps a tiny persistent state —
 Invariant (tested): incremental resolution over any split of a corpus
 produces exactly the clusters of one batch run over the whole corpus —
 because blocking is deterministic per mention, old-old pairs are
-already decided, and closure is associative.
+already decided, and closure is associative.  Caveat: in buckets over
+the skew cap the sorted-neighbor window re-pairs when membership
+changes, so an old-old window pair that only materializes after new
+members arrive is dropped unscored — the same candidate-loss class the
+cap itself accepts; equality is exact for all uncapped buckets.
 
 The reference has no incremental path (its engine is per-document and
 in-memory); this is the S9/north-rule resume story extended to data
