@@ -78,11 +78,11 @@ def _q_j2_edge_dedup(sf_dir: str):
 
 def _q_j3_anti_join(sf_dir: str):
     """J3: anti-join via broadcast key set — customers who never placed
-    a high-value (>100000) order."""
+    a high-value (>400000) order."""
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     big = orders.map_batches(
-        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 100000.0)),
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400000.0)),
         batch_format="pyarrow")
     keys = set()
     for b in big.iter_batches(batch_format="pyarrow"):
@@ -832,12 +832,25 @@ def _q_p90_agg(sf_dir: str):
     def p90(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "p90_price": [round(float(np.percentile(
-                g["l_extendedprice"], 90)), 2)],
+            "p90_price": [_quantile_cont(
+                g["l_extendedprice"].to_numpy(), 0.9)],
         })
 
     return ds.groupby("l_returnflag").map_groups(p90,
                                                  batch_format="pandas")
+
+
+def _quantile_cont(values: np.ndarray, q: float) -> float:
+    """SQL ``quantile_cont`` bit-exactly: ``lo + (hi - lo) * frac``
+    (numpy's median/percentile use different fp expressions whose last
+    bit can flip a round(…, 2) at x.xx5 boundaries)."""
+    v = np.sort(values.astype(np.float64))
+    pos = (len(v) - 1) * q
+    lo = int(np.floor(pos))
+    frac = pos - lo
+    if lo + 1 >= len(v):
+        return float(v[lo])
+    return float(v[lo] + (v[lo + 1] - v[lo]) * frac)
 
 
 def _q_median_agg(sf_dir: str):
@@ -850,7 +863,8 @@ def _q_median_agg(sf_dir: str):
     def med(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-            "median_price": [round(float(np.median(g["o_totalprice"])), 2)],
+            "median_price": [_quantile_cont(
+                g["o_totalprice"].to_numpy(), 0.5)],
         })
 
     return ds.groupby("o_orderpriority").map_groups(med,
@@ -1053,7 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "j3_anti_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (
-                SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+                SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         """,
         "o1_topk": """
             SELECT o_orderkey, round(o_totalprice, 2) AS total
@@ -1216,7 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "median_agg": """
             SELECT o_orderpriority,
-                   round(median(o_totalprice), 2) AS median_price
+                   quantile_cont(o_totalprice, 0.5) AS median_price
             FROM orders GROUP BY o_orderpriority
         """,
         "multi_join": """
@@ -1258,8 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "p90_agg": """
             SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.9), 2)
-                       AS p90_price
+                   quantile_cont(l_extendedprice, 0.9) AS p90_price
             FROM lineitem GROUP BY l_returnflag
         """,
         "sessionize": """
