@@ -100,10 +100,22 @@ def _q_j3_anti_join(sf_dir: str):
 
 
 def _q_o1_topk(sf_dir: str):
-    """O1: global sort + limit (top-10 orders by totalprice)."""
+    """O1: top-10 orders by totalprice — per-block partial top-k
+    combiner, then a sort over only the partials (a global sort of
+    10^12 rows for a top-10 is an all-to-all for nothing; the combiner
+    moves ≤ k rows per block)."""
+    K = 10
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_totalprice"])
-    top = ds.sort("o_totalprice", descending=True).limit(10)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=min(K, t.num_rows),
+            sort_keys=[("o_totalprice", "descending")])
+        return t.take(idx)
+
+    top = (ds.map_batches(partial_topk, batch_format="pyarrow")
+           .sort("o_totalprice", descending=True).limit(K))
     return top.map_batches(
         lambda t: pa.table({
             "o_orderkey": t.column("o_orderkey"),
