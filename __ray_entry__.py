@@ -344,14 +344,21 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_a3_distinct_count(sf_dir: str):
-    """A3 analog: per-key distinct-count via two-level groupby (the
-    neighbor-count pattern: dedup on (key, value) then count)."""
-    from ray.data.aggregate import Count
-
+    """A3 analog: per-key distinct-count — per-batch (key, value)
+    dedup combiner (Arrow group_by) shrinks the first shuffle to
+    distinct-pairs-per-block, then the two-level groupby counts."""
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_returnflag"])
-    distinct = li.groupby(["l_orderkey", "l_returnflag"]).aggregate(
-        Count(alias_name="_n"))
+
+    from ray.data.aggregate import Count
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_returnflag"]).aggregate(
+            []).select(["l_orderkey", "l_returnflag"])
+
+    distinct = (li.map_batches(dedup_pairs, batch_format="pyarrow")
+                .groupby(["l_orderkey", "l_returnflag"])
+                .aggregate(Count(alias_name="_n")))
     return distinct.groupby("l_orderkey").aggregate(
         Count(alias_name="n_flags")).select_columns(
         ["l_orderkey", "n_flags"])
