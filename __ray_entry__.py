@@ -872,6 +872,18 @@ def _quantile_cont(values: np.ndarray, q: float) -> float:
     return float(v[lo] + (v[lo + 1] - v[lo]) * frac)
 
 
+def _q_curate(sf_dir: str):
+    """Composed training-data curation: quality+language filter →
+    exact dedup → MinHash near-dedup → curated docs (stats audited in
+    pipelines/curate.py)."""
+    from textgraphs_ray.pipelines.curate import curate_corpus
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    res = curate_corpus(docs, min_quality=0.0, langs=("en", "und"),
+                        jaccard_threshold=0.8, concurrency=2)
+    return res["docs"].select_columns(["doc_id"])
+
+
 def _q_median_agg(sf_dir: str):
     """Exact per-group median (interpolated): groupby.map_groups with a
     vectorized quantile — the exact-quantile sibling of A7/A8's
@@ -1068,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_group": _q_topk_group,
         "pivot": _q_pivot,
         "p90_agg": _q_p90_agg,
+        "curate": _q_curate,
     }
 
 

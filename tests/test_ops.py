@@ -326,3 +326,21 @@ def test_resize_stub():
         fn_constructor_kwargs={"strict": True})
     with pytest.raises(Exception):
         strict.count()
+
+
+def test_curate_corpus(dup_docs):
+    from textgraphs_ray.pipelines.curate import curate_corpus
+
+    res = curate_corpus(rd.from_arrow(dup_docs), min_quality=0.0,
+                        langs=("en", "und"), jaccard_threshold=0.6,
+                        concurrency=1)
+    stats = res["stats"]
+    out_ids = {str(r["doc_id"]) for r in res["docs"].iter_rows()}
+    assert stats["input"] == dup_docs.num_rows
+    # exact dup (101) and near dups (102, 103) dropped; keeper 100 kept
+    assert "100" in out_ids or 100 in {r["doc_id"]
+                                       for r in res["docs"].iter_rows()}
+    dropped = {str(i) for i in (101, 102, 103)}
+    assert not (dropped & {str(i) for i in out_ids})
+    assert stats["output"] == stats["after_quality_lang"] \
+        - stats["exact_dup_losers"] - stats["near_dup_losers"]

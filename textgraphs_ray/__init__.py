@@ -22,6 +22,7 @@ from .functions.strsim import (jaro_winkler, jaro_winkler_batch,
                                osa_distance)
 from .pipelines.er import (extract_spans, mentions_from_spans,
                            resolve_entities, spanify_text)
+from .pipelines.curate import curate_corpus
 from .pipelines.er_incremental import resolve_entities_incremental
 from .pipelines.er_resume import resolve_entities_checkpointed
 from .pipelines.full import analyze
@@ -39,7 +40,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "NER_MAP", "NS_PREFIX", "affinity_scores", "analyze", "band_keys",
-    "calc_quantile_bins", "char_shingles", "embedding_dedup",
+    "calc_quantile_bins", "char_shingles", "curate_corpus",
+    "embedding_dedup",
     "er_f1_against_truth", "exact_dedup", "extract_spans",
     "generate_corpus", "jaccard_shingles", "jaro_winkler",
     "jaro_winkler_batch", "knn_brute", "knn_ivf", "knn_lsh",
