@@ -91,8 +91,9 @@ def _q_j3_anti_join(sf_dir: str):
 
     def anti(batch: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
-        mask = [v not in ks for v in batch.column("c_custkey").to_pylist()]
-        return batch.filter(pa.array(mask))
+        hit = pc.is_in(batch.column("c_custkey"),
+                       value_set=pa.array(list(ks), pa.int64()))
+        return batch.filter(pc.invert(hit))
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
@@ -429,8 +430,10 @@ def _q_m6_label_remap(sf_dir: str):
 
     def remap(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        iri = pa.array([m.get(v, "owl:Thing")
-                        for v in t.column("lang").to_pylist()], pa.string())
+        keys = pa.array(list(m.keys()), pa.string())
+        vals = pa.array(list(m.values()), pa.string())
+        idx = pc.index_in(t.column("lang"), value_set=keys)
+        iri = pc.fill_null(pc.take(vals, idx), "owl:Thing")
         return pa.table({"lang_iri": iri})
 
     ds = _docs(sf_dir, columns=["lang"])
@@ -510,10 +513,11 @@ def _q_o2_group_max(sf_dir: str):
 
     def argmax(t: pa.Table) -> pa.Table:
         m = ray.get(best_ref)
-        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
-        bal = t.column("s_acctbal").to_numpy(zero_copy_only=False)
-        mask = np.asarray([bal[i] == m[nk[i]] for i in range(len(nk))])
-        return t.filter(pa.array(mask))
+        keys = pa.array(list(m.keys()), t.schema.field("s_nationkey").type)
+        vals = pa.array(list(m.values()), pa.float64())
+        idx = pc.index_in(t.column("s_nationkey"), value_set=keys)
+        best = pc.take(vals, idx)
+        return t.filter(pc.equal(t.column("s_acctbal"), best))
 
     winners = ds.map_batches(argmax, batch_format="pyarrow")
     out = winners.groupby("s_nationkey").aggregate(
@@ -1317,9 +1321,9 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, ts,
-                     sum(new_sess) OVER (
+                     (sum(new_sess) OVER (
                          PARTITION BY user_id ORDER BY ts
-                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                         ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
               FROM d
             )
             SELECT user_id, session_id, count(*) AS n_events,

@@ -162,7 +162,7 @@ def scaling() -> None:
     # Scaling verdicts need a compute-dominated job: at 20k tiny docs
     # the fixed per-stage costs (stage startup, driver union-find,
     # small shuffles) flatten the curve, so the N-vs-4N comparison runs
-    # the ER chain over 150k web-document-sized docs (60 extra filler
+    # the ER chain over 800k web-document-sized docs (200 extra filler
     # spans each ≈ realistic token counts) unless overridden.
     scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "800000")
     scaling_filler = os.environ.get("GRAFT_SCALING_FILLER", "200")

@@ -305,7 +305,7 @@ def test_empty_inputs_are_graceful():
                     "embedding": pa.array([], pa.list_(pa.float32()))})
     q = np.zeros((2, 8), dtype=np.float32)
     q[:, 0] = 1.0
-    for fn in (knn_brute, knn_lsh):
+    for fn in (knn_brute, knn_lsh, knn_ivf):
         out = fn(rd.from_arrow(emb), q, k=3)
         assert len(out) == 0
         assert list(out.columns) == ["query_id", "rank", "vec_id", "sim"]

@@ -149,8 +149,6 @@ def osa_distance(a: str, b: str) -> int:
     name-compat rule on candidate pairs only, never over the full
     stream)."""
     la, lb = len(a), len(b)
-    if abs(la - lb) > 2:
-        return abs(la - lb)
     d = [[0] * (lb + 1) for _ in range(la + 1)]
     for i in range(la + 1):
         d[i][0] = i

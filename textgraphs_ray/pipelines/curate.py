@@ -29,15 +29,20 @@ from ..stages.text import LangId, QualityScorer
 
 
 def _loser_ids_exact(ds, id_col: str, text_col: str) -> set:
-    """Exact-dup losers: every id except each fingerprint's keeper."""
+    """Exact-dup losers: every id except each fingerprint's keeper.
+
+    The duplicated-fingerprint table is collected ONCE (it has one row
+    per duplicated hash — small whenever the dup rate is bounded); the
+    loser scan itself is a distributed ``map_batches``."""
     fp = exact_dedup(ds, text_col=text_col, id_col=id_col)
-    dup_fps = fp.filter(lambda r: r["n_dups"] > 1)
-    keepers = {r["keeper"] for r in dup_fps.iter_rows()}
+    dup_rows = fp.filter(lambda r: r["n_dups"] > 1).take_all()
+    keepers = {r["keeper"] for r in dup_rows}
+    dup_fp_set = {r["fp"] for r in dup_rows}
     # re-scan: ids sharing a duplicated fingerprint, minus keepers
     import hashlib
 
     keep_ref = ray.put(keepers)
-    fps_ref = ray.put({r["fp"] for r in dup_fps.iter_rows()})
+    fps_ref = ray.put(dup_fp_set)
 
     def losers(batch: pa.Table) -> pa.Table:
         ks = ray.get(keep_ref)
@@ -56,17 +61,41 @@ def _loser_ids_exact(ds, id_col: str, text_col: str) -> set:
 def _loser_ids_near(ds, id_col: str, text_col: str,
                     jaccard_threshold: float, concurrency) -> set:
     """Near-dup losers: every member of a multi-doc cluster except the
-    min id (cluster ids are strings — ids compared as strings)."""
+    min id (cluster ids are strings — ids compared as strings).
+
+    Keeper selection is DISTRIBUTED: a groupby(cluster_id) aggregate
+    picks min-id keeper + cluster size; only multi-doc clusters (≤ the
+    loser count, small by the bounded-dup-rate assumption) reach the
+    driver, and the loser scan is a broadcast-lookup ``map_batches``
+    over the cluster table — never a full-table ``to_pandas``."""
+    from ray.data.aggregate import Count, Min
+
     clusters = minhash_dedup(ds, text_col=text_col, id_col=id_col,
                              jaccard_threshold=jaccard_threshold,
                              concurrency=concurrency)
-    import pandas as pd
+    agg = clusters.groupby("cluster_id").aggregate(
+        Min("key", alias_name="keeper"), Count(alias_name="sz"))
+    multi = agg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("sz"), 1)),
+        batch_format="pyarrow")
+    keeper_by_cluster = {r["cluster_id"]: r["keeper"]
+                         for r in multi.take_all()}
+    ref = ray.put(keeper_by_cluster)
 
-    df = clusters.to_pandas()
-    sizes = df.groupby("cluster_id")["key"].transform("size")
-    multi = df[sizes > 1]
-    keep = multi.groupby("cluster_id")["key"].transform("min")
-    return set(multi.loc[multi["key"] != keep, "key"])
+    def losers(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        if not m:
+            return pa.table({"loser": pa.array([], pa.string())})
+        cids = pa.array(list(m.keys()), t.schema.field("cluster_id").type)
+        keeps = pa.array(list(m.values()), pa.string())
+        idx = pc.index_in(t.column("cluster_id"), value_set=cids)
+        keeper = pc.take(keeps, idx)
+        is_loser = pc.and_(pc.is_valid(keeper),
+                           pc.not_equal(t.column("key"), keeper))
+        return pa.table({"loser": t.filter(is_loser).column("key")})
+
+    loser_ds = clusters.map_batches(losers, batch_format="pyarrow")
+    return {r["loser"] for r in loser_ds.iter_rows()}
 
 
 def curate_corpus(docs_ds: "ray.data.Dataset", *,
@@ -111,9 +140,13 @@ def curate_corpus(docs_ds: "ray.data.Dataset", *,
     def drop_losers(t: pa.Table) -> pa.Table:
         ex = ray.get(losers_ref)
         nr = ray.get(near_ref)
-        ids = t.column(id_col).to_pylist()
-        mask = [i not in ex and str(i) not in nr for i in ids]
-        return t.filter(pa.array(mask))
+        ids = t.column(id_col)
+        in_ex = pc.is_in(ids, value_set=pa.array(
+            list(ex), ids.type)) if ex else pa.array([False] * len(ids))
+        sids = pc.cast(ids, pa.string())
+        in_nr = pc.is_in(sids, value_set=pa.array(
+            list(nr), pa.string())) if nr else pa.array([False] * len(ids))
+        return t.filter(pc.invert(pc.or_(in_ex, in_nr)))
 
     curated = kept.map_batches(drop_losers, batch_format="pyarrow")
 

@@ -3,8 +3,10 @@
 - :func:`knn_brute` — brute-force cosine top-k baseline: every batch is
   one numpy matmul against the broadcast query matrix (``ray.put``
   once, fetched once per task); per-batch partial top-k rows are merged
-  by a tiny driver-side reduction.  O(N·Q·D) but perfectly streaming —
-  the correctness oracle for the ANN path.
+  by a distributed groupby(query_id) reduce (:func:`_merge_topk`), so
+  no task sees more than blocks·k rows per query and the driver only
+  receives the final Q·k.  O(N·Q·D) but perfectly streaming — the
+  correctness oracle for the ANN path.
 
 - :func:`knn_lsh` — random-hyperplane LSH (IVF-style scale path): probe
   only buckets matching the query signature (multi-probe over Hamming
@@ -25,6 +27,36 @@ import ray.data
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                         "rank": pd.Series([], dtype="int64"),
+                         "vec_id": pd.Series([], dtype="int64"),
+                         "sim": pd.Series([], dtype="float64")})
+
+
+def _merge_topk(parts: "ray.data.Dataset", k: int, *,
+                exclude_self: bool = False) -> pd.DataFrame:
+    """Distributed second-stage reduce of per-block partial top-k rows:
+    groupby(query_id) → in-group sort/head(k).  Each group holds at most
+    blocks·k rows, so no single task (and never the driver) sees the
+    O(blocks·Q·k) concatenation; only the final Q·k rows come back."""
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="stable")
+        if exclude_self:
+            g = g[g["query_id"] != g["vec_id"]]
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "sim"]]
+
+    out = (parts.groupby("query_id")
+           .map_groups(grp, batch_format="pandas").to_pandas())
+    if out.empty:
+        return _empty_topk()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
@@ -56,20 +88,8 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
             "sim": pa.array(out_sim, pa.float64()),
         })
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                             "rank": pd.Series([], dtype="int64"),
-                             "vec_id": pd.Series([], dtype="int64"),
-                             "sim": pd.Series([], dtype="float64")})
-    parts = parts.sort_values(
-        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
-        kind="stable")
-    if exclude_self:
-        parts = parts[parts["query_id"] != parts["vec_id"]]
-    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount()
-    return top[["query_id", "rank", "vec_id", "sim"]]
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(parts, k, exclude_self=exclude_self)
 
 
 def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
@@ -121,18 +141,8 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
             "sim": pa.array(out_sim, pa.float64()),
         })
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                             "rank": pd.Series([], dtype="int64"),
-                             "vec_id": pd.Series([], dtype="int64"),
-                             "sim": pd.Series([], dtype="float64")})
-    parts = parts.sort_values(
-        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
-        kind="stable")
-    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount()
-    return top[["query_id", "rank", "vec_id", "sim"]]
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(parts, k)
 
 
 def kmeans_centroids(sample: np.ndarray, ncells: int, *, iters: int = 8,
@@ -165,9 +175,10 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
     with one matmul and scores only rows falling in a probed cell —
     per-query work scales with nprobe/ncells of the data, not N.
     """
-    sample = np.asarray(
-        [r[emb_col] for r in ds.limit(sample_size).take_all()],
-        dtype=np.float32)
+    sample_rows = [r[emb_col] for r in ds.limit(sample_size).take_all()]
+    if not sample_rows:
+        return _empty_topk()
+    sample = np.asarray(sample_rows, dtype=np.float32)
     cent = kmeans_centroids(sample, ncells, seed=seed)
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     np_ = min(nprobe, cent.shape[0])
@@ -198,15 +209,5 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
             "sim": pa.array(out_sim, pa.float64()),
         })
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                             "rank": pd.Series([], dtype="int64"),
-                             "vec_id": pd.Series([], dtype="int64"),
-                             "sim": pd.Series([], dtype="float64")})
-    parts = parts.sort_values(
-        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
-        kind="stable")
-    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount()
-    return top[["query_id", "rank", "vec_id", "sim"]]
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(parts, k)

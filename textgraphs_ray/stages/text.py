@@ -68,20 +68,44 @@ class QualityScorer:
         self.text_col = text_col
         self.word = re.compile(r"[A-Za-z']+")
         self.punct = re.compile(r"[.!?,;:]")
+        self._punct_cps = np.array([ord(c) for c in ".!?,;:"], np.uint32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
+        # char-class counts (punct, uppercase) in ONE numpy pass over the
+        # batch's concatenated codepoints + segment-sum per row — exact
+        # str.isupper() semantics (non-ascii codepoints checked once each)
+        lens = np.fromiter((len(t) if t else 0 for t in texts),
+                           np.int64, count=n)
+        joined = "".join(t for t in texts if t)
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        is_up = (cps >= 65) & (cps <= 90)
+        hi = cps >= 128
+        if hi.any():
+            uniq = np.unique(cps[hi])
+            up_mask = np.fromiter((chr(int(u)).isupper() for u in uniq),
+                                  bool, count=len(uniq))
+            if up_mask.any():
+                is_up |= np.isin(cps, uniq[up_mask])
+        is_punct = np.isin(cps, self._punct_cps)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        cum_up = np.concatenate(([0], np.cumsum(is_up)))
+        cum_punct = np.concatenate(([0], np.cumsum(is_punct)))
+        nz = lens > 0
         punct_ratio = np.zeros(n)
         upper_ratio = np.zeros(n)
+        punct_ratio[nz] = ((cum_punct[ends] - cum_punct[starts])[nz]
+                           / lens[nz])
+        upper_ratio[nz] = (cum_up[ends] - cum_up[starts])[nz] / lens[nz]
+        # word stats: stopword membership needs tokenization (no Arrow
+        # kernel); the regex + set lookups are the only per-row Python left
         mean_wlen = np.zeros(n)
         stop_ratio = np.zeros(n)
         for i, t in enumerate(texts):
             if not t:
                 continue
-            ln = len(t)
-            punct_ratio[i] = len(self.punct.findall(t)) / ln
-            upper_ratio[i] = sum(c.isupper() for c in t) / ln
             words = self.word.findall(t.lower())
             if words:
                 mean_wlen[i] = sum(map(len, words)) / len(words)
