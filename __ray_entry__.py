@@ -274,8 +274,9 @@ def _q_er_phrases(sf_dir: str):
 
     docs = spanify_text(_docs(sf_dir, columns=["doc_id", "text"]),
                         concurrency=2).materialize()
-    # rank a bounded slice (driver harness runs this at sf0.01)
-    docs = docs.limit(200).materialize()
+    # rank a bounded slice (driver harness runs this at sf0.01);
+    # sort first so the slice is deterministic across block orders
+    docs = docs.sort("doc_id").limit(200).materialize()
     spans = extract_spans(docs, concurrency=2)
     return ranked_phrases(docs, spans)
 

@@ -15,6 +15,8 @@ import ray
 import ray.data as rd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional 2nd arg: comma-separated query names to check (default: all)
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
@@ -51,6 +53,8 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         try:
             got = to_pandas(fn(SF))
         except Exception as e:  # noqa: BLE001

@@ -39,6 +39,7 @@ def _preagg_nodes(batch: pa.Table) -> pd.DataFrame:
     ).to_pandas()
     df["_prio"] = df["kind"].map(_KIND_PRIORITY).fillna(9).astype(np.int8)
     df = df.sort_values(["lemma_key", "_prio", "doc_id", "offset"], kind="stable")
+    df["_loc"] = list(zip(df["doc_id"], df["sent_id"], df["offset"]))
     g = df.groupby("lemma_key", sort=False)
     first = g.head(1).set_index("lemma_key")
     out = pd.DataFrame({
@@ -53,44 +54,69 @@ def _preagg_nodes(batch: pa.Table) -> pd.DataFrame:
         "prio": first["_prio"].values,
         "min_doc": first["doc_id"].values,
         "min_off": first["offset"].values.astype(np.int32),
-        "locs": g.apply(
-            lambda s: list(zip(s["doc_id"], s["sent_id"], s["offset"])),
-            include_groups=False,
-        ).reindex(first.index).values,
+        "locs": g["_loc"].agg(list).reindex(first.index).values,
     })
     return out.reset_index(drop=True)
 
 
-def _merge_nodes(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-key reducer: merge partial rows into one node row."""
-    group = group.sort_values(["prio", "min_doc", "min_off"], kind="stable")
-    first = group.iloc[0]
-    locs: list = []
-    for part in group["locs"]:
-        locs.extend(part)
-    locs.sort()
+MERGE_PARTITIONS = 64
+
+
+def _hash_part(values: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic vectorized hash partition of a string array."""
+    return (pd.util.hash_array(values) % num_partitions).astype(np.int32)
+
+
+def _merge_nodes_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Coarse-partition reducer: merge ALL keys of one hash partition in
+    one vectorized pandas groupby (never a one-row frame per key — at
+    10^9 distinct keys the per-group frame overhead dominates)."""
+    g = g.sort_values(["key", "prio", "min_doc", "min_off"], kind="stable")
+    grp = g.groupby("key", sort=False)
+    first = grp.head(1).set_index("key")
+    keys = list(first.index)
+    import itertools
+
+    locs_merged = grp["locs"].agg(
+        lambda parts: sorted(itertools.chain.from_iterable(parts)))
     return pd.DataFrame({
-        "key": [first["key"]],
-        "node_id": node_id_of([first["key"]]),
-        "text": [first["text"]],
-        "pos": [first["pos"]],
-        "kind": [first["kind"]],
-        "label": [first["label"]],
-        "length": [np.int32(first["length"])],
-        "count": [np.int64(group["count"].sum())],
-        "sub_obj": [bool(group["sub_obj"].any())],
-        "neighbors": [np.int32(0)],
-        "weight": [0.0],
+        "key": keys,
+        "node_id": node_id_of(keys),
+        "text": first["text"].values,
+        "pos": first["pos"].values,
+        "kind": first["kind"].values,
+        "label": first["label"].values,
+        "length": first["length"].values.astype(np.int32),
+        "count": grp["count"].sum().reindex(first.index)
+                 .values.astype(np.int64),
+        "sub_obj": grp["sub_obj"].any().reindex(first.index)
+                   .values.astype(bool),
+        "neighbors": np.int32(0),
+        "weight": 0.0,
         "locs": [[{"doc_id": d, "sent_id": int(s), "token_id": int(t)}
-                  for d, s, t in locs]],
+                  for d, s, t in v]
+                 for v in locs_merged.reindex(first.index)],
     })
 
 
-def build_nodes(spans_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def build_nodes(spans_ds: "ray.data.Dataset", *,
+                num_partitions: int = MERGE_PARTITIONS) -> "ray.data.Dataset":
     """SPANS rows → NODES table (reference ``make_node`` upsert,
-    graph.py:53-164, as combiner + one hash shuffle on ``key``)."""
-    partial = spans_ds.map_batches(_preagg_nodes, batch_format="pyarrow")
-    return partial.groupby("key").map_groups(_merge_nodes, batch_format="pandas")
+    graph.py:53-164, as combiner + one hash shuffle).
+
+    The shuffle groups on a coarse hash partition of ``key`` (not the
+    key itself) so the reducer is one vectorized pandas groupby per
+    partition; ``num_partitions`` bounds per-task group size — size it
+    ≈ total distinct keys / (rows a worker can hold)."""
+
+    def preagg(batch: pa.Table) -> pd.DataFrame:
+        out = _preagg_nodes(batch)
+        out["part"] = _hash_part(out["key"].to_numpy(object), num_partitions)
+        return out
+
+    partial = spans_ds.map_batches(preagg, batch_format="pyarrow")
+    return partial.groupby("part").map_groups(
+        _merge_nodes_partition, batch_format="pandas")
 
 
 def extract_raw_edges(batch: pa.Table) -> pa.Table:
@@ -172,22 +198,33 @@ def _preagg_edges(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _merge_edges(group: pd.DataFrame) -> pd.DataFrame:
-    first = group.iloc[0]
-    return pd.DataFrame({
-        "src_key": [first["src_key"]], "dst_key": [first["dst_key"]],
-        "kind": [first["kind"]], "rel": [first["rel"]],
-        "prob": [float(group["prob"].max())],
-        "count": [np.int64(group["count"].sum())],
-    })
+def _merge_edges_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Coarse-partition reducer: one vectorized groupby-agg over every
+    edge key in the partition."""
+    out = g.groupby(["src_key", "dst_key", "kind", "rel"], sort=False,
+                    as_index=False).agg(prob=("prob", "max"),
+                                        count=("count", "sum"))
+    out["prob"] = out["prob"].astype(np.float64)
+    out["count"] = out["count"].astype(np.int64)
+    return out
 
 
-def build_edges(raw_edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def build_edges(raw_edges_ds: "ray.data.Dataset", *,
+                num_partitions: int = MERGE_PARTITIONS) -> "ray.data.Dataset":
     """Raw edge rows → EDGES with counts (reference ``make_edge`` dedup,
     graph.py:167-233: identity = "{src}.{dst}.{rel}.{kind}",
-    duplicate ⇒ count += 1)."""
-    partial = raw_edges_ds.map_batches(_preagg_edges, batch_format="pyarrow")
-    return partial.groupby("edge_key").map_groups(_merge_edges, batch_format="pandas")
+    duplicate ⇒ count += 1).  Same coarse-hash-partition shuffle as
+    :func:`build_nodes` — the reducer never sees one group per key."""
+
+    def preagg(batch: pa.Table) -> pa.Table:
+        t = _preagg_edges(batch)
+        part = _hash_part(np.asarray(t.column("edge_key").to_pylist(),
+                                     dtype=object), num_partitions)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    partial = raw_edges_ds.map_batches(preagg, batch_format="pyarrow")
+    return partial.groupby("part").map_groups(
+        _merge_edges_partition, batch_format="pandas")
 
 
 def iri_nodes_from_edges(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
