@@ -14,18 +14,37 @@ import ray.data as rd
 
 from textgraphs_ray.pipelines.er_resume import (resolve_entities_checkpointed,
                                                 stage_hashes)
-from textgraphs_ray.state.checkpoint import (read_manifest, read_stage,
-                                             run_or_resume, write_stage)
+from textgraphs_ray.state.checkpoint import (lance_available, read_manifest,
+                                             read_stage, run_or_resume,
+                                             write_stage)
+
+_FORMATS = ["parquet"] + (["lance"] if lance_available() else [])
 
 
-def test_write_read_manifest(tmp_path):
+@pytest.mark.parametrize("fmt", _FORMATS)
+def test_write_read_manifest(tmp_path, fmt):
     ds = rd.range(100)
-    m = write_stage(ds, str(tmp_path), "numbers")
+    m = write_stage(ds, str(tmp_path), "numbers", fmt=fmt)
     assert m["rows"] == 100
+    assert m["format"] == fmt
     assert read_manifest(str(tmp_path), "numbers")["content_hash"] == \
         m["content_hash"]
     back = read_stage(str(tmp_path), "numbers")
     assert back.count() == 100
+
+
+def test_lance_gate_is_probed():
+    """The gate is a real capability probe (bool, cached), not a
+    hardcoded constant; in this container it reports False because
+    pylance is absent — flips automatically where it exists."""
+    assert lance_available() in (True, False)
+    try:
+        import lance  # noqa: F401
+        has_pkg = True
+    except ImportError:
+        has_pkg = False
+    if not has_pkg:
+        assert lance_available() is False
 
 
 def test_run_or_resume_skips_completed(tmp_path):

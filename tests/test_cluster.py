@@ -95,3 +95,21 @@ def test_synonym_bootstrap_drives_merge():
            if k == "syn"]
     got = _cluster(keys, syn)
     assert got["werner.PROPN"] == got["werner.PROPN.herzog.PROPN"]
+
+
+def test_sparse_edges_high_partitions_distributed():
+    """Regression: with a sparse edge set and high num_partitions most
+    shuffle partitions are empty — Ray's native hash join used to lose
+    its schema there ("No match ... FieldRef"); the carried-through
+    shuffle join (_shuffle_join) must survive it."""
+    nodes = pa.table({"key": [f"n{i:02d}" for i in range(30)]})
+    edges = pa.table({"key_a": ["n00", "n05"], "key_b": ["n01", "n06"]})
+    got = propagate_labels(
+        rd.from_arrow(nodes), rd.from_arrow(edges),
+        num_partitions=16, driver_threshold=0).to_pandas()
+    assert len(got) == 30
+    m = dict(zip(got["key"], got["cluster_id"]))
+    assert m["n00"] == m["n01"] == "n00"
+    assert m["n05"] == m["n06"] == "n05"
+    # singletons keep their own label
+    assert m["n02"] == "n02"

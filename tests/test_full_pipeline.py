@@ -99,3 +99,25 @@ def test_strip_markdown_and_iri_roundtrip():
     assert iri_to_lemma_key(lemma_key_to_iri(key)) == key
     assert best_alias_match([("a", 0.5), ("b", 0.9), ("c", 0.9)]) == ("c", 0.9)
     assert best_alias_match([]) is None
+
+
+def test_spacy_extractor_gate():
+    """The real-model extractor registers iff spacy imports; the spec
+    factory raises cleanly otherwise, and with spacy present the
+    actor-pool spec runs end-to-end on a tiny doc."""
+    from textgraphs_ray.registry import registry
+    from textgraphs_ray.stages.spacy_extract import (HAVE_SPACY,
+                                                     spacy_extractor_spec)
+
+    assert ("spacy" in registry.extractors) == HAVE_SPACY
+    if not HAVE_SPACY:
+        with pytest.raises(ImportError):
+            spacy_extractor_spec()
+        pytest.skip("spacy not installed — gate verified closed")
+
+    spec = spacy_extractor_spec()
+    docs = pa.table({"doc_id": ["d0"], "text": ["See Spot run."]})
+    spans = spec.apply(rd.from_arrow(docs)).to_pandas()
+    assert set(spans.columns) >= {"doc_id", "offset", "kind", "text",
+                                  "lemma_key", "dep_rel", "sent_id"}
+    assert len(spans) > 0

@@ -34,3 +34,37 @@ def test_round_trip_see_spot_run():
     keys = set(nodes["key"])
     assert "spot.PROPN" in keys
     assert "run.VERB" in keys
+
+
+def test_load_reference_format():
+    """Loading the reference's positional-index node-link dump
+    (graph.py:236-391 shape: links/source/target ints, lemma/name/
+    subobj/hood/title props, loc as printed repr) yields engine tables,
+    and re-dumping canonically round-trips."""
+    import json
+    import pathlib
+
+    fixture = (pathlib.Path(__file__).parent / "data"
+               / "reference_lemma_graph.json").read_text()
+    nodes, edges = load_node_link(fixture)
+
+    nd = {r["key"]: r for r in nodes.to_pylist()}
+    assert set(nd) == {"see.VERB", "spot.PROPN", "run.VERB", "dbo:Person"}
+    # ENT node with a non-null iri takes the IRI as label (the
+    # reference's re-linking semantics, graph.py:352-372)
+    assert nd["spot.PROPN"]["label"] == "http://dbpedia.org/ontology/Person"
+    assert nd["spot.PROPN"]["sub_obj"] is True
+    assert nd["see.VERB"]["neighbors"] == 2
+    assert json.loads(nd["see.VERB"]["loc"]) == [[0, 0]]
+
+    ed = {(r["src_key"], r["dst_key"]): r for r in edges.to_pylist()}
+    # positional source/target ints resolved to node keys
+    assert ("spot.PROPN", "see.VERB") in ed
+    assert ed[("spot.PROPN", "see.VERB")]["rel"] == "nsubj"
+    assert ed[("spot.PROPN", "dbo:Person")]["kind"] == "iri"
+
+    # cross-format round-trip: reference load → canonical dump → load →
+    # identical canonical dump
+    dump1 = dump_node_link(nodes, edges)
+    n2, e2 = load_node_link(dump1)
+    assert dump_node_link(n2, e2) == dump1

@@ -70,6 +70,15 @@ class Registry:
         self.extractors.setdefault("spanify", StageSpec(Spanify, batch_size=256))
         self.extractors.setdefault("spans", StageSpec(ExtractSpans,
                                                       batch_size=256))
+        # real-model path, gated on the package actually importing
+        # (mirrors viz.py's networkx gate; reference factory
+        # pipe.py:440-511) — when spacy exists the model extractor is a
+        # registry lookup away, and the rule stand-in stays the default
+        from .stages.spacy_extract import HAVE_SPACY
+        if HAVE_SPACY:
+            from .stages.spacy_extract import SpacyExtractor
+            self.extractors.setdefault(
+                "spacy", StageSpec(SpacyExtractor, batch_size=64))
         self.linkers.setdefault("local-kg", StageSpec(EntityLinker))
         self.scorers.setdefault("string-sim", StageSpec(PairScorer,
                                                         batch_size=8192))

@@ -41,8 +41,77 @@ def dump_node_link(nodes: pa.Table, edges: pa.Table) -> str:
 
 
 def load_node_link(dumped: str) -> tuple[pa.Table, pa.Table]:
-    """Canonical node-link JSON → (nodes, edges) Arrow tables."""
+    """Node-link JSON → (nodes, edges) Arrow tables.
+
+    Accepts BOTH formats:
+
+    - the engine's canonical dump (``{"nodes": [...], "edges": [...]}``
+      with by-key edge references), and
+    - the reference's ``dump_lemma_graph()`` output
+      (``/root/reference/textgraphs/graph.py:236-296``): NetworkX
+      node-link shape ``{"directed", "multigraph", "nodes", "links",
+      "graph"}`` where edges reference nodes by POSITIONAL index and
+      node/edge property names differ (``lemma``/``name``/``subobj``/
+      ``hood``/``title``/``source``/``target``) — a user migrating
+      saved graphs from the reference loads them unchanged.
+    """
     dat = json.loads(dumped)
+    if "links" in dat:
+        return _load_reference_node_link(dat)
     nodes = pa.Table.from_pylist(dat["nodes"]) if dat["nodes"] else pa.table({})
     edges = pa.Table.from_pylist(dat["edges"]) if dat["edges"] else pa.table({})
+    return nodes, edges
+
+
+def _load_reference_node_link(dat: dict) -> tuple[pa.Table, pa.Table]:
+    """Reference positional-index node-link dict → engine tables.
+
+    Mirrors ``load_lemma_graph`` (graph.py:299-391): node key comes
+    from ``lemma``; an ENT node with a non-null ``iri`` takes that IRI
+    as its label (the re-linking step, graph.py:352-372); edge
+    ``source``/``target`` ints index the nodes list in order; ``loc``
+    is the printed repr of a list of [sent_id, token_id]-style pairs
+    (parsed safely, never ``eval``)."""
+    import ast
+
+    raw_nodes = dat.get("nodes") or []
+    raw_links = dat.get("links") or []
+    keys = [n["lemma"] for n in raw_nodes]
+    node_rows = []
+    for n in raw_nodes:
+        kind = n.get("kind", "")
+        label = n.get("label")
+        if kind == "ent" and n.get("iri") is not None:
+            label = n["iri"]
+        loc = n.get("loc", "[]")
+        if isinstance(loc, str):
+            try:
+                loc = ast.literal_eval(loc)
+            except (ValueError, SyntaxError):
+                loc = []
+        node_rows.append({
+            "key": n["lemma"],
+            "text": n.get("name", ""),
+            "pos": n.get("pos", ""),
+            "kind": kind,
+            "label": label if label is not None else "",
+            "length": int(n.get("length", 1)),
+            "count": int(n.get("count", 0)),
+            "sub_obj": bool(n.get("subobj", False)),
+            "neighbors": int(n.get("hood", 0)),
+            "weight": float(n.get("weight", 0.0)),
+            "loc": json.dumps(loc),
+        })
+    edge_rows = [{
+        "src_key": keys[e["source"]],
+        "dst_key": keys[e["target"]],
+        "kind": e.get("kind", ""),
+        "rel": e.get("title", ""),
+        "prob": float(e.get("prob", 1.0)),
+        "count": int(e.get("count", 1)),
+    } for e in raw_links]
+    nodes = (pa.Table.from_pylist(node_rows) if node_rows
+             else pa.table({}))
+    edges = (pa.Table.from_pylist(edge_rows) if edge_rows
+             else pa.table({}))
     return nodes, edges

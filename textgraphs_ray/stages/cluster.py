@@ -8,9 +8,12 @@ label (its key — content-derived, so the result is independent of
 execution order, H1); each round every node takes the min label over
 its closed neighborhood; fixed point ⇔ connected components.
 
-Physical plan per round: one hash join (adjacency ⨝ labels on the node
-key) + one groupby-min — both hash-partitioned on the same key, no
-per-group Python.  Rounds needed = O(log diameter).  The driver loop
+Physical plan per round: one carried-through shuffle join (adjacency ⨝
+labels on the node key, via :func:`_shuffle_join` — Ray's native hash
+join loses schema on empty shuffle partitions, so the join rides a
+bounded hash-partition groupby instead) + one groupby-min, both
+partitioned on the same key, no per-row Python.  Rounds needed =
+O(log diameter).  The driver loop
 stops on an order-free label-signature fixpoint and can checkpoint per
 round (resumable closure, ``state/checkpoint.py``).
 """
@@ -18,12 +21,65 @@ round (resumable closure, ``state/checkpoint.py``).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
 from ray.data.aggregate import Min
 
 from ..functions.sketch import hash64
+
+
+def _shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                  left_on: str, right_on: str, num_partitions: int,
+                  project) -> "ray.data.Dataset":
+    """Inner join as union + coarse hash-partition groupby + vectorized
+    per-partition pandas merge.
+
+    Ray's native hash JOIN loses its schema when a shuffle partition
+    comes up empty (repo invariant, CLAUDE.md) — with a sparse edge set
+    and high ``num_partitions`` the closure loop's joins crash with
+    "No match ... FieldRef".  Carrying both sides through ONE sort
+    shuffle keyed on a bounded hash partition sidesteps the empty-
+    partition path entirely: map_groups only ever sees non-empty
+    groups, and the merge inside each group is plain pandas.
+
+    ``project(merged_df) -> df`` selects/renames the output columns.
+    """
+    lnames = list(left.schema().names)
+    rnames = list(right.schema().names)
+    allnames = lnames + [c for c in rnames if c not in lnames]
+
+    def widen(names: list, key: str, side: int):
+        def fn(t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            for c in allnames:
+                if c not in df.columns:
+                    df[c] = None
+            df["_side"] = np.int8(side)
+            df["_part"] = (pd.util.hash_array(df[key].to_numpy(object))
+                           % num_partitions).astype(np.int32)
+            return df[allnames + ["_side", "_part"]]
+        return fn
+
+    both = (left.map_batches(widen(lnames, left_on, 0),
+                             batch_format="pyarrow")
+            .union(right.map_batches(widen(rnames, right_on, 1),
+                                     batch_format="pyarrow")))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        lt = g[g["_side"] == 0][lnames]
+        rt = g[g["_side"] == 1][rnames]
+        if left_on == right_on:
+            m = lt.merge(rt, on=left_on, how="inner")
+        else:
+            m = lt.merge(rt, left_on=left_on, right_on=right_on,
+                         how="inner")
+        # emit Arrow so downstream union with arrow-block datasets keeps
+        # one block type
+        return pa.Table.from_pandas(project(m), preserve_index=False)
+
+    return both.groupby("_part").map_groups(merge, batch_format="pandas")
 
 
 def _both_directions(batch: pa.Table) -> pa.Table:
@@ -157,18 +213,20 @@ def propagate_labels(nodes_ds: "ray.data.Dataset",
     prev_sig = _label_signature(labels)
     for rnd in range(max_rounds):
         # neighbor step: every node takes the min label over its closed
-        # neighborhood (one hash join + one groupby-min)
-        msgs = adjacency.join(
-            labels, join_type="inner", on=("node",),
-            num_partitions=num_partitions,
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("other"),
-                                "label": t.column("label")}),
-            batch_format="pyarrow",
-        )
+        # neighborhood (one carried-through shuffle join + groupby-min)
+        msgs = _shuffle_join(
+            adjacency, labels, "node", "node", num_partitions,
+            lambda m: m[["other", "label"]].rename(
+                columns={"other": "node"}))
+        # materialize: the pointer-jump join below reads this twice
+        # (as its left side and as the mapping) — without pinning, the
+        # whole neighbor step would re-execute once per side.  The
+        # repartition bounds the per-round block count: union + groupby
+        # otherwise emit O(input blocks) blocks, compounding each round
+        # into thousands of micro-tasks.
         new_labels = labels.union(msgs).groupby("node").aggregate(
             Min("label", alias_name="label")
-        )
+        ).repartition(num_partitions).materialize()
 
         # pointer-jump step: label ← label(label).  Labels are node
         # keys, so the labeling doubles as its own lookup table; each
@@ -179,14 +237,11 @@ def propagate_labels(nodes_ds: "ray.data.Dataset",
                                 "jlabel": t.column("label")}),
             batch_format="pyarrow",
         )
-        new_labels = new_labels.join(
-            mapping, join_type="inner", on=("label",), right_on=("jnode",),
-            num_partitions=num_partitions,
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("node"),
-                                "label": t.column("jlabel")}),
-            batch_format="pyarrow",
-        ).materialize()
+        new_labels = _shuffle_join(
+            new_labels, mapping, "label", "jnode", num_partitions,
+            lambda m: m[["node", "jlabel"]].rename(
+                columns={"jlabel": "label"}),
+        ).repartition(num_partitions).materialize()
 
         sig = _label_signature(new_labels)
         labels = new_labels

@@ -9,8 +9,10 @@ requires per-partition lineage ("runs resume mid-stage").  Layout::
 
 A stage checkpoint is complete iff its MANIFEST exists — the rename
 barrier makes partially written stages invisible to resume.  Lance is
-the preferred format when its package is importable (gated import —
-this container ships parquet only; the call sites are format-agnostic).
+the preferred format when :func:`lance_available` confirms a working
+``write_lance`` (a real probe, not just an import check); the manifest
+records the format and ``read_stage`` dispatches on it, so parquet
+checkpoints written here remain readable after pylance appears.
 
 ``run_or_resume(stage, root, build_fn)`` is the driver-side guard: if a
 valid manifest exists the stage is re-read instead of recomputed —
@@ -26,11 +28,34 @@ import shutil
 
 import ray.data
 
-try:  # Lance sink preferred when available (north_rule storage layer)
-    import lance  # noqa: F401
-    _HAVE_LANCE = False  # Ray's write_lance needs pylance extras; keep parquet
-except ImportError:
-    _HAVE_LANCE = False
+_LANCE_OK: bool | None = None  # capability probe result, cached
+
+
+def lance_available() -> bool:
+    """REAL Lance capability gate (north_rule storage layer): true only
+    when the ``lance`` package imports AND a probe ``write_lance`` of a
+    one-row dataset succeeds.  Probed once per process, lazily (Ray may
+    not be initialized at import time).  This container ships parquet
+    only, so the probe fails here — but the gate auto-activates wherever
+    pylance exists, with no code change."""
+    global _LANCE_OK
+    if _LANCE_OK is None:
+        try:
+            import tempfile
+
+            import lance  # noqa: F401
+            import pyarrow as pa
+
+            probe_dir = tempfile.mkdtemp(prefix="lance_probe_")
+            try:
+                ray.data.from_arrow(
+                    pa.table({"x": [1]})).write_lance(probe_dir)
+                _LANCE_OK = True
+            finally:
+                shutil.rmtree(probe_dir, ignore_errors=True)
+        except Exception:  # noqa: BLE001 — any failure means "no lance"
+            _LANCE_OK = False
+    return _LANCE_OK
 
 
 def _content_hash(ds: "ray.data.Dataset", cols: list[str] | None = None) -> int:
@@ -54,19 +79,29 @@ def _content_hash(ds: "ray.data.Dataset", cols: list[str] | None = None) -> int:
 
 
 def write_stage(ds: "ray.data.Dataset", root: str, stage: str,
-                *, meta: dict | None = None, hash_cols=None) -> dict:
-    """Materialize a stage to partitioned parquet + manifest, atomically."""
+                *, meta: dict | None = None, hash_cols=None,
+                fmt: str | None = None) -> dict:
+    """Materialize a stage to a partitioned sink + manifest, atomically.
+
+    ``fmt``: "lance" | "parquet" | None (auto: lance when the
+    capability probe passes, else parquet)."""
+    if fmt is None:
+        fmt = "lance" if lance_available() else "parquet"
     stage_dir = os.path.join(root, stage)
     tmp_dir = stage_dir + ".tmp"
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
     os.makedirs(os.path.join(tmp_dir, "data"), exist_ok=True)
     ds = ds.materialize()
-    ds.write_parquet(os.path.join(tmp_dir, "data"))
+    if fmt == "lance":
+        ds.write_lance(os.path.join(tmp_dir, "data"))
+    else:
+        ds.write_parquet(os.path.join(tmp_dir, "data"))
     manifest = {
         "stage": stage,
         "rows": ds.count(),
         "content_hash": _content_hash(ds, hash_cols),
+        "format": fmt,
         "meta": meta or {},
     }
     with open(os.path.join(tmp_dir, "MANIFEST.json"), "w", encoding="utf-8") as fp:
@@ -86,7 +121,11 @@ def read_manifest(root: str, stage: str) -> dict | None:
 
 
 def read_stage(root: str, stage: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(root, stage, "data"))
+    manifest = read_manifest(root, stage) or {}
+    path = os.path.join(root, stage, "data")
+    if manifest.get("format") == "lance":
+        return ray.data.read_lance(path)
+    return ray.data.read_parquet(path)
 
 
 def run_or_resume(root: str, stage: str, build_fn, *,
