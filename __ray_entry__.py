@@ -889,6 +889,19 @@ def _q_curate(sf_dir: str):
     return res["docs"].select_columns(["doc_id"])
 
 
+def _q_curate_oracle(sf_dir: str):
+    """Oracle-checkable curation chain: language filter → exact dedup
+    (near-dedup disabled via an unreachable threshold, so every stage
+    is SQL-expressible; the full chain incl. MinHash runs as `curate`).
+    Output = surviving doc_ids."""
+    from textgraphs_ray.pipelines.curate import curate_corpus
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    res = curate_corpus(docs, min_quality=0.0, langs=("en", "und"),
+                        jaccard_threshold=2.0, concurrency=2)
+    return res["docs"].select_columns(["doc_id"])
+
+
 def _q_median_agg(sf_dir: str):
     """Exact per-group median (interpolated): groupby.map_groups with a
     vectorized quantile — the exact-quantile sibling of A7/A8's
@@ -1086,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": _q_pivot,
         "p90_agg": _q_p90_agg,
         "curate": _q_curate,
+        "curate_oracle": _q_curate_oracle,
     }
 
 
@@ -1330,6 +1344,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) AS t_start_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "curate_oracle": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(text), '[^a-z]+') AS w,
+                     regexp_matches(left(text, 200), '[一-鿿]') AS has_cjk
+              FROM documents
+            ), k AS (
+              SELECT doc_id, text, has_cjk,
+                     len(list_filter(w, x -> x IN ('a','and','are','as','at',
+                         'by','for','from','in','is','it','of','on','that',
+                         'the','this','to','was','with'))) AS k_en,
+                     len(list_filter(w, x -> x IN ('con','de','del','el','en',
+                         'es','la','las','los','no','para','por','que','se',
+                         'su','un','una','y'))) AS k_es,
+                     len(list_filter(w, x -> x IN ('au','dans','de','des','du',
+                         'en','est','et','la','le','les','pas','pour','que',
+                         'qui','sur','un','une'))) AS k_fr,
+                     len(list_filter(w, x -> x IN ('als','auch','auf','das',
+                         'den','der','des','die','ein','eine','im','in','ist',
+                         'mit','und','von','zu'))) AS k_de
+              FROM toks
+            ), langed AS (
+              SELECT doc_id, text,
+                     CASE WHEN has_cjk THEN 'zh'
+                          WHEN k_en = 0 AND k_es = 0 AND k_fr = 0
+                               AND k_de = 0 THEN 'und'
+                          WHEN k_en >= k_es AND k_en >= k_fr
+                               AND k_en >= k_de THEN 'en'
+                          WHEN k_es >= k_fr AND k_es >= k_de THEN 'es'
+                          WHEN k_fr >= k_de THEN 'fr'
+                          ELSE 'de' END AS lang_pred
+              FROM k
+            ), kept AS (
+              SELECT doc_id, md5(text) AS f FROM langed
+              WHERE lang_pred IN ('en', 'und')
+            ), keepers AS (
+              SELECT f, min(doc_id) AS keeper FROM kept GROUP BY f
+            )
+            SELECT kept.doc_id FROM kept
+            JOIN keepers ON kept.f = keepers.f
+                        AND kept.doc_id = keepers.keeper
         """,
         "o2_group_max": """
             SELECT s.s_nationkey, min(s.s_suppkey) AS s_suppkey,
