@@ -344,3 +344,26 @@ def test_curate_corpus(dup_docs):
     assert not (dropped & {str(i) for i in out_ids})
     assert stats["output"] == stats["after_quality_lang"] \
         - stats["exact_dup_losers"] - stats["near_dup_losers"]
+
+
+def test_knn_merge_paths_agree():
+    """The distributed groupby merge (large Q) and the driver merge
+    (small Q) must produce identical top-k tables."""
+    import pandas as pd
+
+    from textgraphs_ray.stages import similarity as sim
+
+    rng = np.random.RandomState(7)
+    emb = rng.standard_normal((300, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(300), pa.int64()),
+                  "embedding": pa.array(list(emb))})
+    q = emb[:70]  # 70 queries > _DRIVER_MERGE_MAX_Q → distributed path
+    big = sim.knn_brute(rd.from_arrow(t), q, k=3, exclude_self=True)
+    orig = sim._DRIVER_MERGE_MAX_Q
+    try:
+        sim._DRIVER_MERGE_MAX_Q = 10_000  # force driver path
+        small = sim.knn_brute(rd.from_arrow(t), q, k=3, exclude_self=True)
+    finally:
+        sim._DRIVER_MERGE_MAX_Q = orig
+    pd.testing.assert_frame_equal(
+        big.reset_index(drop=True), small.reset_index(drop=True))

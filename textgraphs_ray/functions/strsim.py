@@ -143,11 +143,23 @@ def cosine_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return num / den
 
 
+def osa_within(a: str, b: str, k: int) -> bool:
+    """True iff ``osa_distance(a, b) <= k`` — the thresholded check the
+    scoring hot path needs.  ``abs(len(a)-len(b))`` is a LOWER bound on
+    the distance (each length unit needs ≥1 indel), so a length gap
+    > k decides without running the DP; otherwise fall through to the
+    exact distance."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    return osa_distance(a, b) <= k
+
+
 def osa_distance(a: str, b: str) -> int:
     """Optimal-string-alignment distance: Levenshtein + adjacent
-    transposition counted as ONE edit.  Scalar (used inside the
-    name-compat rule on candidate pairs only, never over the full
-    stream)."""
+    transposition counted as ONE edit.  Exact for all inputs.  Scalar
+    (used inside the name-compat rule on candidate pairs only, never
+    over the full stream); for a ≤k check use :func:`osa_within`,
+    which prunes on the length-difference lower bound first."""
     la, lb = len(a), len(b)
     d = [[0] * (lb + 1) for _ in range(la + 1)]
     for i in range(la + 1):

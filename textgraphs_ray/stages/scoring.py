@@ -42,7 +42,7 @@ def name_compat(a: str, b: str) -> bool:
     (kg.py:516-535) with the same intent: high-precision merges that
     pure whole-string similarity misses (initials, token-local typos).
     """
-    from ..functions.strsim import jaro_winkler, osa_distance
+    from ..functions.strsim import jaro_winkler, osa_within
 
     ta, tb = a.split(), b.split()
     if len(ta) < 2 or len(tb) < 2:
@@ -59,7 +59,7 @@ def name_compat(a: str, b: str) -> bool:
     # as a single edit.  Precision-safe whenever distinct same-initial
     # entities' last names differ by ≥ 3 edits (true of the curated
     # pool, checked pairwise).
-    if len(la) >= 5 and len(lb) >= 5 and osa_distance(la, lb) <= 1:
+    if len(la) >= 5 and len(lb) >= 5 and osa_within(la, lb, 1):
         return True
     # full-first-token agreement licenses a laxer last-token bound
     thresh = 0.90 if ta[0] == tb[0] and len(ta[0]) > 2 else 0.94

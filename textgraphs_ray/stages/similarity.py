@@ -2,11 +2,12 @@
 
 - :func:`knn_brute` — brute-force cosine top-k baseline: every batch is
   one numpy matmul against the broadcast query matrix (``ray.put``
-  once, fetched once per task); per-batch partial top-k rows are merged
-  by a distributed groupby(query_id) reduce (:func:`_merge_topk`), so
-  no task sees more than blocks·k rows per query and the driver only
-  receives the final Q·k.  O(N·Q·D) but perfectly streaming — the
-  correctness oracle for the ANN path.
+  once, fetched once per task); per-batch partial top-k rows merge via
+  :func:`_merge_topk` — a tiny driver sort when Q is small, a
+  distributed groupby(query_id) reduce for batched-query ANN so no task
+  (and never the driver) sees the O(blocks·Q·k) concatenation.
+  O(N·Q·D) but perfectly streaming — the correctness oracle for the
+  ANN path.
 
 - :func:`knn_lsh` — random-hyperplane LSH (IVF-style scale path): probe
   only buckets matching the query signature (multi-probe over Hamming
@@ -36,12 +37,36 @@ def _empty_topk() -> pd.DataFrame:
                          "sim": pd.Series([], dtype="float64")})
 
 
-def _merge_topk(parts: "ray.data.Dataset", k: int, *,
+_DRIVER_MERGE_MAX_Q = 64
+
+
+def _merge_topk(parts: "ray.data.Dataset", k: int, *, num_queries: int,
                 exclude_self: bool = False) -> pd.DataFrame:
-    """Distributed second-stage reduce of per-block partial top-k rows:
-    groupby(query_id) → in-group sort/head(k).  Each group holds at most
-    blocks·k rows, so no single task (and never the driver) sees the
-    O(blocks·Q·k) concatenation; only the final Q·k rows come back."""
+    """Merge per-block partial top-k rows into the final (Q·k)-row
+    answer.
+
+    Two physical plans, picked by query count:
+
+    - **small Q** (≤ ``_DRIVER_MERGE_MAX_Q``): collect the partials —
+      bounded at blocks·Q·k rows, a few thousand — and sort on the
+      driver.  A groupby shuffle here costs more than the whole merge.
+    - **large Q** (batched ANN over many queries): distributed
+      groupby(query_id) reduce — each group holds ≤ blocks·k rows, so
+      no single task (and never the driver) sees the O(blocks·Q·k)
+      concatenation; only the final Q·k rows come back.
+    """
+    if num_queries <= _DRIVER_MERGE_MAX_Q:
+        out = parts.to_pandas()
+        if out.empty:
+            return _empty_topk()
+        out = out.sort_values(["query_id", "sim", "vec_id"],
+                              ascending=[True, False, True], kind="stable")
+        if exclude_self:
+            out = out[out["query_id"] != out["vec_id"]]
+        top = (out.groupby("query_id", sort=True).head(k)
+               .reset_index(drop=True))
+        top["rank"] = top.groupby("query_id").cumcount()
+        return top[["query_id", "rank", "vec_id", "sim"]]
 
     def grp(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
@@ -89,7 +114,8 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         })
 
     parts = ds.map_batches(score, batch_format="pyarrow")
-    return _merge_topk(parts, k, exclude_self=exclude_self)
+    return _merge_topk(parts, k, num_queries=qn.shape[0],
+                       exclude_self=exclude_self)
 
 
 def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
@@ -142,7 +168,7 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         })
 
     parts = ds.map_batches(score, batch_format="pyarrow")
-    return _merge_topk(parts, k)
+    return _merge_topk(parts, k, num_queries=qn.shape[0])
 
 
 def kmeans_centroids(sample: np.ndarray, ncells: int, *, iters: int = 8,
@@ -210,4 +236,4 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         })
 
     parts = ds.map_batches(score, batch_format="pyarrow")
-    return _merge_topk(parts, k)
+    return _merge_topk(parts, k, num_queries=qn.shape[0])
