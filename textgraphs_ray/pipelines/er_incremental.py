@@ -12,7 +12,11 @@ history each time; this variant keeps a tiny persistent state —
    cheap: O(distinct forms), no pair scoring);
 3. drops candidate pairs where BOTH sides are prior mentions — those
    pairs were scored in an earlier run and their verdicts are already
-   in ``matches.parquet`` (broadcast membership test, no shuffle);
+   in ``matches.parquet``.  The membership test broadcasts the DELTA's
+   new surface forms (small by construction) — "at least one side new"
+   ≡ "not both prior" — and the new-key set itself comes from a
+   semi-join streamed over the big prior table, so driver memory is
+   O(delta) regardless of history size;
 4. scores only the surviving (new×new, new×old) pairs;
 5. unions new match edges with prior ones and re-runs transitive
    closure over the merged edge set (closure is cheap relative to
@@ -95,9 +99,15 @@ def resolve_entities_incremental(delta_docs: "ray.data.Dataset",
     assets_ref = ray.put(assets) if assets is not None else None
     delta_mentions = mentions_from_spans(spans, assets_ref, kinds=kinds)
 
+    delta_mentions = delta_mentions.materialize()
+    # distinct surface forms in the DELTA — bounded by delta size, the
+    # small side by construction
+    delta_keys = {r["key"] for r in delta_mentions.select_columns(
+        ["key"]).take_all()}
+
     if prior_mentions is None:
-        all_mentions = delta_mentions.materialize()
-        prior_keys: set = set()
+        all_mentions = delta_mentions
+        new_keys = delta_keys
     else:
         from ray.data.aggregate import Min, Sum
 
@@ -110,23 +120,36 @@ def resolve_entities_incremental(delta_docs: "ray.data.Dataset",
                                    Sum("n_mentions",
                                        alias_name="n_mentions"))
                         .materialize())
-        prior_keys = set(prior_mentions.column("key").to_pylist())
+        # semi-join streamed over the BIG side: which delta keys already
+        # exist in history (driver memory stays O(delta) throughout —
+        # the unbounded prior-key set never leaves the cluster)
+        dk_arr = pa.array(sorted(delta_keys), pa.string())
+        dk_ref = ray.put(dk_arr)
 
-    # NOTE at 10^12 scale ``prior_keys`` becomes a broadcast Bloom
-    # filter / hash-partitioned semi-join; a driver set is fine up to
-    # ~10^8 distinct forms (the state is distinct SURFACE FORMS, not
-    # documents — it grows sublinearly in corpus size).
-    keys_ref = ray.put(prior_keys)
+        def overlap(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            hit = pc.is_in(t.column("key"), value_set=ray.get(dk_ref))
+            return pa.table({"key": t.column("key").filter(hit)})
 
-    def drop_old_old(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        ka = t.column("key_a").to_pylist()
-        kb = t.column("key_b").to_pylist()
-        keep = [not (a in ks and b in ks) for a, b in zip(ka, kb)]
-        return t.filter(pa.array(keep))
+        seen = {r["key"] for r in ray.data.from_arrow(prior_mentions)
+                .map_batches(overlap, batch_format="pyarrow").take_all()}
+        new_keys = delta_keys - seen
+
+    # a pair needs (re)scoring iff AT LEAST ONE side is a NEW surface
+    # form — equivalent to "not both prior", but the broadcast side is
+    # the delta's new keys (grows with the delta, NOT with 10^12-doc
+    # history), so this stays a cheap ray.put at any corpus size
+    nk_ref = ray.put(pa.array(sorted(new_keys), pa.string()))
+
+    def keep_fresh(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nk = ray.get(nk_ref)
+        fresh = pc.or_(pc.is_in(t.column("key_a"), value_set=nk),
+                       pc.is_in(t.column("key_b"), value_set=nk))
+        return t.filter(fresh)
 
     pairs = candidate_pairs(all_mentions, concurrency=concurrency)
-    fresh_pairs = pairs.map_batches(drop_old_old, batch_format="pyarrow")
+    fresh_pairs = pairs.map_batches(keep_fresh, batch_format="pyarrow")
     new_matches = score_pairs(fresh_pairs,
                               concurrency=concurrency).materialize()
 
