@@ -86,3 +86,19 @@ def test_kill_resume_byte_identical(small_corpus, tmp_path):
 
     b = r2["clusters"].to_pandas().sort_values("key").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_metrics_log_appends(tmp_path):
+    """run_or_resume logs one throughput record per stage per run
+    (north_rule: metrics logged next to per-partition lineage)."""
+    import json
+
+    root = str(tmp_path)
+    run_or_resume(root, "s", lambda: rd.range(10))
+    run_or_resume(root, "s", lambda: rd.range(10))  # resumed
+    lines = [json.loads(l) for l in
+             open(f"{root}/metrics.jsonl", encoding="utf-8")]
+    assert len(lines) == 2
+    assert lines[0]["resumed"] is False and lines[0]["rows"] == 10
+    assert lines[0]["rows_per_sec"] > 0
+    assert lines[1]["resumed"] is True

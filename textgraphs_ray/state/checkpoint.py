@@ -128,13 +128,36 @@ def read_stage(root: str, stage: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(path)
 
 
+def append_metrics(root: str, record: dict) -> None:
+    """Append one JSON record to ``<root>/metrics.jsonl`` (north_rule:
+    "throughput/recall metrics logged" next to the per-stage lineage).
+    One line per stage per run — greppable, append-only, cheap."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "metrics.jsonl"), "a",
+              encoding="utf-8") as fp:
+        fp.write(json.dumps(record, sort_keys=True) + "\n")
+
+
 def run_or_resume(root: str, stage: str, build_fn, *,
                   meta: dict | None = None, hash_cols=None):
     """Return ``(dataset, manifest, resumed)``; skips ``build_fn`` when
-    a completed checkpoint exists."""
+    a completed checkpoint exists.  Every call appends a metrics record
+    (stage, rows, seconds, resumed, rows/sec) to ``metrics.jsonl``."""
+    import time
+
+    t0 = time.monotonic()
     manifest = read_manifest(root, stage)
     if manifest is not None:
+        append_metrics(root, {"stage": stage, "rows": manifest["rows"],
+                              "resumed": True,
+                              "seconds": round(time.monotonic() - t0, 3)})
         return read_stage(root, stage), manifest, True
     ds = build_fn()
     manifest = write_stage(ds, root, stage, meta=meta, hash_cols=hash_cols)
+    secs = time.monotonic() - t0
+    append_metrics(root, {
+        "stage": stage, "rows": manifest["rows"], "resumed": False,
+        "seconds": round(secs, 3),
+        "rows_per_sec": round(manifest["rows"] / secs, 1) if secs else None,
+    })
     return read_stage(root, stage), manifest, False
