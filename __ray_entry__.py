@@ -547,6 +547,18 @@ def _q_dedup_jaccard(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.5, concurrency=2)
 
 
+def _q_dedup_jaccard_oracle(sf_dir: str):
+    """Exact n-gram Jaccard dedup at threshold=1.0 — clusters become
+    connected components of IDENTICAL char-3-shingle sets (equality is
+    transitive, so components ≡ groups), which SQL reproduces by
+    grouping on a canonical shingle-set fingerprint.  Verifies the
+    whole banding→pair→exact-verify→closure machinery end-to-end."""
+    from textgraphs_ray.stages.dedup import ngram_jaccard_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(ds, threshold=1.0, concurrency=2)
+
+
 def _q_kuzu_export(sf_dir: str):
     """S7: graph-DB CSV export projection (nodes.csv/edges.csv rows)."""
     from textgraphs_ray.corpus import generate
@@ -1077,6 +1089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordcloud": _q_wordcloud,
         "knn_ivf": _q_knn_ivf,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_oracle": _q_dedup_jaccard_oracle,
         "kuzu_export": _q_kuzu_export,
         "nodelink_roundtrip": _q_nodelink_roundtrip,
         "communities": _q_communities,
@@ -1344,6 +1357,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) AS t_start_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "dedup_jaccard_oracle": """
+            WITH n AS (
+              SELECT doc_id::VARCHAR AS key,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT key,
+                     CASE WHEN len(t) = 0 THEN []
+                          WHEN len(t) < 3 THEN [t]
+                          ELSE list_transform(
+                              generate_series(1, len(t) - 2),
+                              i -> substr(t, i, 3))
+                     END AS shingles
+              FROM n
+            ), fp AS (
+              SELECT key,
+                     md5(array_to_string(
+                         list_sort(list_distinct(shingles)),
+                         chr(31))) AS f
+              FROM sh
+            )
+            SELECT key, min(key) OVER (PARTITION BY f) AS cluster_id
+            FROM fp
         """,
         "curate_oracle": """
             WITH toks AS (

@@ -189,6 +189,9 @@ def scaling() -> None:
         "er_sec_lo": t_lo, "er_sec_hi": t_hi,
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "er_f1_lo": r_lo["er_f1"], "er_f1_hi": r_hi["er_f1"],
+        "er_clusters_lo": r_lo["er_clusters"],
+        "er_clusters_hi": r_hi["er_clusters"],
     }))
 
 

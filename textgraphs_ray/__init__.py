@@ -19,7 +19,7 @@ from .functions.sketch import (band_keys, char_shingles, jaccard_shingles,
                                simhash_batch)
 from .functions.strsim import (jaro_winkler, jaro_winkler_batch,
                                levenshtein_batch, levenshtein_sim_batch,
-                               osa_distance)
+                               osa_distance, osa_within)
 from .pipelines.er import (extract_spans, mentions_from_spans,
                            resolve_entities, spanify_text)
 from .pipelines.curate import curate_corpus
@@ -49,7 +49,7 @@ __all__ = [
     "lemma_of", "levenshtein_batch", "levenshtein_sim_batch",
     "load_ingram", "mentions_from_spans", "minhash_batch",
     "minhash_dedup", "ngram_jaccard_dedup", "normalize_prefix",
-    "osa_distance", "pairwise_scores", "parse", "pos_of",
+    "osa_distance", "osa_within", "pairwise_scores", "parse", "pos_of",
     "ranked_phrases",
     "register_extractor", "register_linker", "register_scorer",
     "registry", "remap_ner", "resolve_entities",
