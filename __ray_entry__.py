@@ -914,6 +914,19 @@ def _q_curate_oracle(sf_dir: str):
     return res["docs"].select_columns(["doc_id"])
 
 
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type: constant
+    2^12 bytes of state per group vs a full value shuffle for the exact
+    count (functions/hll.py; rows-only — the estimate is deterministic
+    but not SQL-reproducible; accuracy is pytest-asserted vs exact)."""
+    from textgraphs_ray.functions.hll import hll_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return ds.groupby("event_type").aggregate(
+        hll_agg("user_id", alias_name="approx_users"))
+
+
 def _q_median_agg(sf_dir: str):
     """Exact per-group median (interpolated): groupby.map_groups with a
     vectorized quantile — the exact-quantile sibling of A7/A8's
@@ -1113,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p90_agg": _q_p90_agg,
         "curate": _q_curate,
         "curate_oracle": _q_curate_oracle,
+        "hll_distinct": _q_hll_distinct,
     }
 
 

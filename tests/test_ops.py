@@ -367,3 +367,33 @@ def test_knn_merge_paths_agree():
         sim._DRIVER_MERGE_MAX_Q = orig
     pd.testing.assert_frame_equal(
         big.reset_index(drop=True), small.reset_index(drop=True))
+
+
+def test_hll_distinct_accuracy():
+    """HLL estimate within ~3× the theoretical error (1.04/sqrt(m)) of
+    the exact distinct count, at several cardinalities, grouped and
+    global; merge across blocks must equal a single-pass build."""
+    from textgraphs_ray.functions.hll import (estimate, hll_agg,
+                                              update_registers)
+
+    for n in (100, 5_000, 60_000):
+        vals = np.array([f"user-{i}" for i in range(n)], dtype=object)
+        regs = np.zeros(4096, np.int8)
+        update_registers(regs, vals, 12)
+        est = estimate(regs)
+        assert abs(est - n) / n < 3 * 1.04 / 64, (n, est)
+        # split-merge invariance
+        r1 = np.zeros(4096, np.int8)
+        r2 = np.zeros(4096, np.int8)
+        update_registers(r1, vals[: n // 2], 12)
+        update_registers(r2, vals[n // 2:], 12)
+        assert estimate(np.maximum(r1, r2)) == est
+
+    t = pa.table({"g": pa.array(["a"] * 1000 + ["b"] * 1000),
+                  "u": pa.array([f"x{i % 300}" for i in range(1000)]
+                                + [f"y{i}" for i in range(1000)])})
+    out = (rd.from_arrow(t).groupby("g")
+           .aggregate(hll_agg("u", alias_name="nd")).to_pandas()
+           .set_index("g"))
+    assert abs(out.loc["a", "nd"] - 300) / 300 < 0.06
+    assert abs(out.loc["b", "nd"] - 1000) / 1000 < 0.06
