@@ -927,6 +927,19 @@ def _q_hll_distinct(sf_dir: str):
         hll_agg("user_id", alias_name="approx_users"))
 
 
+def _q_bottomk_sample(sf_dir: str):
+    """Deterministic bottom-k sample per group (KMV-family sketch,
+    functions/bottomk.py): the 5 distinct users with smallest md5 per
+    event type — identical for any block layout AND SQL-reproducible
+    (md5 priority), so the sample itself is oracle-checked."""
+    from textgraphs_ray.functions.bottomk import bottomk_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return ds.groupby("event_type").aggregate(
+        bottomk_agg("user_id", k=5, alias_name="sample_users"))
+
+
 def _q_median_agg(sf_dir: str):
     """Exact per-group median (interpolated): groupby.map_groups with a
     vectorized quantile — the exact-quantile sibling of A7/A8's
@@ -1127,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         "curate_oracle": _q_curate_oracle,
         "hll_distinct": _q_hll_distinct,
+        "bottomk_sample": _q_bottomk_sample,
     }
 
 
@@ -1371,6 +1385,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) AS t_start_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "bottomk_sample": """
+            WITH d AS (
+              SELECT DISTINCT event_type, user_id::VARCHAR AS u
+              FROM events
+            ), r AS (
+              SELECT event_type, u,
+                     row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY md5(u), u) AS rn
+              FROM d
+            )
+            SELECT event_type,
+                   string_agg(u, ',' ORDER BY md5(u), u) AS sample_users
+            FROM r WHERE rn <= 5 GROUP BY event_type
         """,
         "dedup_jaccard_oracle": """
             WITH n AS (

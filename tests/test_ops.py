@@ -397,3 +397,21 @@ def test_hll_distinct_accuracy():
            .set_index("g"))
     assert abs(out.loc["a", "nd"] - 300) / 300 < 0.06
     assert abs(out.loc["b", "nd"] - 1000) / 1000 < 0.06
+
+
+def test_bottomk_sample_layout_invariant():
+    """The bottom-k sample must be identical for any block layout
+    (merge is a sorted union) and must equal the direct computation."""
+    import hashlib
+
+    from textgraphs_ray.functions.bottomk import bottomk_agg
+
+    vals = [f"v{i}" for i in range(200)]
+    expect = ",".join(v for _, v in sorted(
+        (hashlib.md5(v.encode()).hexdigest(), v) for v in vals)[:5])
+    t = pa.table({"g": pa.array(["x"] * 200), "u": pa.array(vals)})
+    for nblocks in (1, 7):
+        out = (rd.from_arrow(t).repartition(nblocks).groupby("g")
+               .aggregate(bottomk_agg("u", k=5, alias_name="s"))
+               .to_pandas())
+        assert out.loc[0, "s"] == expect
