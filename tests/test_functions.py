@@ -183,3 +183,34 @@ def test_deletion_band_collides_one_edit_typos():
     hc = set(dn[dn["key"] == "c"]["band_hash"])
     assert ha & hb        # one-edit typo shares a deletion bucket
     assert not (ha & hc)  # different first initial → never collides
+
+
+def test_imaging_codecs_roundtrip():
+    """Pure-numpy PPM/BMP/WAV codecs: encode → decode is identity;
+    compressed formats hit the explicit gate."""
+    import numpy as np
+    import pytest
+
+    from textgraphs_ray.functions import imaging
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (21, 34, 3), dtype=np.uint8)
+    assert np.array_equal(imaging.decode_ppm(imaging.encode_ppm(img)), img)
+    assert np.array_equal(
+        imaging.decode_bmp24(imaging.encode_bmp24(img)), img)
+    # comment-tolerant PPM header
+    with_comment = b"P6\n# a comment\n34 21\n255\n" + img.tobytes()
+    assert np.array_equal(imaging.decode_ppm(with_comment), img)
+
+    s = (rng.standard_normal(500) * 5000).astype(np.int16)
+    s2, rate = imaging.decode_wav_pcm16(imaging.encode_wav_pcm16(s, 8000))
+    assert np.array_equal(s, s2) and rate == 8000
+
+    r = imaging.resize_nearest(img, 10, 7)
+    assert r.shape == (7, 10, 3)
+    # upsample keeps corner pixels
+    up = imaging.resize_nearest(img, 68, 42)
+    assert np.array_equal(up[0, 0], img[0, 0])
+
+    with pytest.raises(NotImplementedError):
+        imaging.decode_image(b"\x89PNG compressed")

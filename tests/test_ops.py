@@ -177,9 +177,28 @@ def test_media_plumbing():
                             batch_size=8, concurrency=(1, 2)).to_pandas()
     assert (frames["frame_idx"] % 4 == 0).all()
     assert len(frames) > 0
+    # reel frames are REAL decodable PPM images
+    from textgraphs_ray.functions.imaging import decode_ppm
+    assert decode_ppm(frames["frame"].iloc[0]).shape == (8, 8, 3)
 
-    # strict mode marks the decode boundary
-    strict = rd.from_arrow(t.slice(0, 2)).map_batches(
+    # raw formats decode for REAL: image rows report pixel dims
+    dec = ds.map_batches(DecodeStub, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    imgs = dec[dec["media_type"] == "image"]
+    assert (imgs["codec"] == "ppm").all()
+    assert (imgs["decoded_w"] > 0).all() and (imgs["decoded_h"] > 0).all()
+    assert (dec[dec["media_type"] == "audio"]["codec"] == "wav").all()
+
+    # strict mode marks the compressed-codec boundary: raw payloads
+    # pass, an unknown payload raises
+    ok = rd.from_arrow(t.slice(0, 2)).map_batches(
+        DecodeStub, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"strict": True})
+    assert ok.count() == 2
+    junk = pa.table({"media_ref": ["m://x"], "media_type": ["image"],
+                     "payload": [b"\x89PNG fake compressed bytes"],
+                     "width": [0], "height": [0], "duration_ms": [0]})
+    strict = rd.from_arrow(junk).map_batches(
         DecodeStub, batch_format="pyarrow", concurrency=1,
         fn_constructor_kwargs={"strict": True})
     with pytest.raises(Exception):
@@ -314,14 +333,27 @@ def test_empty_inputs_are_graceful():
 def test_resize_stub():
     from textgraphs_ray.stages.media import ResizeStub, synth_media_table
 
+    from textgraphs_ray.functions.imaging import decode_ppm
+
     t = synth_media_table(12)
     out = rd.from_arrow(t).map_batches(
         ResizeStub, batch_format="pyarrow", batch_size=4,
         concurrency=1).to_pandas()
-    assert (out["resized"].str.len() <= 64 * 64).all()
     assert (out["out_w"] == 64).all()
-    # strict mode marks the real-codec boundary
-    strict = rd.from_arrow(t.slice(0, 2)).map_batches(
+    # decodable payloads (PPM images + PPM-reel first frames) are
+    # REALLY resized: output decodes as a 64x64 PPM
+    ppm_rows = out[out["resized"].apply(lambda b: b[:2] == b"P6")]
+    assert len(ppm_rows) > 0
+    for b in ppm_rows["resized"]:
+        assert decode_ppm(b).shape == (64, 64, 3)
+    # undecodable payloads (WAV audio here) use the byte downsampler
+    other = out[out["media_type"] == "audio"]
+    assert (other["resized"].str.len() <= 64 * 64).all()
+    # strict mode marks the compressed-codec boundary
+    junk = pa.table({"media_ref": ["m://x"], "media_type": ["image"],
+                     "payload": [b"\x89PNG fake compressed bytes"],
+                     "width": [0], "height": [0], "duration_ms": [0]})
+    strict = rd.from_arrow(junk).map_batches(
         ResizeStub, batch_format="pyarrow", concurrency=1,
         fn_constructor_kwargs={"strict": True})
     with pytest.raises(Exception):

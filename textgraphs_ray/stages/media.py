@@ -1,20 +1,26 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video are treated as opaque ``binary`` columns with a
-``media_type`` tag.  The decode kernels themselves are STUBS (the
-decoding libraries are not in this container): ``DecodeStub`` raises
-``NotImplementedError`` for real media types unless a deterministic
-fake decoder is registered — but the Ray-side plumbing is real and
-tested: schema, actor-pool signatures, small batch sizes for large
-binary rows, feature/embedding output layout.
+Image/audio/video are ``binary`` columns with a ``media_type`` tag.
+Decode is REAL for uncompressed formats — PPM P6 / 24-bit BMP images,
+PCM-16 WAV audio, and PPM-reel "video" (concatenated P6 frames) are
+parsed with the pure-numpy codecs in ``functions/imaging.py`` — and an
+explicit ``NotImplementedError`` gate marks where compressed-format
+libraries (PIL/opencv/ffmpeg, absent in this container) plug in.  The
+Ray-side shape is production-real either way: actor pools, small batch
+sizes for wide binary rows, typed output schema.
 
 Stages:
 
-- :class:`DecodeStub` — payload → decoded feature dict (stub);
-- :class:`MediaFeaturizer` — decoded payload → fixed-dim embedding
-  (hash-seeded deterministic fake of a vision/audio encoder);
-- :class:`FrameSampler` — "video" payloads → every-nth-frame child rows
-  (flat-map shape; frames are fixed-size byte slices in the stub).
+- :class:`DecodeStub` — payload → decode metadata (pixels/samples for
+  raw formats; ``strict=True`` raises on undecodable payloads);
+- :class:`MediaFeaturizer` — image payloads → REAL 8×8 grayscale
+  thumbnail embedding; other payloads → hash-seeded deterministic
+  stand-in for an audio/video encoder;
+- :class:`ResizeStub` — REAL nearest-neighbor resize (re-encoded PPM)
+  for raw images, byte-downsample stand-in otherwise;
+- :class:`FrameSampler` — PPM-reel videos → every-nth REAL frame;
+  unknown payloads → fixed-size byte slices (flat-map shape either
+  way).
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions import imaging
 
 MEDIA_SCHEMA = pa.schema([
     pa.field("media_ref", pa.string()),
@@ -45,54 +53,100 @@ def _hash_vec(data: bytes, dim: int) -> np.ndarray:
 
 
 class DecodeStub:
-    """Actor-pool decode stage.  STUB: real decode (PIL/ffmpeg/librosa)
-    is unavailable here; ``strict=True`` raises NotImplementedError to
-    mark the boundary, ``strict=False`` emits deterministic fake
-    features so downstream plumbing is exercised end-to-end."""
+    """Actor-pool decode stage.
+
+    Raw formats decode for real (``functions/imaging.py``): images
+    report ``decoded_w``/``decoded_h`` and pixel count, WAV reports
+    sample count.  Compressed/unknown payloads: ``strict=True`` raises
+    ``NotImplementedError`` (the PIL/ffmpeg boundary), ``strict=False``
+    falls back to byte-level metadata so downstream plumbing still runs
+    end-to-end.
+    """
 
     def __init__(self, *, strict: bool = False) -> None:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "media decode requires image/audio libraries not present "
-                "in this container; run with strict=False for the "
-                "deterministic fake decoder")
         payloads = batch.column("payload").to_pylist()
-        sizes = np.array([len(p or b"") for p in payloads], dtype=np.int64)
-        checksums = [hashlib.md5(p or b"").hexdigest() for p in payloads]
+        sizes = np.zeros(len(payloads), dtype=np.int64)
+        widths = np.zeros(len(payloads), dtype=np.int32)
+        heights = np.zeros(len(payloads), dtype=np.int32)
+        kinds = []
+        checksums = []
+        for i, p in enumerate(payloads):
+            p = p or b""
+            checksums.append(hashlib.md5(p).hexdigest())
+            kind = imaging.sniff(p)
+            if kind in ("ppm", "bmp"):
+                img = imaging.decode_image(p)
+                heights[i], widths[i] = img.shape[:2]
+                sizes[i] = img.size
+            elif kind == "wav":
+                samples, _rate = imaging.decode_wav_pcm16(p)
+                sizes[i] = len(samples)
+            else:
+                if self.strict:
+                    raise NotImplementedError(
+                        "compressed media decode requires PIL/opencv/"
+                        "ffmpeg, absent in this container; raw PPM/BMP/"
+                        "WAV decode for real, or run strict=False for "
+                        "byte-level metadata")
+                sizes[i] = len(p)
+            kinds.append(kind)
         return (batch.append_column("decoded_bytes", pa.array(sizes))
+                .append_column("decoded_w", pa.array(widths))
+                .append_column("decoded_h", pa.array(heights))
+                .append_column("codec", pa.array(kinds, pa.string()))
                 .append_column("checksum", pa.array(checksums, pa.string())))
 
 
 class MediaFeaturizer:
     """payload → ``embedding`` fixed-size-list<float32> column.
 
-    Shape-identical to a real encoder pool (model in ``__init__``,
-    batched inference in ``__call__``, small ``batch_size`` because
-    binary rows are wide)."""
+    Raw images get a REAL feature: the 8×8 nearest-neighbor grayscale
+    thumbnail, flattened and L2-normalized (64-dim — the classic
+    perceptual-hash feature).  Non-image payloads get the hash-seeded
+    deterministic stand-in for an audio/video encoder.  Shape-identical
+    to a real encoder pool (state in ``__init__``, batched inference in
+    ``__call__``, small ``batch_size`` because binary rows are wide)."""
 
     def __init__(self, *, dim: int = EMBED_DIM) -> None:
         self.dim = dim
+        self.side = int(np.sqrt(dim))
+
+    def _image_vec(self, img: np.ndarray) -> np.ndarray:
+        gray = img.astype(np.float32).mean(axis=2)
+        thumb = imaging.resize_nearest(
+            gray[..., None], self.side, self.side)[..., 0]
+        v = thumb.ravel()
+        if len(v) < self.dim:
+            v = np.pad(v, (0, self.dim - len(v)))
+        n = np.linalg.norm(v)
+        return (v / n if n else v).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        mat = np.stack([_hash_vec(p or b"", self.dim) for p in payloads]) \
-            if payloads else np.zeros((0, self.dim), np.float32)
+        vecs = []
+        for p in payloads:
+            p = p or b""
+            if imaging.sniff(p) in ("ppm", "bmp"):
+                vecs.append(self._image_vec(imaging.decode_image(p)))
+            else:
+                vecs.append(_hash_vec(p, self.dim))
+        mat = (np.stack(vecs) if vecs
+               else np.zeros((0, self.dim), np.float32))
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(mat.ravel(), pa.float32()), self.dim)
         return batch.append_column("embedding", col)
 
 
 class ResizeStub:
-    """Image-resize stage.  STUB: a real implementation calls
-    PIL/opencv inside ``__call__``; here the "resize" is a
-    deterministic byte-level downsample to ``target_bytes`` (stride
-    slicing) with the real Ray-side contract — output schema adds
-    (``resized``, binary) + (``out_w``, ``out_h``, int32), small
-    ``batch_size`` because rows are wide, actor pool because a real
-    resizer holds codec state."""
+    """Image-resize stage.
+
+    Raw images are resized for REAL (nearest-neighbor index striding)
+    and re-encoded as PPM; undecodable payloads fall back to the
+    deterministic byte downsampler (or raise with ``strict=True``).
+    Actor pool + small ``batch_size`` because rows are wide."""
 
     def __init__(self, *, target_w: int = 64, target_h: int = 64,
                  strict: bool = False) -> None:
@@ -101,14 +155,20 @@ class ResizeStub:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "image resize requires PIL/opencv, absent here; "
-                "strict=False runs the deterministic byte downsampler")
-        target = self.target_w * self.target_h
         out = []
         for p in batch.column("payload").to_pylist():
             p = p or b""
+            if imaging.sniff(p) in ("ppm", "bmp"):
+                img = imaging.decode_image(p)
+                out.append(imaging.encode_ppm(imaging.resize_nearest(
+                    img, self.target_w, self.target_h)))
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed image resize requires PIL/opencv, absent "
+                    "here; raw PPM/BMP resize for real, or strict=False "
+                    "for the byte downsampler")
+            target = self.target_w * self.target_h
             if len(p) <= target:
                 out.append(p)
             else:
@@ -123,13 +183,29 @@ class ResizeStub:
 
 
 class FrameSampler:
-    """"video" payload → one child row per sampled frame (every
-    ``stride``-th fixed-size slice in the stub; a real decoder would
-    seek keyframes).  Flat-map: output rows ≠ input rows."""
+    """"video" payload → one child row per sampled frame.
+
+    A PPM reel (concatenated P6 frames — the uncompressed stand-in for
+    a video container) is walked frame-by-frame via REAL header parses
+    and every ``stride``-th frame is emitted intact; unknown payloads
+    fall back to fixed-size byte slices.  Flat-map: output rows ≠
+    input rows."""
 
     def __init__(self, *, frame_bytes: int = 256, stride: int = 4) -> None:
         self.frame_bytes = frame_bytes
         self.stride = stride
+
+    def _reel_frames(self, p: bytes) -> list[bytes]:
+        frames = []
+        off = 0
+        while p[off:off + 2] == b"P6":
+            img = imaging.decode_ppm(p[off:])
+            frame = imaging.encode_ppm(img)
+            # frame length = canonical header + pixels; reel frames are
+            # written canonically so this advances exactly one frame
+            frames.append(frame)
+            off += len(frame)
+        return frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
@@ -138,6 +214,13 @@ class FrameSampler:
         out_ref, out_idx, out_frame = [], [], []
         for r, t, p in zip(refs, types, payloads):
             if t != "video" or not p:
+                continue
+            if p[:2] == b"P6":
+                frames = self._reel_frames(p)
+                for fi in range(0, len(frames), self.stride):
+                    out_ref.append(r)
+                    out_idx.append(fi)
+                    out_frame.append(frames[fi])
                 continue
             n_frames = max(1, len(p) // self.frame_bytes)
             for fi in range(0, n_frames, self.stride):
@@ -153,21 +236,39 @@ class FrameSampler:
 
 
 def synth_media_table(n: int, *, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table in MEDIA_SCHEMA (for tests
-    and benchmarks; payload bytes are hash-seeded)."""
+    """Deterministic synthetic media table in MEDIA_SCHEMA: REAL
+    payloads — PPM images, PCM-16 WAV audio, PPM-reel video — so the
+    decode stages exercise their true parse paths in tests/benchmarks."""
     rng = np.random.RandomState(seed)
     types = ["image", "audio", "video"]
     rows = {k: [] for k in ("media_ref", "media_type", "payload", "width",
                             "height", "duration_ms")}
     for i in range(n):
         t = types[i % 3]
-        payload = hashlib.blake2b(f"media-{seed}-{i}".encode(),
-                                  digest_size=32).digest() * (8 + i % 5)
+        r = np.random.RandomState(seed * 1_000_003 + i)
+        if t == "image":
+            w, h = int(r.randint(8, 33)), int(r.randint(8, 33))
+            payload = imaging.encode_ppm(
+                r.randint(0, 256, (h, w, 3)).astype(np.uint8))
+            dur = 0
+        elif t == "audio":
+            w = h = 0
+            samples = (r.standard_normal(int(r.randint(400, 1600)))
+                       * 8000).astype(np.int16)
+            payload = imaging.encode_wav_pcm16(samples, rate=16000)
+            dur = int(len(samples) / 16)
+        else:  # video: reel of small PPM frames
+            w, h = 8, 8
+            n_frames = int(r.randint(4, 13))
+            payload = b"".join(
+                imaging.encode_ppm(r.randint(0, 256, (h, w, 3))
+                                   .astype(np.uint8))
+                for _ in range(n_frames))
+            dur = n_frames * 40
         rows["media_ref"].append(f"m://synth/{i:06d}")
         rows["media_type"].append(t)
         rows["payload"].append(payload)
-        rows["width"].append(int(rng.randint(64, 1024)) if t == "image" else 0)
-        rows["height"].append(int(rng.randint(64, 1024)) if t == "image" else 0)
-        rows["duration_ms"].append(
-            int(rng.randint(1000, 60000)) if t != "image" else 0)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
