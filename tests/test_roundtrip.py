@@ -68,3 +68,47 @@ def test_load_reference_format():
     dump1 = dump_node_link(nodes, edges)
     n2, e2 = load_node_link(dump1)
     assert dump_node_link(n2, e2) == dump1
+
+
+def test_dump_reference_format_roundtrip():
+    """dump_reference_node_link emits the reference's own shape
+    (positional links, lemma/name/subobj/hood/title props, repr loc),
+    and load(dump_reference(load(fixture))) is a fixpoint."""
+    import json
+    import pathlib
+
+    from textgraphs_ray.sources.nodelink import dump_reference_node_link
+
+    fixture = (pathlib.Path(__file__).parent / "data"
+               / "reference_lemma_graph.json").read_text()
+    n1, e1 = load_node_link(fixture)
+    dumped = dump_reference_node_link(n1, e1)
+    dat = json.loads(dumped)
+    assert set(dat) == {"directed", "multigraph", "nodes", "links",
+                        "graph"}
+    assert all(isinstance(l["source"], int) and isinstance(l["target"],
+               int) for l in dat["links"])
+    assert {"lemma", "name", "subobj", "hood", "anno", "iri",
+            "loc"} <= set(dat["nodes"][0])
+    n2, e2 = load_node_link(dumped)
+    # fixpoint through the canonical dump
+    assert dump_node_link(n2, e2) == dump_node_link(n1, e1)
+
+    # an engine-built graph (locs as list<struct>) also dumps cleanly
+    docs = spanify_text(rd.from_arrow(pa.table({
+        "doc_id": ["d0"], "text": ["See Spot run."]}))).materialize()
+    from textgraphs_ray.stages.graph import iri_nodes_from_edges
+
+    edges_ds = build_edges(docs.map_batches(
+        extract_raw_edges, batch_format="pyarrow")).materialize()
+    nodes_df = (build_nodes(extract_spans(docs))
+                .union(iri_nodes_from_edges(edges_ds)).to_pandas())
+    nodes_t = pa.Table.from_pandas(nodes_df, preserve_index=False)
+    edges_t = pa.Table.from_pandas(edges_ds.to_pandas(),
+                                   preserve_index=False)
+    ref_dump = dump_reference_node_link(nodes_t, edges_t)
+    dat2 = json.loads(ref_dump)
+    assert len(dat2["nodes"]) == nodes_t.num_rows
+    assert len(dat2["links"]) == edges_t.num_rows
+    # loc strings are the reference's printed [[sent_id, token_id]] form
+    assert all(n["loc"].startswith("[") for n in dat2["nodes"])

@@ -40,6 +40,76 @@ def dump_node_link(nodes: pa.Table, edges: pa.Table) -> str:
                       sort_keys=True, ensure_ascii=False)
 
 
+def dump_reference_node_link(nodes: pa.Table, edges: pa.Table) -> str:
+    """nodes/edges tables → node-link JSON in the REFERENCE'S shape
+    (``dump_lemma_graph``, graph.py:236-296): NetworkX property names
+    (``lemma``/``name``/``subobj``/``hood``/``title``), positional
+    ``source``/``target`` ints, ``sort_keys`` + 2-space indent — so a
+    graph built here can be loaded by the reference's
+    ``load_lemma_graph`` unchanged.  Node order (and therefore the
+    positional ids) is key-sorted: deterministic under any execution
+    order."""
+    cols = {c: nodes.column(c).to_pylist() if c in nodes.column_names
+            else [None] * nodes.num_rows
+            for c in ("key", "text", "pos", "kind", "label", "length",
+                      "count", "sub_obj", "neighbors", "weight", "loc")}
+    if "loc" not in nodes.column_names and "locs" in nodes.column_names:
+        # engine-native tables carry locs as list<struct>; the reference
+        # serializes loc as the printed repr of [sent_id, token_id] pairs
+        cols["loc"] = [str([[d["sent_id"], d["token_id"]] for d in v])
+                       for v in nodes.column("locs").to_pylist()]
+    order = sorted(range(nodes.num_rows), key=lambda i: cols["key"][i])
+    index_of = {cols["key"][i]: pos for pos, i in enumerate(order)}
+    node_objs = []
+    for i in order:
+        kind = cols["kind"][i] or ""
+        label = cols["label"][i] or ""
+        if kind == "iri":
+            iri = cols["key"][i]
+        elif label.startswith("http"):
+            iri = label
+        else:
+            iri = None
+        loc = cols["loc"][i]
+        node_objs.append({
+            "anno": False,
+            "count": int(cols["count"][i] or 0),
+            "hood": int(cols["neighbors"][i] or 0),
+            "iri": iri,
+            "kind": kind,
+            "label": label,
+            "lemma": cols["key"][i],
+            "length": int(cols["length"][i] or 1),
+            "loc": loc if isinstance(loc, str) else str(loc or []),
+            "name": cols["text"][i] or "",
+            "pos": cols["pos"][i] or "",
+            "subobj": bool(cols["sub_obj"][i]),
+            "weight": float(cols["weight"][i] or 0.0),
+        })
+    ecols = {c: edges.column(c).to_pylist() if c in edges.column_names
+             else [None] * edges.num_rows
+             for c in ("src_key", "dst_key", "kind", "rel", "prob",
+                       "count")}
+    link_objs = sorted((
+        {
+            "count": int(ecols["count"][i] or 1),
+            "kind": ecols["kind"][i] or "",
+            "lemma": (f"{ecols['src_key'][i]}.{ecols['dst_key'][i]}."
+                      f"{ecols['rel'][i]}.{ecols['kind'][i]}"),
+            "prob": float(ecols["prob"][i] if ecols["prob"][i] is not None
+                          else 1.0),
+            "source": index_of[ecols["src_key"][i]],
+            "target": index_of[ecols["dst_key"][i]],
+            "title": ecols["rel"][i] or "",
+            "weight": float(ecols["count"][i] or 1),
+        } for i in range(edges.num_rows)),
+        key=lambda d: (d["source"], d["target"], d["title"], d["kind"]))
+    node_link = {"directed": True, "multigraph": True,
+                 "nodes": node_objs, "links": link_objs, "graph": {}}
+    return json.dumps(node_link, sort_keys=True, indent=2,
+                      separators=(",", ":"))
+
+
 def load_node_link(dumped: str) -> tuple[pa.Table, pa.Table]:
     """Node-link JSON → (nodes, edges) Arrow tables.
 
