@@ -927,6 +927,22 @@ def _q_hll_distinct(sf_dir: str):
         hll_agg("user_id", alias_name="approx_users"))
 
 
+def _q_media_dedup(sf_dir: str):
+    """Multimodal near-dup chain: REAL PPM decode → 8×8 thumbnail
+    embedding (stages/media.py) → hyperplane-LSH embedding dedup —
+    the image-side analogue of MinHash text dedup.  Inputs are the
+    deterministic synthetic media table (media payloads aren't in the
+    sf parquet set), so this is rows-only."""
+    from textgraphs_ray.stages.dedup import embedding_dedup
+    from textgraphs_ray.stages.media import MediaFeaturizer, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(240))
+    emb = ds.map_batches(MediaFeaturizer, batch_format="pyarrow",
+                         batch_size=32, concurrency=2)
+    return embedding_dedup(emb, emb_col="embedding", id_col="media_ref",
+                           cosine_threshold=0.97)
+
+
 def _q_bottomk_sample(sf_dir: str):
     """Deterministic bottom-k sample per group (KMV-family sketch,
     functions/bottomk.py): the 5 distinct users with smallest md5 per
@@ -1141,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_oracle": _q_curate_oracle,
         "hll_distinct": _q_hll_distinct,
         "bottomk_sample": _q_bottomk_sample,
+        "media_dedup": _q_media_dedup,
     }
 
 

@@ -447,3 +447,32 @@ def test_bottomk_sample_layout_invariant():
                .aggregate(bottomk_agg("u", k=5, alias_name="s"))
                .to_pandas())
         assert out.loc[0, "s"] == expect
+
+
+def test_media_near_dup_images():
+    """End-to-end multimodal dedup: real PPM decode → 8x8 thumbnail
+    embedding → hyperplane-LSH embedding_dedup clusters a noisy copy
+    with its original, not with unrelated images."""
+    from textgraphs_ray.functions.imaging import encode_ppm
+    from textgraphs_ray.stages.dedup import embedding_dedup
+    from textgraphs_ray.stages.media import MediaFeaturizer
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (24, 24, 3)).astype(np.int16)
+    noisy = np.clip(base + rng.randint(-6, 7, base.shape), 0, 255)
+    rows = [{"media_ref": "m://orig", "payload": encode_ppm(
+                 base.astype(np.uint8))},
+            {"media_ref": "m://noisy", "payload": encode_ppm(
+                 noisy.astype(np.uint8))}]
+    for i in range(10):
+        rows.append({"media_ref": f"m://other{i}", "payload": encode_ppm(
+            rng.randint(0, 256, (24, 24, 3)).astype(np.uint8))})
+    t = pa.Table.from_pylist(rows)
+    emb = rd.from_arrow(t).map_batches(
+        MediaFeaturizer, batch_format="pyarrow", concurrency=1)
+    clusters = embedding_dedup(emb, emb_col="embedding",
+                               id_col="media_ref",
+                               cosine_threshold=0.98).to_pandas()
+    cl = dict(zip(clusters["key"], clusters["cluster_id"]))
+    assert cl["m://orig"] == cl["m://noisy"]
+    assert cl["m://other0"] != cl["m://orig"]
