@@ -222,6 +222,23 @@ def _q_quality(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition filters: duplicate-line and
+    duplicate-word fractions per document (stages/text.py
+    RepetitionScorer), rounded 6dp to align with the SQL oracle."""
+    from textgraphs_ray.stages.text import RepetitionScorer
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionScorer, batch_format="pyarrow",
+                         concurrency=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "line_dup_ratio": pc.round(t.column("line_dup_ratio"), 6),
+            "word_dup_ratio": pc.round(t.column("word_dup_ratio"), 6)}),
+        batch_format="pyarrow")
+
+
 def _q_knn_brute(sf_dir: str):
     """Brute-force cosine top-k over the embeddings table: queries are
     vec_id < 5; k=5 neighbors excluding self."""
@@ -1158,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "bottomk_sample": _q_bottomk_sample,
         "media_dedup": _q_media_dedup,
+        "repetition": _q_repetition,
     }
 
 
@@ -1402,6 +1420,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) AS t_start_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "repetition": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> regexp_matches(l, '[^\\s]')) AS ls,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(ls) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+                         END, 6) AS line_dup_ratio,
+                   round(CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(ws)) * 1.0 / len(ws)
+                         END, 6) AS word_dup_ratio
+            FROM s
         """,
         "bottomk_sample": """
             WITH d AS (

@@ -476,3 +476,18 @@ def test_media_near_dup_images():
     cl = dict(zip(clusters["key"], clusters["cluster_id"]))
     assert cl["m://orig"] == cl["m://noisy"]
     assert cl["m://other0"] != cl["m://orig"]
+
+
+def test_repetition_scorer():
+    from textgraphs_ray.stages.text import RepetitionScorer
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["spam spam spam ham",
+                           "a\nb\na\n\n  \nb",
+                           ""]})
+    out = rd.from_arrow(t).map_batches(
+        RepetitionScorer, batch_format="pyarrow",
+        concurrency=1).to_pandas().set_index("doc_id")
+    assert abs(out.loc[1, "word_dup_ratio"] - 0.5) < 1e-9  # 2/4 distinct
+    assert abs(out.loc[2, "line_dup_ratio"] - 0.5) < 1e-9  # 2/4 distinct
+    assert out.loc[3, "word_dup_ratio"] == 0.0

@@ -179,3 +179,31 @@ class Fingerprinter:
             roll[i] = h
         return (batch.append_column("fp_md5", pa.array(md5s, pa.string()))
                 .append_column("fp_rolling", pa.array(roll, pa.uint64())))
+
+
+class RepetitionScorer:
+    """Add Gopher-style repetition signals: ``line_dup_ratio`` (1 −
+    distinct/total non-empty lines) and ``word_dup_ratio`` (1 −
+    distinct/total whitespace words).  High values mark boilerplate /
+    template spam — standard pretraining-corpus filters alongside
+    :class:`QualityScorer`'s length/punct/stopword heuristics."""
+
+    def __init__(self, *, text_col: str = "text") -> None:
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        line_dup = np.zeros(n)
+        word_dup = np.zeros(n)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            lines = [l for l in t.split("\n") if l.strip()]
+            if lines:
+                line_dup[i] = 1.0 - len(set(lines)) / len(lines)
+            words = t.split()
+            if words:
+                word_dup[i] = 1.0 - len(set(words)) / len(words)
+        return (batch.append_column("line_dup_ratio", pa.array(line_dup))
+                .append_column("word_dup_ratio", pa.array(word_dup)))
