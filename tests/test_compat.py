@@ -29,8 +29,18 @@ Werner Herzog is a remarkable filmmaker and intellectual originally from Germany
     # exports run off the same state
     rdf = tg.export_rdf()
     assert "werner" in rdf.lower()
+    # default dump is the REFERENCE's node-link shape (positional
+    # links); canonical engine format available via fmt=
     dumped = tg.dump_lemma_graph()
-    assert '"nodes"' in dumped and '"edges"' in dumped
+    assert '"nodes"' in dumped and '"links"' in dumped
+    canon = tg.dump_lemma_graph(fmt="canonical")
+    assert '"edges"' in canon
+
+    # load_lemma_graph round-trips either format (the reference's
+    # resume path, graph.py:299-391)
+    tg2 = textgraphs.TextGraphs()
+    tg2.load_lemma_graph(dumped)
+    assert tg2.dump_lemma_graph(fmt="canonical") == canon
 
 
 def test_compat_multi_doc_accumulation_and_er():

@@ -113,14 +113,21 @@ class TextGraphs:
         return _infer(self._docs_ds).to_pandas()
 
     def construct_lemma_graph(self, *, debug: bool = False) -> None:
-        """Dedup edge construction (reference ``doc.py:541-560``)."""
-        from .stages.graph import build_edges, extract_raw_edges
+        """Dedup edge construction (reference ``doc.py:541-560``); the
+        IRI class nodes referenced by rdf:type edges join the node
+        table, as the reference's ``_make_class_link`` dst nodes do
+        (doc.py:269-288)."""
+        from .stages.graph import (build_edges, extract_raw_edges,
+                                   iri_nodes_from_edges)
 
         if self._docs_ds is None:
             raise RuntimeError("collect_graph_elements first")
         raw = self._docs_ds.map_batches(extract_raw_edges,
                                         batch_format="pyarrow")
         self._edges = build_edges(raw).materialize()
+        if self._nodes is not None:
+            self._nodes = self._nodes.union(
+                iri_nodes_from_edges(self._edges)).materialize()
 
     def calc_phrase_ranks(self, *, pr_alpha: float = 0.85,
                           debug: bool = False) -> None:
@@ -156,16 +163,38 @@ class TextGraphs:
         self._require_graph()
         export_kuzu_csv(self._nodes, self._edges, out_dir)
 
-    def dump_lemma_graph(self) -> str:
-        """Canonical node-link JSON (reference ``graph.py:236-296``)."""
-        from .sources.nodelink import dump_node_link
+    def dump_lemma_graph(self, *, fmt: str = "reference") -> str:
+        """Node-link JSON (reference ``graph.py:236-296``).
+
+        ``fmt="reference"`` (default, matching the reference's output
+        shape byte-for-byte in structure: positional ids, NetworkX
+        property names) or ``fmt="canonical"`` (the engine's key-keyed
+        deterministic dump)."""
+        from .sources.nodelink import (dump_node_link,
+                                       dump_reference_node_link)
 
         self._require_graph()
-        return dump_node_link(
-            pa.Table.from_pandas(self._nodes.to_pandas(),
-                                 preserve_index=False),
-            pa.Table.from_pandas(self._edges.to_pandas(),
-                                 preserve_index=False))
+        nodes_t = pa.Table.from_pandas(self._nodes.to_pandas(),
+                                       preserve_index=False)
+        edges_t = pa.Table.from_pandas(self._edges.to_pandas(),
+                                       preserve_index=False)
+        if fmt == "reference":
+            return dump_reference_node_link(nodes_t, edges_t)
+        return dump_node_link(nodes_t, edges_t)
+
+    def load_lemma_graph(self, json_str: str, *,
+                         debug: bool = False) -> None:
+        """Deserialize a node-link dump — the reference's resume path
+        (``graph.py:299-391``).  Accepts BOTH the reference's
+        positional-index format and the engine's canonical dump."""
+        del debug
+        from .sources.nodelink import load_node_link
+
+        nodes_t, edges_t = load_node_link(json_str)
+        import ray.data as _rd
+
+        self._nodes = _rd.from_arrow(nodes_t).materialize()
+        self._edges = _rd.from_arrow(edges_t).materialize()
 
     def load_bootstrap_ttl(self, ttl: str) -> None:
         """Seed synonym/class edges from Turtle (reference
