@@ -491,3 +491,46 @@ def test_repetition_scorer():
     assert abs(out.loc[1, "word_dup_ratio"] - 0.5) < 1e-9  # 2/4 distinct
     assert abs(out.loc[2, "line_dup_ratio"] - 0.5) < 1e-9  # 2/4 distinct
     assert out.loc[3, "word_dup_ratio"] == 0.0
+
+
+def test_spotlight_client_path():
+    """The HTTP linking kernel (request build + response parse + memo)
+    verified with an injected opener — no network in this sandbox."""
+    import io
+    import json
+
+    from textgraphs_ray.stages.link import EntityLinker, SpotlightClient
+
+    canned = {"Resources": [
+        {"@URI": "http://dbpedia.org/resource/Werner_Herzog",
+         "@surfaceForm": "Werner Herzog", "@similarityScore": "0.99",
+         "@support": "500"},
+        {"@URI": "http://dbpedia.org/resource/Herzog_(novel)",
+         "@surfaceForm": "Herzog", "@similarityScore": "0.4",
+         "@support": "3"}]}
+    seen_urls = []
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def opener(req):
+        seen_urls.append(req.full_url)
+        assert req.get_header("Accept") == "application/json"
+        return FakeResp(json.dumps(canned).encode())
+
+    client = SpotlightClient("http://spotlight.example/rest",
+                             confidence=0.5, opener=opener)
+    linker = EntityLinker(min_similarity=0.8, spotlight=client)
+    t = pa.table({"key": ["werner.PROPN.herzog.PROPN"] * 2,
+                  "text": ["Werner Herzog"] * 2, "kind": ["ent"] * 2})
+    out = linker(t).to_pylist()
+    # best above-threshold hit wins; the 0.4 candidate is filtered
+    assert out[0]["iri"] == "http://dbpedia.org/resource/Werner_Herzog"
+    assert "confidence=0.5" in seen_urls[0]
+    assert "text=Werner+Herzog" in seen_urls[0]
+    # per-actor memo: one HTTP round-trip for two identical surfaces
+    assert client.n_requests == 1

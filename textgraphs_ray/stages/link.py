@@ -28,21 +28,76 @@ import ray.data
 from ..functions import kg
 
 
+class SpotlightClient:
+    """DBPedia Spotlight ``/annotate`` client (stdlib urllib — no extra
+    dependency), the PRODUCTION kernel behind :class:`EntityLinker`
+    when an endpoint is reachable (reference ``kg.py:851-983``).
+
+    ``opener`` is injectable so the request/parse path is unit-testable
+    without network (this sandbox has none)."""
+
+    def __init__(self, endpoint: str, *, confidence: float = 0.5,
+                 timeout: float = 5.0, opener=None) -> None:
+        self.endpoint = endpoint.rstrip("/")
+        self.confidence = confidence
+        self.timeout = timeout
+        self._opener = opener
+        self.n_requests = 0
+
+    def annotate(self, text: str) -> list[dict]:
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        url = (self.endpoint + "/annotate?" + urllib.parse.urlencode(
+            {"text": text, "confidence": self.confidence}))
+        req = urllib.request.Request(
+            url, headers={"Accept": "application/json"})
+        open_fn = self._opener or (
+            lambda r: urllib.request.urlopen(r, timeout=self.timeout))
+        self.n_requests += 1
+        with open_fn(req) as resp:
+            dat = _json.loads(resp.read().decode("utf-8"))
+        return [{"iri": r.get("@URI", ""),
+                 "surface": r.get("@surfaceForm", ""),
+                 "similarity": float(r.get("@similarityScore", 0.0)),
+                 "support": int(r.get("@support", 0))}
+                for r in (dat.get("Resources") or [])]
+
+
 class EntityLinker:
     """Actor-pool stage over distinct ent nodes: emits link rows.
 
     Output columns: (key, iri, wd_iri, rel, prob, label).
-    """
 
-    def __init__(self, *, min_similarity: float = kg.MIN_SIMILARITY) -> None:
+    ``spotlight``: optional :class:`SpotlightClient` — with it, ent
+    surfaces resolve through the real DBPedia Spotlight API (best hit
+    above ``min_similarity``); without it (this sandbox), the
+    deterministic local function stands in.  Either way the per-actor
+    memo means one lookup per DISTINCT surface per actor (T5), and the
+    input is the distinct node table, so remote traffic is O(unique
+    surfaces), never O(corpus rows)."""
+
+    def __init__(self, *, min_similarity: float = kg.MIN_SIMILARITY,
+                 spotlight: "SpotlightClient | None" = None) -> None:
         self.min_similarity = min_similarity
+        self.spotlight = spotlight
         self.cache: dict[str, tuple[str, str]] = {}  # per-actor memo (T5)
 
     def _resolve(self, surface: str) -> tuple[str, str]:
         hit = self.cache.get(surface)
         if hit is None:
             canon = " ".join(w.capitalize() for w in surface.split())
-            hit = (kg.link_iri(canon), kg.wikidata_iri(canon))
+            if self.spotlight is not None:
+                hits = [h for h in self.spotlight.annotate(canon)
+                        if h["similarity"] >= self.min_similarity]
+                if hits:
+                    best = max(hits, key=lambda h: h["similarity"])
+                    hit = (best["iri"], kg.wikidata_iri(canon))
+                else:
+                    hit = ("", "")
+            else:
+                hit = (kg.link_iri(canon), kg.wikidata_iri(canon))
             self.cache[surface] = hit
         return hit
 
@@ -54,6 +109,8 @@ class EntityLinker:
         for k, t, kd in zip(keys, texts, kinds):
             if kd == "ent" and t:
                 iri, wd = self._resolve(t.lower())
+                if not iri:  # below-threshold Spotlight miss: unlinked
+                    continue
                 out_key.append(k); out_iri.append(iri); out_wd.append(wd)
                 out_rel.append("dbpedia"); out_prob.append(1.0)
                 out_label.append(t)
