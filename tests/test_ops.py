@@ -534,3 +534,42 @@ def test_spotlight_client_path():
     assert "text=Werner+Herzog" in seen_urls[0]
     # per-actor memo: one HTTP round-trip for two identical surfaces
     assert client.n_requests == 1
+
+
+def test_opennre_scorer_wiring():
+    """The real-model relation kernel: registry gate matches the
+    import, and an injected model drives label + prob through the pair
+    loop (char spans follow the reference's get_pos convention)."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.registry import registry
+    from textgraphs_ray.stages.relations import (HAVE_OPENNRE,
+                                                 OpenNREScorer,
+                                                 RelationScorer)
+
+    assert ("opennre" in registry.inferrers) == HAVE_OPENNRE
+    if not HAVE_OPENNRE:
+        with pytest.raises(ImportError):
+            OpenNREScorer()
+
+    calls = []
+
+    class FakeModel:
+        def infer(self, item):
+            calls.append(item)
+            text = item["text"]
+            h0, h1 = item["h"]["pos"]
+            assert text[h0:h1 + 1].strip() != ""
+            return "fake_relation", 0.95
+
+    docs, _, _ = generate(40)
+    base = RelationScorer()(docs.slice(0, 40))
+    out = OpenNREScorer(model=FakeModel())(docs.slice(0, 40))
+    assert out.num_rows > 0
+    assert set(out.column("rel_label").to_pylist()) == {"fake_relation"}
+    assert all(abs(p - 0.95) < 1e-9
+               for p in out.column("prob").to_pylist())
+    # the model sees exactly the stand-in path's candidate pairs (same
+    # span algebra; the 0.95 fake prob clears min_prob for all of them)
+    assert len(calls) == out.num_rows
+    assert {(r["src_key"], r["dst_key"]) for r in out.to_pylist()} >= \
+        {(r["src_key"], r["dst_key"]) for r in base.to_pylist()}

@@ -111,6 +111,16 @@ class RelationScorer:
                 .hexdigest(), 16)
         return 0.88 + (h % 1000) / 1000.0 * 0.12
 
+    def _score_pair(self, span_texts: list, i: int, j: int,
+                    rel_lemma: str) -> tuple:
+        """Pair-scoring hook → (prob, model_rel_label | None).
+
+        The base class scores from the connecting verb lemma alone
+        (deterministic stand-in); :class:`OpenNREScorer` overrides this
+        with real model inference over the pair's sentence context."""
+        del span_texts, i, j
+        return self._score(rel_lemma), None
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .extract import analyze_spans
 
@@ -146,7 +156,9 @@ class RelationScorer:
                     if not between:
                         continue
                     rl = between[0]
-                    p = self._score(rl)
+                    p, model_rel = self._score_pair(t, i, j, rl)
+                    if model_rel is not None:
+                        rl = model_rel
                     if p < self.min_prob:
                         continue
                     src.append(keys[i]); dst.append(keys[j])
@@ -181,3 +193,50 @@ def infer_relations(docs_ds: "ray.data.Dataset", *,
     return docs_ds.map_batches(
         RelationScorer, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+try:  # capability gate — never a hard dependency (pipe.py:161-209)
+    import opennre  # noqa: F401
+
+    HAVE_OPENNRE = True
+except ImportError:
+    HAVE_OPENNRE = False
+
+
+class OpenNREScorer(RelationScorer):
+    """Real OpenNRE kernel behind the relation scorer (reference
+    ``rel.py:210-307``, loaded once per actor like the reference's
+    factory — 0.9 s per ``docs/ex0_0.md:667``).
+
+    ``model`` is injectable (anything with ``.infer(item) ->
+    (label, prob)``) so the wiring is testable without downloads; by
+    default the gated ``opennre.get_model(model_name)`` loads in
+    ``__init__`` — once per actor, never per batch."""
+
+    def __init__(self, *, model_name: str = "wiki80_cnn_softmax",
+                 model=None, **kwargs) -> None:
+        super().__init__(**kwargs)
+        if model is not None:
+            self.model = model
+        else:
+            if not HAVE_OPENNRE:
+                raise ImportError(
+                    "opennre is not installed — use RelationScorer "
+                    "(deterministic stand-in) instead")
+            self.model = opennre.get_model(model_name)
+
+    def _score_pair(self, span_texts: list, i: int, j: int,
+                    rel_lemma: str) -> tuple:
+        # reconstruct the token-joined text + char spans the OpenNRE
+        # API expects (reference Node.get_pos, elem.py:166-176)
+        starts = []
+        pos = 0
+        for t in span_texts:
+            starts.append(pos)
+            pos += len(t or "") + 1
+        text = " ".join(t or "" for t in span_texts)
+        h_pos = (starts[i], starts[i] + len(span_texts[i] or "") - 1)
+        t_pos = (starts[j], starts[j] + len(span_texts[j] or "") - 1)
+        label, prob = self.model.infer(
+            {"text": text, "h": {"pos": h_pos}, "t": {"pos": t_pos}})
+        return float(prob), label
