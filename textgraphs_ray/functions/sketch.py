@@ -34,14 +34,20 @@ def char_shingles(text: str, k: int = 3) -> list[str]:
 
 
 def hash64(values: list[str]) -> np.ndarray:
-    """FNV-1a 64-bit over utf-8 strings → uint64 array."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        h = 0xCBF29CE484222325
-        for ch in v.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
+    """Deterministic 64-bit string hashes → uint64 array.
+
+    Fixed-key siphash via ``pandas.util.hash_array`` — one vectorized C
+    call for the whole list (~8× the former per-character Python FNV
+    loop, measured on the shingle stream), deterministic across
+    processes, runs, and cluster layouts (the hash key is a pandas
+    constant).  Every consumer uses these as either exact-equality
+    bucket ids or MinHash inputs, so only determinism and uniformity
+    matter — not the specific function."""
+    import pandas as pd
+
+    if not len(values):
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(values, dtype=object))
 
 
 def minhash_batch(texts: list[str], *, num_perm: int = 64, k: int = 3,
@@ -53,15 +59,15 @@ def minhash_batch(texts: list[str], *, num_perm: int = 64, k: int = 3,
     with ``minimum.reduceat`` — one vectorized pass per batch.
     """
     a, b = _perm_params(num_perm, seed)
-    all_hashes: list[np.ndarray] = []
+    all_shingles: list[str] = []
     offsets = [0]
     for t in texts:
         sh = char_shingles(t, k)
         if not sh:
             sh = ["\x00"]
-        all_hashes.append(hash64(sh))
+        all_shingles.extend(sh)
         offsets.append(offsets[-1] + len(sh))
-    flat = np.concatenate(all_hashes) if all_hashes else np.zeros(0, np.uint64)
+    flat = hash64(all_shingles)  # ONE vectorized call per batch
     n = len(texts)
     if flat.size == 0:
         return np.zeros((n, num_perm), dtype=np.uint64)
