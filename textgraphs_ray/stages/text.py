@@ -163,22 +163,40 @@ class Fingerprinter:
         self.ws = re.compile(r"\s+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.sketch import hash64
+
         texts = batch.column(self.text_col).to_pylist()
         md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
                 for t in texts]
-        roll = np.zeros(len(texts), dtype=np.uint64)
+        # rolling hash h = Σ wh_i · B^(n-1-i) (mod 2^64) — identical to
+        # the sequential h = h·B + wh recurrence, but computed for the
+        # WHOLE batch with one vectorized word-hash call + one
+        # power-weighted segment sum (reduceat), no per-word Python
+        words_per_doc: list[list[str]] = [
+            self.ws.split((t or "").strip()) for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), np.int64,
+                           count=len(texts))
+        flat_words = [w for ws in words_per_doc for w in ws]
+        wh = hash64(flat_words)
         B = np.uint64(1000003)
-        for i, t in enumerate(texts):
-            h = np.uint64(0)
-            with np.errstate(over="ignore"):
-                for w in self.ws.split((t or "").strip()):
-                    wh = np.uint64(
-                        int(hashlib.blake2b(w.encode(), digest_size=8)
-                            .hexdigest(), 16))
-                    h = h * B + wh
-            roll[i] = h
+        max_len = int(lens.max()) if len(lens) else 1
+        pows = np.empty(max_len, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            pows[0] = np.uint64(1)
+            for p in range(1, max_len):
+                pows[p] = pows[p - 1] * B
+            # exponent for word i in a doc of n words: n-1-i
+            exps = np.concatenate(
+                [np.arange(n - 1, -1, -1, dtype=np.int64) for n in lens]
+            ) if len(lens) else np.zeros(0, np.int64)
+            weighted = wh * pows[exps]
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            roll = np.add.reduceat(weighted, starts) if len(flat_words) \
+                else np.zeros(0, np.uint64)
         return (batch.append_column("fp_md5", pa.array(md5s, pa.string()))
-                .append_column("fp_rolling", pa.array(roll, pa.uint64())))
+                .append_column("fp_rolling",
+                               pa.array(roll.astype(np.uint64),
+                                        pa.uint64())))
 
 
 class RepetitionScorer:
