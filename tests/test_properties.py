@@ -114,3 +114,74 @@ def test_osa_symmetric_and_bounded(a, b):
     assert d == osa_distance(b, a)
     assert d <= max(len(a), len(b))
     assert (d == 0) == (a == b)
+
+
+# --- imaging codecs: encode∘decode = id for any image/signal ------------
+
+
+@given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 99))
+@settings(max_examples=30, deadline=None)
+def test_ppm_bmp_roundtrip_any_shape(h, w, seed):
+    from textgraphs_ray.functions import imaging
+
+    img = np.random.RandomState(seed).randint(
+        0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(imaging.decode_ppm(imaging.encode_ppm(img)), img)
+    assert np.array_equal(
+        imaging.decode_bmp24(imaging.encode_bmp24(img)), img)
+
+
+@given(n=st.integers(0, 2000), rate=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 99))
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_any_length(n, rate, seed):
+    from textgraphs_ray.functions import imaging
+
+    s = (np.random.RandomState(seed).standard_normal(n)
+         * 10000).astype(np.int16)
+    s2, r2 = imaging.decode_wav_pcm16(imaging.encode_wav_pcm16(s, rate))
+    assert np.array_equal(s, s2) and r2 == rate
+
+
+# --- bottom-k sketch: merge is associative + layout-invariant -----------
+
+
+@given(vals=st.lists(st.text(min_size=1, max_size=8), min_size=0,
+                     max_size=60),
+       cut=st.integers(0, 60), k=st.integers(1, 8))
+@settings(max_examples=50, deadline=None)
+def test_bottomk_merge_equals_direct(vals, cut, k):
+    import hashlib
+
+    def summarize(vs):
+        return sorted({(hashlib.md5(v.encode()).hexdigest(), v)
+                       for v in vs})[:k]
+
+    cut = min(cut, len(vals))
+    a, b = vals[:cut], vals[cut:]
+    merged = sorted(set(summarize(a)) | set(summarize(b)))[:k]
+    assert merged == summarize(vals)
+
+
+# --- HLL: merge = union, estimate within theoretical error --------------
+
+
+@given(n=st.integers(1, 3000), cut_frac=st.floats(0.0, 1.0),
+       seed=st.integers(0, 20))
+@settings(max_examples=30, deadline=None)
+def test_hll_merge_equals_single_pass(n, cut_frac, seed):
+    from textgraphs_ray.functions.hll import estimate, update_registers
+
+    rng = np.random.RandomState(seed)
+    vals = np.array([f"v{rng.randint(0, 10**9)}-{i}" for i in range(n)],
+                    dtype=object)
+    cut = int(n * cut_frac)
+    full = np.zeros(4096, np.int8)
+    update_registers(full, vals, 12)
+    r1 = np.zeros(4096, np.int8)
+    r2 = np.zeros(4096, np.int8)
+    update_registers(r1, vals[:cut], 12)
+    update_registers(r2, vals[cut:], 12)
+    assert np.array_equal(np.maximum(r1, r2), full)
+    est = estimate(full)
+    assert abs(est - n) / n < 5 * 1.04 / 64  # 5σ of the p=12 bound
