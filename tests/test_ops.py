@@ -573,3 +573,33 @@ def test_opennre_scorer_wiring():
     assert len(calls) == out.num_rows
     assert {(r["src_key"], r["dst_key"]) for r in out.to_pylist()} >= \
         {(r["src_key"], r["dst_key"]) for r in base.to_pylist()}
+
+
+def test_kmeans_distributed_and_ivf():
+    """Distributed Lloyd's k-means (map-side partial sums, tiny
+    groupby-style reduce) recovers well-separated clusters, and
+    knn_ivf(train='distributed') finds exact self-matches."""
+    from textgraphs_ray.stages.similarity import (kmeans_distributed,
+                                                  knn_ivf)
+
+    rng = np.random.RandomState(5)
+    centers = np.eye(4, 16, dtype=np.float32) * 10
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + rng.standard_normal(16).astype(np.float32) * 0.2
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    t = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(t).repartition(5)
+
+    cent = kmeans_distributed(ds, 4, iters=5)
+    assert cent.shape == (4, 16)
+    # every true center has a centroid with cosine > 0.95
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    sims = cn @ cent.T
+    assert (sims.max(axis=1) > 0.95).all()
+
+    q = np.stack([r["embedding"] for r in rows[:6]]).astype(np.float32)
+    out = knn_ivf(ds, q, k=1, ncells=4, nprobe=1, train="distributed")
+    got = out.set_index("query_id")["vec_id"]
+    assert all(got.loc[i] == i for i in range(6))  # self is nearest

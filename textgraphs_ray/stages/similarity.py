@@ -171,6 +171,68 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
     return _merge_topk(parts, k, num_queries=qn.shape[0])
 
 
+def kmeans_distributed(ds: "ray.data.Dataset", ncells: int, *,
+                       emb_col: str = "embedding", iters: int = 8,
+                       sample_size: int = 4096,
+                       seed: int = 42) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL dataset → (ncells, D)
+    normalized centroids.
+
+    Each iteration is one streaming pass: centroids broadcast via
+    ``ray.put``; every batch assigns its vectors with one matmul and
+    emits PARTIAL per-cell (sum, count) rows (the map-side combiner),
+    so the reduce is a groupby over ≤ cells·blocks tiny rows and the
+    driver only ever holds the (ncells, D) centroid matrix.  Contrast
+    :func:`kmeans_centroids`, which trains on a bounded driver-side
+    sample — this is the scale path when the sample's coverage isn't
+    enough (clusters rarer than 1/sample_size).  Deterministic: seeded
+    init from the stream head, ties broken by cell index."""
+    init = np.asarray(
+        [r[emb_col] for r in ds.limit(sample_size).take_all()],
+        dtype=np.float32)
+    if len(init) == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    cent = kmeans_centroids(init, ncells, iters=1, seed=seed)
+
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            emb = np.asarray(batch.column(emb_col).to_pylist(),
+                             dtype=np.float32)
+            if emb.size == 0:
+                return pa.table({
+                    "cell": pa.array([], pa.int32()),
+                    "vec_sum": pa.array([], pa.list_(pa.float32())),
+                    "n": pa.array([], pa.int64())})
+            en = _normalize(emb)
+            assign = np.argmax(en @ c.T, axis=1)
+            cells = np.unique(assign)
+            sums = np.zeros((len(cells), emb.shape[1]), np.float32)
+            counts = np.zeros(len(cells), np.int64)
+            for ci, cell in enumerate(cells):
+                m = assign == cell
+                sums[ci] = en[m].sum(axis=0)
+                counts[ci] = int(m.sum())
+            return pa.table({
+                "cell": pa.array(cells.astype(np.int32)),
+                "vec_sum": pa.array(list(sums)),
+                "n": pa.array(counts),
+            })
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                .to_pandas())  # ≤ ncells·blocks tiny rows
+        new_cent = cent.copy()
+        for cell, grp in rows.groupby("cell"):
+            total = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
+            cnt = int(grp["n"].sum())
+            if cnt:
+                new_cent[int(cell)] = total / cnt
+        cent = _normalize(new_cent)
+    return cent
+
+
 def kmeans_centroids(sample: np.ndarray, ncells: int, *, iters: int = 8,
                      seed: int = 42) -> np.ndarray:
     """Seeded Lloyd's k-means on a driver-side sample → (ncells, D)
@@ -192,20 +254,29 @@ def kmeans_centroids(sample: np.ndarray, ncells: int, *, iters: int = 8,
 def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
             emb_col: str = "embedding", id_col: str = "vec_id",
             ncells: int = 16, nprobe: int = 4, sample_size: int = 4096,
-            seed: int = 42) -> pd.DataFrame:
+            seed: int = 42, train: str = "sample") -> pd.DataFrame:
     """IVF-style ANN: coarse k-means cells, queries probe their
     ``nprobe`` nearest cells, exact cosine rerank inside probed cells.
 
-    The centroid table is trained once from a bounded sample and
-    broadcast (``ray.put``); each batch assigns its vectors to cells
-    with one matmul and scores only rows falling in a probed cell —
-    per-query work scales with nprobe/ncells of the data, not N.
+    The centroid table is trained once — from a bounded driver-side
+    sample by default, or over the FULL dataset with
+    ``train="distributed"`` (:func:`kmeans_distributed`, map-side
+    partial sums per iteration) — and broadcast (``ray.put``); each
+    batch assigns its vectors to cells with one matmul and scores only
+    rows falling in a probed cell — per-query work scales with
+    nprobe/ncells of the data, not N.
     """
-    sample_rows = [r[emb_col] for r in ds.limit(sample_size).take_all()]
-    if not sample_rows:
-        return _empty_topk()
-    sample = np.asarray(sample_rows, dtype=np.float32)
-    cent = kmeans_centroids(sample, ncells, seed=seed)
+    if train == "distributed":
+        cent = kmeans_distributed(ds, ncells, emb_col=emb_col,
+                                  sample_size=sample_size, seed=seed)
+        if cent.size == 0:
+            return _empty_topk()
+    else:
+        sample_rows = [r[emb_col] for r in ds.limit(sample_size).take_all()]
+        if not sample_rows:
+            return _empty_topk()
+        sample = np.asarray(sample_rows, dtype=np.float32)
+        cent = kmeans_centroids(sample, ncells, seed=seed)
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     np_ = min(nprobe, cent.shape[0])
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :np_]  # (Q, nprobe)
