@@ -222,6 +222,16 @@ def _q_quality(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """TF-IDF top-3 terms per document: two-pass corpus statistic —
+    combiner-fed df groupby, broadcast idf, per-doc top-k with
+    deterministic tie-break (stages/tfidf.py)."""
+    from textgraphs_ray.stages.tfidf import top_tfidf_terms
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return top_tfidf_terms(ds, k=3)
+
+
 def _q_repetition(sf_dir: str):
     """Gopher-style repetition filters: duplicate-line and
     duplicate-word fractions per document (stages/text.py
@@ -1176,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": _q_bottomk_sample,
         "media_dedup": _q_media_dedup,
         "repetition": _q_repetition,
+        "tfidf_topk": _q_tfidf_topk,
     }
 
 
@@ -1420,6 +1431,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) AS t_start_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "tfidf_topk": """
+            WITH w AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM w GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM w GROUP BY term
+            ), nn AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * ln((nn.n + 1.0) / (df.df + 1.0)) AS tfidf,
+                     row_number() OVER (
+                         PARTITION BY tf.doc_id
+                         ORDER BY tf.tf * ln((nn.n + 1.0) / (df.df + 1.0))
+                                  DESC, tf.term) - 1 AS rank
+              FROM tf JOIN df USING (term) CROSS JOIN nn
+            )
+            SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+            FROM scored WHERE rank < 3
         """,
         "repetition": """
             WITH s AS (

@@ -603,3 +603,19 @@ def test_kmeans_distributed_and_ivf():
     out = knn_ivf(ds, q, k=1, ncells=4, nprobe=1, train="distributed")
     got = out.set_index("query_id")["vec_id"]
     assert all(got.loc[i] == i for i in range(6))  # self is nearest
+
+
+def test_tfidf_top_terms():
+    from textgraphs_ray.stages.tfidf import top_tfidf_terms
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["zebra zebra common", "common words here",
+                           "words words zebra"]})
+    out = top_tfidf_terms(rd.from_arrow(t), k=2).to_pandas()
+    top1 = out[(out["doc_id"] == 1) & (out["rank"] == 0)].iloc[0]
+    assert top1["term"] == "zebra"  # tf=2 and rarer than 'common'
+    # rank is dense per doc, scores non-increasing
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(len(g)))
+        assert (g["tfidf"].diff().dropna() <= 1e-12).all()
