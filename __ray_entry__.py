@@ -232,6 +232,16 @@ def _q_tfidf_topk(sf_dir: str):
     return top_tfidf_terms(ds, k=3)
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """CCNet-style perplexity filter signal: per-doc mean unigram log
+    probability under the corpus's own unigram model (stages/tfidf.py
+    unigram_logprob — combiner-fed term counts, broadcast model)."""
+    from textgraphs_ray.stages.tfidf import unigram_logprob
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
 def _q_repetition(sf_dir: str):
     """Gopher-style repetition filters: duplicate-line and
     duplicate-word fractions per document (stages/text.py
@@ -1187,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _q_media_dedup,
         "repetition": _q_repetition,
         "tfidf_topk": _q_tfidf_topk,
+        "unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -1431,6 +1442,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) AS t_start_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "unigram_logprob": """
+            WITH w AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS term
+              FROM documents
+            ), tc AS (
+              SELECT term, count(*) AS n FROM w GROUP BY term
+            ), tot AS (SELECT count(*) AS total FROM w),
+            scored AS (
+              SELECT w.doc_id, ln(tc.n * 1.0 / tot.total) AS lp
+              FROM w JOIN tc USING (term) CROSS JOIN tot
+            )
+            SELECT doc_id, count(*) AS n_words,
+                   round(avg(lp), 6) AS logprob
+            FROM scored GROUP BY doc_id
         """,
         "tfidf_topk": """
             WITH w AS (

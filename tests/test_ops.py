@@ -619,3 +619,14 @@ def test_tfidf_top_terms():
         g = g.sort_values("rank")
         assert list(g["rank"]) == list(range(len(g)))
         assert (g["tfidf"].diff().dropna() <= 1e-12).all()
+
+
+def test_unigram_logprob():
+    from textgraphs_ray.stages.tfidf import unigram_logprob
+
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["common common common", "rare common"]})
+    out = unigram_logprob(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    # doc of only the frequent word scores higher than one with a rare
+    assert out.loc[1, "logprob"] > out.loc[2, "logprob"]
+    assert out.loc[1, "n_words"] == 3

@@ -91,3 +91,52 @@ def top_tfidf_terms(ds: "ray.data.Dataset", *, k: int = 3,
                              "term": out_term, "tfidf": out_val})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def term_counts(ds: "ray.data.Dataset", *,
+                text_col: str = "text") -> "ray.data.Dataset":
+    """→ (term, n) — total corpus occurrences of each term."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            for w in _WORD.findall((t or "").lower()):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({
+            "term": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("n", alias_name="n")))
+
+
+def unigram_logprob(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """→ (doc_id, n_words, logprob): per-document mean unigram log
+    probability under the corpus's own unigram model — the CCNet-style
+    perplexity filter (documents far below the corpus mean are
+    boilerplate or noise).  Same two-pass shape as TF-IDF: one
+    combiner-fed term-count groupby, then a broadcast probability
+    lookup; logprob rounded 6dp (numpy/DuckDB ln ulp parity)."""
+    counts = term_counts(ds, text_col=text_col).take_all()
+    total = float(sum(r["n"] for r in counts))
+    logp = {r["term"]: float(np.log(r["n"] / total)) for r in counts}
+    ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        lp = ray.get(ref)
+        out_id, out_n, out_val = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            words = _WORD.findall((t or "").lower())
+            if not words:
+                continue
+            s = sum(lp[w] for w in words)  # every word is in-corpus
+            out_id.append(did)
+            out_n.append(len(words))
+            out_val.append(round(s / len(words), 6))
+        return pd.DataFrame({"doc_id": out_id, "n_words": out_n,
+                             "logprob": out_val})
+
+    return ds.map_batches(score, batch_format="pyarrow")
