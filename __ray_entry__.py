@@ -232,6 +232,17 @@ def _q_tfidf_topk(sf_dir: str):
     return top_tfidf_terms(ds, k=3)
 
 
+def _q_scrub(sf_dir: str):
+    """C4-style cleaning: mask URLs/e-mails, collapse space runs
+    (stages/text.py Scrubber) — RE2-compatible patterns so the oracle
+    applies the identical regexp_replace chain."""
+    from textgraphs_ray.stages.text import Scrubber
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(Scrubber, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "text_clean"])
+
+
 def _q_unigram_logprob(sf_dir: str):
     """CCNet-style perplexity filter signal: per-doc mean unigram log
     probability under the corpus's own unigram model (stages/tfidf.py
@@ -1198,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "tfidf_topk": _q_tfidf_topk,
         "unigram_logprob": _q_unigram_logprob,
+        "scrub": _q_scrub,
     }
 
 
@@ -1442,6 +1454,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) AS t_start_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "scrub": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, 'https?://[^\\s]+', '<URL>',
+                                      'g'),
+                       '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+',
+                       '<EMAIL>', 'g'),
+                     '[ \\t]+', ' ', 'g') AS text_clean
+            FROM documents
         """,
         "unigram_logprob": """
             WITH w AS (

@@ -630,3 +630,21 @@ def test_unigram_logprob():
     # doc of only the frequent word scores higher than one with a rare
     assert out.loc[1, "logprob"] > out.loc[2, "logprob"]
     assert out.loc[1, "n_words"] == 3
+
+
+def test_scrubber_and_compression_ratio():
+    from textgraphs_ray.stages.text import CompressionRatio, Scrubber
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["see https://ex.ample/path?q=1 and "
+                           "mail bob.smith+x@ex-ample.co.uk  now",
+                           "aaaa " * 50,
+                           "the quick brown fox jumps over lazy dogs"]})
+    out = (rd.from_arrow(t)
+           .map_batches(Scrubber, batch_format="pyarrow", concurrency=1)
+           .map_batches(CompressionRatio, batch_format="pyarrow",
+                        concurrency=1)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text_clean"] == "see <URL> and mail <EMAIL> now"
+    # repetitive text compresses far below natural text
+    assert out.loc[2, "compress_ratio"] < 0.2
+    assert out.loc[3, "compress_ratio"] > 0.5

@@ -225,3 +225,51 @@ class RepetitionScorer:
                 word_dup[i] = 1.0 - len(set(words)) / len(words)
         return (batch.append_column("line_dup_ratio", pa.array(line_dup))
                 .append_column("word_dup_ratio", pa.array(word_dup)))
+
+
+class Scrubber:
+    """C4-style cleaning: mask URLs and e-mail addresses (``<URL>`` /
+    ``<EMAIL>``), collapse runs of whitespace.  Patterns are chosen to
+    mean the same thing in Python ``re`` and RE2/DuckDB, so the
+    transform is oracle-checkable verbatim."""
+
+    def __init__(self, *, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.url = re.compile(r"https?://[^\s]+")
+        self.email = re.compile(
+            r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+")
+        self.ws = re.compile(r"[ \t]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        out = []
+        for t in texts:
+            t = t or ""
+            t = self.url.sub("<URL>", t)
+            t = self.email.sub("<EMAIL>", t)
+            t = self.ws.sub(" ", t)
+            out.append(t)
+        return batch.append_column("text_clean",
+                                   pa.array(out, pa.string()))
+
+
+class CompressionRatio:
+    """Add ``compress_ratio``: len(zlib(text)) / len(utf-8 text) — the
+    entropy-proxy quality filter (highly repetitive/templated documents
+    compress far below natural text; random noise compresses above).
+    Not SQL-expressible (no SQL zlib) — accuracy asserted in tests."""
+
+    def __init__(self, *, text_col: str = "text", level: int = 6) -> None:
+        self.text_col = text_col
+        self.level = level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = batch.column(self.text_col).to_pylist()
+        ratios = np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            raw = (t or "").encode("utf-8")
+            if raw:
+                ratios[i] = len(zlib.compress(raw, self.level)) / len(raw)
+        return batch.append_column("compress_ratio", pa.array(ratios))
