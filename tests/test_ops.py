@@ -648,3 +648,21 @@ def test_scrubber_and_compression_ratio():
     # repetitive text compresses far below natural text
     assert out.loc[2, "compress_ratio"] < 0.2
     assert out.loc[3, "compress_ratio"] > 0.5
+
+
+def test_curate_optional_filters():
+    """Repetition + compressibility filters drop planted junk while
+    default parameters leave the chain byte-identical."""
+    from textgraphs_ray.pipelines.curate import curate_corpus
+
+    rows = [{"doc_id": f"d{i}",
+             "text": f"the quick brown fox number {i} jumps at dawn"}
+            for i in range(12)]
+    rows.append({"doc_id": "spam", "text": "buy buy " * 40})
+    t = pa.Table.from_pylist(rows)
+    res = curate_corpus(rd.from_arrow(t), min_quality=0.0,
+                        langs=("en", "und"), jaccard_threshold=2.0,
+                        max_word_dup_ratio=0.5, concurrency=1)
+    ids = set(res["docs"].to_pandas()["doc_id"])
+    assert "spam" not in ids
+    assert "d0" in ids and len(ids) == 12

@@ -102,10 +102,15 @@ def curate_corpus(docs_ds: "ray.data.Dataset", *,
                   id_col: str = "doc_id", text_col: str = "text",
                   min_quality: float = 0.4, langs: tuple = ("en",),
                   jaccard_threshold: float = 0.7,
+                  max_word_dup_ratio: float | None = None,
+                  max_compress_ratio: float | None = None,
                   sample_hex_prefix: str | None = None,
                   concurrency=(1, 4)) -> dict:
     """→ {"docs": curated Dataset, "stats": per-stage row counts}.
 
+    Optional extra filters (None = off): ``max_word_dup_ratio`` drops
+    Gopher-style repetitive documents; ``max_compress_ratio`` drops
+    documents whose zlib ratio exceeds the bound (noise / non-text).
     ``sample_hex_prefix``: keep only docs whose md5(doc_id) starts with
     this hex prefix (deterministic content-hash sampling; None = all).
     """
@@ -116,13 +121,37 @@ def curate_corpus(docs_ds: "ray.data.Dataset", *,
                            concurrency=concurrency)
               .map_batches(LangId, batch_format="pyarrow",
                            concurrency=concurrency))
-    kept = scored.map_batches(
-        lambda t: t.filter(pc.and_(
+    if max_word_dup_ratio is not None:
+        from ..stages.text import RepetitionScorer
+
+        scored = scored.map_batches(RepetitionScorer,
+                                    batch_format="pyarrow",
+                                    concurrency=concurrency)
+    if max_compress_ratio is not None:
+        from ..stages.text import CompressionRatio
+
+        scored = scored.map_batches(CompressionRatio,
+                                    batch_format="pyarrow",
+                                    concurrency=concurrency)
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
             pc.greater_equal(t.column("quality_score"),
                              pa.scalar(min_quality)),
             pc.is_in(t.column("lang_pred"),
-                     value_set=pa.array(list(langs))))),
-        batch_format="pyarrow").materialize()
+                     value_set=pa.array(list(langs))))
+        if max_word_dup_ratio is not None:
+            mask = pc.and_(mask, pc.less_equal(
+                t.column("word_dup_ratio"),
+                pa.scalar(max_word_dup_ratio)))
+        if max_compress_ratio is not None:
+            mask = pc.and_(mask, pc.less_equal(
+                t.column("compress_ratio"),
+                pa.scalar(max_compress_ratio)))
+        return t.filter(mask)
+
+    kept = scored.map_batches(keep_filter,
+                              batch_format="pyarrow").materialize()
     stats["after_quality_lang"] = kept.count()
 
     exact_losers = _loser_ids_exact(kept, id_col, text_col)
