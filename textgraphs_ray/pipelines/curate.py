@@ -35,7 +35,9 @@ def _loser_ids_exact(ds, id_col: str, text_col: str) -> set:
     per duplicated hash — small whenever the dup rate is bounded); the
     loser scan itself is a distributed ``map_batches``."""
     fp = exact_dedup(ds, text_col=text_col, id_col=id_col)
-    dup_rows = fp.filter(lambda r: r["n_dups"] > 1).take_all()
+    dup_rows = fp.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_dups"), 1)),
+        batch_format="pyarrow").take_all()
     keepers = {r["keeper"] for r in dup_rows}
     dup_fp_set = {r["fp"] for r in dup_rows}
     # re-scan: ids sharing a duplicated fingerprint, minus keepers
