@@ -1079,10 +1079,22 @@ def _q_partitioned_sink(sf_dir: str):
 
     from ray.data.aggregate import Count
 
+    import os
+
+    from textgraphs_ray.sources.sinks import write_partitioned_resumable
+
     out_dir = tempfile.mkdtemp(prefix="sink_", dir="/tmp")
     try:
         docs = _docs(sf_dir, columns=["doc_id", "lang"])
-        docs.write_parquet(out_dir, partition_cols=["lang"])
+        write_partitioned_resumable(docs, out_dir, "lang")
+        # simulate a crash: one partition loses its marker + files,
+        # the rerun rewrites ONLY that partition
+        parts = sorted(d for d in os.listdir(out_dir)
+                       if d.startswith("lang="))
+        shutil.rmtree(os.path.join(out_dir, parts[0]))
+        stats = write_partitioned_resumable(docs, out_dir, "lang")
+        assert stats["written_partitions"] == 1
+        assert stats["skipped_partitions"] == len(parts) - 1
         back = rd.read_parquet(out_dir)
         return back.groupby("lang").aggregate(
             Count(alias_name="n")).materialize()

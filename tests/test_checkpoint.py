@@ -102,3 +102,44 @@ def test_metrics_log_appends(tmp_path):
     assert lines[0]["resumed"] is False and lines[0]["rows"] == 10
     assert lines[0]["rows_per_sec"] > 0
     assert lines[1]["resumed"] is True
+
+
+def test_partitioned_sink_resume(tmp_path):
+    """Crash-resume at the OUTPUT: rerun writes only the partition
+    whose marker is missing, leaves complete partitions untouched, and
+    the merged result is exactly the input."""
+    import os
+
+    import pyarrow as pa
+
+    from textgraphs_ray.sources.sinks import (completed_partitions,
+                                              write_partitioned_resumable)
+
+    t = pa.table({"g": ["a"] * 5 + ["b"] * 4 + ["c"] * 3,
+                  "v": list(range(12))})
+    root = str(tmp_path / "out")
+    s1 = write_partitioned_resumable(rd.from_arrow(t), root, "g")
+    assert s1["written_partitions"] == 3 and s1["rows_written"] == 12
+    assert completed_partitions(root, "g") == {"a", "b", "c"}
+
+    # simulate a crash that lost partition b mid-write
+    import shutil
+    shutil.rmtree(f"{root}/g=b")
+    os.makedirs(f"{root}/g=b")  # unmarked partial
+
+    mtime_a = os.path.getmtime(sorted(
+        os.path.join(f"{root}/g=a", f) for f in os.listdir(f"{root}/g=a")
+        if f != "_SUCCESS")[0])
+    s2 = write_partitioned_resumable(rd.from_arrow(t), root, "g")
+    assert s2["skipped_partitions"] == 2
+    assert s2["written_partitions"] == 1
+    assert s2["rows_written"] == 4  # only b's rows recomputed/written
+    # untouched completed partition keeps its file
+    mtime_a2 = os.path.getmtime(sorted(
+        os.path.join(f"{root}/g=a", f) for f in os.listdir(f"{root}/g=a")
+        if f != "_SUCCESS")[0])
+    assert mtime_a == mtime_a2
+
+    back = rd.read_parquet(root).to_pandas()
+    assert len(back) == 12
+    assert sorted(back["v"]) == list(range(12))
