@@ -45,12 +45,19 @@ class SpacyExtractor:
 
     def __init__(self, *, model: str = "en_core_web_sm",
                  text_col: str = "text", id_col: str = "doc_id",
-                 disable: tuple = ()) -> None:
+                 disable: tuple = (),
+                 components: tuple = ()) -> None:
+        """``components``: extra spaCy pipes appended after load, as
+        (name, config) pairs — the reference's ``Component.augment_pipe``
+        extension point (pipe.py:36-52); e.g. the SpanMarker NER wrapper
+        (ner.py:17-65) is ``("span_marker", {"model": NER_MODEL})``."""
         if not HAVE_SPACY:
             raise ImportError(
                 "spacy is not installed — register/use the default "
                 "'spans' extractor instead (rule-based stand-in)")
         self.nlp = spacy.load(model, disable=list(disable))
+        for name, config in components:
+            self.nlp.add_pipe(name, config=dict(config))
         self.text_col = text_col
         self.id_col = id_col
 
