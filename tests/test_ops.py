@@ -666,3 +666,44 @@ def test_curate_optional_filters():
     ids = set(res["docs"].to_pandas()["doc_id"])
     assert "spam" not in ids
     assert "d0" in ids and len(ids) == 12
+
+
+def test_kg_search_fallback_path():
+    """Two-pass linking: a Spotlight miss falls through to the DBPedia
+    Lookup client; alias Jaro-Winkler gates acceptance (min_alias)."""
+    import io
+    import json
+
+    from textgraphs_ray.stages.link import (EntityLinker, KGSearchClient,
+                                            SpotlightClient)
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def spotlight_opener(req):
+        return FakeResp(json.dumps({"Resources": []}).encode())
+
+    lookup = {"docs": [{
+        "resource": ["http://dbpedia.org/resource/Germany"],
+        "label": ["<B>Germany</B>"],
+        "comment": ["country in Europe"],
+        "redirectlabel": ["Deutschland", "Federal Republic of Germany"]}]}
+
+    def search_opener(req):
+        assert "query=Germany" in req.full_url
+        return FakeResp(json.dumps(lookup).encode())
+
+    linker = EntityLinker(
+        min_similarity=0.9, min_alias=0.8,
+        spotlight=SpotlightClient("http://s.example/rest",
+                                  opener=spotlight_opener),
+        kg_search=KGSearchClient("http://l.example/api/search",
+                                 opener=search_opener))
+    t = pa.table({"key": ["germany.PROPN"], "text": ["Germany"],
+                  "kind": ["ent"]})
+    out = linker(t).to_pylist()
+    assert out[0]["iri"] == "http://dbpedia.org/resource/Germany"

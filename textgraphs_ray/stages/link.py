@@ -65,39 +65,99 @@ class SpotlightClient:
                 for r in (dat.get("Resources") or [])]
 
 
+class KGSearchClient:
+    """DBPedia Lookup ``/api/search`` fallback client (reference
+    ``dbpedia_search_entity``, kg.py:641-735): first hit's resource,
+    ``<B>``-dehighlighted label + redirect aliases, acceptance
+    probability = best Jaro-Winkler of the query against label/aliases
+    (the reference's ``_match_aliases`` with ``min_alias`` floor).
+    ``opener`` injectable for network-free tests."""
+
+    def __init__(self, endpoint: str, *, lang: str = "en",
+                 timeout: float = 5.0, opener=None) -> None:
+        self.endpoint = endpoint
+        self.lang = lang
+        self.timeout = timeout
+        self._opener = opener
+        self.n_requests = 0
+
+    @staticmethod
+    def _strip_md(s: str) -> str:
+        return s.replace("<B>", "").replace("</B>", "")
+
+    def search(self, query: str) -> dict | None:
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        from ..functions.strsim import jaro_winkler
+
+        url = (self.endpoint + "?" + urllib.parse.urlencode(
+            {"format": "json", "language": self.lang, "query": query}))
+        req = urllib.request.Request(
+            url, headers={"Accept": "application/json"})
+        open_fn = self._opener or (
+            lambda r: urllib.request.urlopen(r, timeout=self.timeout))
+        self.n_requests += 1
+        with open_fn(req) as resp:
+            dat = _json.loads(resp.read().decode("utf-8"))
+        docs = dat.get("docs") or []
+        if not docs:
+            return None
+        hit = docs[0]
+        label = self._strip_md((hit.get("label") or [""])[0])
+        aliases = [self._strip_md(a)
+                   for a in (hit.get("redirectlabel") or [])]
+        q = query.lower()
+        prob = max((jaro_winkler(q, c.lower())
+                    for c in [label] + aliases if c), default=0.0)
+        return {"iri": (hit.get("resource") or [""])[0],
+                "label": label, "prob": prob}
+
+
 class EntityLinker:
     """Actor-pool stage over distinct ent nodes: emits link rows.
 
     Output columns: (key, iri, wd_iri, rel, prob, label).
 
-    ``spotlight``: optional :class:`SpotlightClient` — with it, ent
-    surfaces resolve through the real DBPedia Spotlight API (best hit
-    above ``min_similarity``); without it (this sandbox), the
+    ``spotlight`` / ``kg_search``: optional real HTTP kernels — the
+    Spotlight pass first, the DBPedia Lookup fallback for surfaces
+    Spotlight misses (exactly the reference's two-pass linking,
+    doc.py:330-368); without endpoints (this sandbox) the
     deterministic local function stands in.  Either way the per-actor
     memo means one lookup per DISTINCT surface per actor (T5), and the
     input is the distinct node table, so remote traffic is O(unique
     surfaces), never O(corpus rows)."""
 
     def __init__(self, *, min_similarity: float = kg.MIN_SIMILARITY,
-                 spotlight: "SpotlightClient | None" = None) -> None:
+                 min_alias: float = 0.8,
+                 spotlight: "SpotlightClient | None" = None,
+                 kg_search: "KGSearchClient | None" = None) -> None:
         self.min_similarity = min_similarity
+        self.min_alias = min_alias
         self.spotlight = spotlight
+        self.kg_search = kg_search
         self.cache: dict[str, tuple[str, str]] = {}  # per-actor memo (T5)
 
     def _resolve(self, surface: str) -> tuple[str, str]:
         hit = self.cache.get(surface)
         if hit is None:
             canon = " ".join(w.capitalize() for w in surface.split())
-            if self.spotlight is not None:
-                hits = [h for h in self.spotlight.annotate(canon)
-                        if h["similarity"] >= self.min_similarity]
-                if hits:
-                    best = max(hits, key=lambda h: h["similarity"])
-                    hit = (best["iri"], kg.wikidata_iri(canon))
-                else:
-                    hit = ("", "")
-            else:
+            if self.spotlight is None and self.kg_search is None:
                 hit = (kg.link_iri(canon), kg.wikidata_iri(canon))
+            else:
+                hit = ("", "")
+                if self.spotlight is not None:
+                    hits = [h for h in self.spotlight.annotate(canon)
+                            if h["similarity"] >= self.min_similarity]
+                    if hits:
+                        best = max(hits, key=lambda h: h["similarity"])
+                        hit = (best["iri"], kg.wikidata_iri(canon))
+                if not hit[0] and self.kg_search is not None:
+                    # KG-search fallback (doc.py:330-368 second pass)
+                    found = self.kg_search.search(canon)
+                    if found and found["prob"] > self.min_alias:
+                        hit = (found["iri"], kg.wikidata_iri(canon))
             self.cache[surface] = hit
         return hit
 
