@@ -232,6 +232,25 @@ def _q_tfidf_topk(sf_dir: str):
     return top_tfidf_terms(ds, k=3)
 
 
+def _q_salted_agg(sf_dir: str):
+    """Hot-key-safe aggregation: the same event_type rollup as
+    a2_count_agg but through the salted two-stage path
+    (functions/salted.py) — results are bit-identical to the plain
+    groupby, so the one oracle covers both physical plans."""
+    from textgraphs_ray.functions.salted import salted_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = salted_aggregate(ds, "event_type", sums=("value",),
+                           count_alias="n", salt_width=8)
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "n": t.column("n"),
+            "sum_value": pc.round(t.column("value"), 4)}),
+        batch_format="pyarrow")
+
+
 def _q_scrub(sf_dir: str):
     """C4-style cleaning: mask URLs/e-mails, collapse space runs
     (stages/text.py Scrubber) — RE2-compatible patterns so the oracle
@@ -1222,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "unigram_logprob": _q_unigram_logprob,
         "scrub": _q_scrub,
+        "salted_agg": _q_salted_agg,
     }
 
 
@@ -1247,6 +1267,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY o_totalprice DESC LIMIT 10
         """,
         "a2_count_agg": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "salted_agg": """
             SELECT event_type, count(*) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type

@@ -707,3 +707,27 @@ def test_kg_search_fallback_path():
                   "kind": ["ent"]})
     out = linker(t).to_pylist()
     assert out[0]["iri"] == "http://dbpedia.org/resource/Germany"
+
+
+def test_salted_aggregate_equals_plain():
+    """Salting is a physical-plan choice only: a heavily skewed key
+    aggregates to the same numbers through the salted two-stage path
+    as through the plain groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from textgraphs_ray.functions.salted import salted_aggregate
+
+    rng = np.random.RandomState(3)
+    keys = ["hot"] * 5000 + [f"k{i}" for i in range(50)]
+    vals = rng.randint(0, 100, len(keys))
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    salted = (salted_aggregate(rd.from_arrow(t).repartition(7), "k",
+                               sums=("v",), count_alias="n",
+                               salt_width=8)
+              .to_pandas().set_index("k").sort_index())
+    plain = (rd.from_arrow(t).groupby("k")
+             .aggregate(Sum("v", alias_name="v"), Count(alias_name="n"))
+             .to_pandas().set_index("k").sort_index())
+    assert (salted["v"] == plain["v"]).all()
+    assert (salted["n"] == plain["n"]).all()
+    assert salted.loc["hot", "n"] == 5000
