@@ -93,7 +93,7 @@ def main() -> None:
     out = clusters.map_batches(add_part, batch_format="pyarrow")
     stats = write_partitioned_resumable(out, args.output, "part")
     wall = time.time() - t0
-    n = stats["rows_written"] + 0
+    n = stats["rows_written"]
     print(json.dumps({
         "metric": "er_job", "rows": n, "wall_sec": round(wall, 2),
         "rows_per_sec": round(n / wall, 1) if wall else None,

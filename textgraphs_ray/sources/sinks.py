@@ -50,7 +50,12 @@ def completed_partitions(root: str, partition_col: str) -> set:
 def write_partitioned_resumable(ds: "ray.data.Dataset", root: str,
                                 partition_col: str) -> dict:
     """Write ``ds`` under ``root`` partitioned by ``partition_col``,
-    skipping partitions already marked complete.  → stats dict."""
+    skipping partitions already marked complete.  → stats dict.
+
+    Partition values must be filesystem-safe strings (the marker scan
+    parses ``<col>=<value>`` directory names literally) — derive the
+    partition column from a hash/prefix when raw keys contain path
+    separators."""
     os.makedirs(root, exist_ok=True)
     done = completed_partitions(root, partition_col)
     prefix = partition_col + "="
