@@ -1089,6 +1089,43 @@ def _q_det_sample(sf_dir: str):
     return ds.map_batches(samp, batch_format="pyarrow")
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination (stages/decontam.py): docs from
+    source 'src0' act as the held-out benchmark; every other document is
+    flagged if it shares any word 8-gram with it.  Broadcast-once hash
+    set + one stateless scan — no shuffle."""
+    from textgraphs_ray.stages.decontam import decontaminate
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    bench = docs.filter(expr="source == 'src0'")
+    train = docs.filter(expr="source != 'src0'")
+    out = decontaminate(train, bench, n=8)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_hits", "contaminated"]),
+        batch_format="pyarrow")
+
+
+def _q_importance_sample(sf_dir: str):
+    """Deterministic weighted sampling (stages/sampling.py): keep each
+    document with probability min(n_chars, 400)/400 — a length prior —
+    decided by its md5 variate, so the realized sample is identical on
+    any rerun, block layout, or cluster size (and SQL-replayable)."""
+    from textgraphs_ray.stages.sampling import importance_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def add_p(t: pa.Table) -> pa.Table:
+        p = pc.divide(
+            pc.cast(pc.min_element_wise(t.column("n_chars"), 400),
+                    pa.float64()), 400.0)
+        return t.append_column("p_keep", p)
+
+    out = importance_sample(ds.map_batches(add_p, batch_format="pyarrow"),
+                            prob_col="p_keep")
+    return out.map_batches(lambda t: t.select(["doc_id", "n_chars"]),
+                           batch_format="pyarrow")
+
+
 def _q_partitioned_sink(sf_dir: str):
     """S9 resumable output: write documents partitioned by lang (one
     directory per partition key — a failed run skips finished
@@ -1222,6 +1259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "json_extract": _q_json_extract,
         "det_sample": _q_det_sample,
+        "decontaminate": _q_decontaminate,
+        "importance_sample": _q_importance_sample,
         "partitioned_sink": _q_partitioned_sink,
         "media_frames": _q_media_frames,
         "median_agg": _q_median_agg,
@@ -1422,6 +1461,35 @@ def oracle_sql() -> dict[str, str]:
         "det_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, source,
+                     array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, unnest(generate_series(1, len(w) - 7)) AS t(i)
+              WHERE len(w) >= 8
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE source = 'src0'
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM grams JOIN bench USING (g)
+              WHERE source <> 'src0' GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0
+                        END AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.source <> 'src0'
+        """,
+        "importance_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                  / 4294967296.0
+                  < LEAST(n_chars, 400) / 400.0
         """,
         "partitioned_sink": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
