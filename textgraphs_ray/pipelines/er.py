@@ -19,11 +19,18 @@ batch stages per SURVEY.md §3.1.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+#: Coarse-partition fan-out for the global mention distinct (power of
+#: two — the partition id is ``hash64(key) & (N-1)``).  64 partitions
+#: keeps per-partition reduce work bounded while staying far below the
+#: block count, so the groupby shuffle moves an int32 column.
+MENTION_PARTITIONS = 64
 
 from ..stages.blocking import candidate_pairs
 from ..stages.cluster import propagate_labels
@@ -64,7 +71,6 @@ def mentions_from_spans(spans_ds: "ray.data.Dataset",
     guard: a hot surface form is one blocking row regardless of its
     occurrence count.
     """
-    from ray.data.aggregate import Min, Sum
 
     def project(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column("kind"), value_set=pa.array(list(kinds)))
@@ -85,12 +91,32 @@ def mentions_from_spans(spans_ds: "ray.data.Dataset",
             ["key", "text", "media_ref", "kind", "n"])
 
     mentions = spans_ds.map_batches(project, batch_format="pyarrow")
-    distinct = mentions.groupby("key").aggregate(
-        Min("text", alias_name="text"),
-        Min("media_ref", alias_name="media_ref"),
-        Min("kind", alias_name="kind"),
-        Sum("n", alias_name="n_mentions"),
-    )
+
+    # Global distinct-by-key via a COARSE hash partition (int32 key)
+    # plus one vectorized Arrow group_by per partition — the same
+    # pattern as blocking's _pairs_for_partition.  Ray's native
+    # groupby(key).aggregate sorts the string keys and accumulates
+    # per row in Python (measured 21 s CPU on a 49 k-row stream, ~30×
+    # the extract cost); this shuffles the cheap int key instead and
+    # keeps the reduce one C call per partition.
+    from ..functions.sketch import hash64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (hash64(t.column("key").to_pylist())
+                & np.uint64(MENTION_PARTITIONS - 1)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        agg = t.drop_columns(["part"]).group_by("key").aggregate(
+            [("text", "min"), ("media_ref", "min"), ("kind", "min"),
+             ("n", "sum")])
+        return agg.rename_columns(
+            ["key", "text", "media_ref", "kind", "n_mentions"]
+        ).select(["key", "text", "media_ref", "kind", "n_mentions"])
+
+    distinct = (mentions.map_batches(add_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(reduce_part, batch_format="pyarrow"))
 
     if assets_ref is not None:
         from ..stages.encode import MediaDecodeStub

@@ -42,13 +42,19 @@ def name_compat(a: str, b: str) -> bool:
     (kg.py:516-535) with the same intent: high-precision merges that
     pure whole-string similarity misses (initials, token-local typos).
     """
-    from ..functions.strsim import jaro_winkler, osa_within
-
     ta, tb = a.split(), b.split()
     if len(ta) < 2 or len(tb) < 2:
         return False
     if ta[0][:1] != tb[0][:1]:
         return False
+    return _name_compat_tokens(ta, tb)
+
+
+def _name_compat_tokens(ta: list, tb: list) -> bool:
+    """Core of :func:`name_compat` on pre-split tokens; callers have
+    already established both are multi-token with equal initials."""
+    from ..functions.strsim import jaro_winkler, osa_within
+
     la, lb = ta[-1], tb[-1]
     if la == lb:
         return True
@@ -82,68 +88,104 @@ class PairScorer:
         self.encode = shingle_embedding_batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("text_a").to_pylist()
-        b = batch.column("text_b").to_pylist()
-        ka = batch.column("key_a").to_pylist()
-        kb = batch.column("key_b").to_pylist()
-        n = len(a)
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
         if n == 0:
             return pa.table({"key_a": pa.array([], pa.string()),
                              "key_b": pa.array([], pa.string()),
                              "score": pa.array([], pa.float64()),
                              "method": pa.array([], pa.string())})
 
-        exact = np.array([x == y and x != "" for x, y in zip(a, b)])
-        jw = jaro_winkler_batch(a, b)
-        lev = levenshtein_sim_batch(a, b)
-        compat = np.array([name_compat(x, y) for x, y in zip(a, b)])
+        a = batch.column("text_a").to_pylist()
+        b = batch.column("text_b").to_pylist()
+        media_occ = pc.or_(
+            pc.starts_with(batch.column("key_a"), "media:"),
+            pc.starts_with(batch.column("key_b"), "media:"),
+        ).to_numpy(zero_copy_only=False)
 
+        # A pair colliding in several LSH bands reaches the scorer once
+        # per band (candidate_pairs skips the pair-dedup shuffle on
+        # purpose) — measured ~2.4× duplication.  Score each distinct
+        # (text_a, text_b, media?) ONCE and scatter the result back.
+        comb = [x + "\x1f" + y + ("\x1fm" if m else "")
+                for x, y, m in zip(a, b, media_occ)]
+        codes, _ = pd.factorize(np.asarray(comb, dtype=object), sort=False)
+        _, first_idx = np.unique(codes, return_index=True)
+        k = len(first_idx)
+        ad = [a[i] for i in first_idx]
+        bd = [b[i] for i in first_idx]
+        media = media_occ[first_idx]
+
+        exact = np.fromiter((x == y and x != "" for x, y in zip(ad, bd)),
+                            bool, count=k)
+        toks_a = [x.split() for x in ad]
+        toks_b = [y.split() for y in bd]
+        nt_a = np.fromiter(map(len, toks_a), np.int64, count=k)
+        nt_b = np.fromiter(map(len, toks_b), np.int64, count=k)
         # Whole-string similarity is only trusted for single-token
         # surfaces: between multi-token names a shared first token
         # inflates JW past 0.9 for different people ("walter galindo"
         # vs "walter ivanov" → 0.92), and differing initials alone keep
         # JW high ("j moreau" vs "q moreau" → 0.92).  Multi-token pairs
-        # route exclusively through the token-aware alias rule.
-        def _both_multi(x: str, y: str) -> bool:
-            return len(x.split()) >= 2 and len(y.split()) >= 2
+        # route exclusively through the token-aware alias rule, so the
+        # JW/Levenshtein kernels run ONLY on the single-token subset.
+        multi = (nt_a >= 2) & (nt_b >= 2)
+        init_eq = np.fromiter(
+            (ta[0][:1] == tb[0][:1] if ta and tb else True
+             for ta, tb in zip(toks_a, toks_b)), bool, count=k)
+        conflict = multi & ~init_eq
 
-        multi = np.array([_both_multi(x, y) for x, y in zip(a, b)])
-        conflict = np.array(
-            [_both_multi(x, y) and x.split()[0][:1] != y.split()[0][:1]
-             for x, y in zip(a, b)])
-        jw = np.where(multi, 0.0, jw)
-        lev = np.where(multi, 0.0, lev)
+        jw = np.zeros(k)
+        lev = np.zeros(k)
+        single = np.nonzero(~multi)[0]
+        if len(single):
+            sa = [ad[i] for i in single]
+            sb = [bd[i] for i in single]
+            jw[single] = jaro_winkler_batch(sa, sb)
+            lev[single] = levenshtein_sim_batch(sa, sb)
 
-        media = np.array([x.startswith("media:") or y.startswith("media:")
-                          for x, y in zip(ka, kb)])
-        cos = np.zeros(n)
-        if media.any():
-            idx = np.nonzero(media)[0]
-            ea = self.encode([a[i] for i in idx], dim=self.dim)
-            eb = self.encode([b[i] for i in idx], dim=self.dim)
-            cos[idx] = cosine_batch(ea, eb)
+        # alias rule: only multi-token pairs with equal initials can
+        # pass, and exact pairs resolve to method "exact" regardless
+        compat = np.zeros(k, dtype=bool)
+        for i in np.nonzero(multi & init_eq & ~exact)[0]:
+            compat[i] = _name_compat_tokens(toks_a[i], toks_b[i])
+
+        cos = np.zeros(k)
+        midx = np.nonzero(media)[0]
+        if len(midx):
+            # encode each distinct TEXT once (pairs share surfaces)
+            texts_m = [ad[i] for i in midx] + [bd[i] for i in midx]
+            tcodes, uniq_t = pd.factorize(
+                np.asarray(texts_m, dtype=object), sort=False)
+            emb = self.encode(list(uniq_t), dim=self.dim)[tcodes]
+            cos[midx] = cosine_batch(emb[: len(midx)], emb[len(midx):])
         cos = np.where(conflict, 0.0, cos)
 
-        score = np.maximum.reduce([
+        score_d = np.maximum.reduce([
             np.where(exact, 1.0, 0.0),
             jw * (jw >= self.min_sim),
             lev * (lev >= self.lev_accept),
             np.where(compat, 0.95, 0.0),
             np.where(media, cos * (cos >= self.min_sim), 0.0),
         ])
-        method = np.select(
+        method_d = np.select(
             [exact, compat, jw >= self.min_sim, lev >= self.lev_accept,
              media & (cos >= self.min_sim)],
             ["exact", "alias", "jaro_winkler", "levenshtein", "cosine"],
             default="",
         )
+        score = score_d[codes]
+        method = method_d[codes]
         keep = score >= min(self.min_sim, self.lev_accept)
-        keep &= np.array(method, dtype=object) != ""
+        keep &= method != ""
+        keep_arr = pa.array(keep)
         return pa.table({
-            "key_a": pa.array([ka[i] for i in np.nonzero(keep)[0]], pa.string()),
-            "key_b": pa.array([kb[i] for i in np.nonzero(keep)[0]], pa.string()),
+            "key_a": batch.column("key_a").filter(keep_arr),
+            "key_b": batch.column("key_b").filter(keep_arr),
             "score": pa.array(score[keep], pa.float64()),
-            "method": pa.array([str(m) for m in method[keep]], pa.string()),
+            "method": pa.array(method[keep].tolist(), pa.string()),
         })
 
 
