@@ -37,28 +37,48 @@ def op_summary(stats: str) -> list[tuple[str, str]]:
     return out
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    from textgraphs_ray.corpus import generate
-    from textgraphs_ray.pipelines.er import resolve_entities
-
-    docs, _, assets = generate(n_docs)
-    ds = rd.from_arrow(docs)
-    t0 = time.time()
-    res = resolve_entities(ds, assets=assets)
-    clusters = res["clusters"] if isinstance(res, dict) else res
-    clusters = clusters.materialize()
-    total = time.time() - t0
-    print(f"n_docs={n_docs} clusters={clusters.count()} "
-          f"total={total:.2f}s")
-    stats = clusters.stats()
-    rows = op_summary(stats)
+def show(label: str, ds, dt: float) -> None:
+    print(f"\n== {label}: {dt:.2f}s wall ==")
+    rows = op_summary(ds.stats())
     if rows:
         width = max(len(r[0]) for r in rows)
         for name, wall in rows:
             print(f"  {name:<{width}}  {wall}")
-    else:  # fall back to the raw stats text
-        print(stats)
+
+
+def main() -> None:
+    """Phase-by-phase timing: resolve_entities materializes mentions and
+    matches internally, so the final clusters.stats() lineage only covers
+    the closure loop.  Re-run the same phases here with explicit timers
+    (same code paths, same defaults as resolve_entities)."""
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import (
+        extract_spans, mentions_from_spans)
+    from textgraphs_ray.stages.blocking import candidate_pairs
+    from textgraphs_ray.stages.cluster import propagate_labels
+    from textgraphs_ray.stages.scoring import score_pairs
+
+    docs, _, assets = generate(n_docs)
+    # from_arrow yields ONE block → one task per stage; match bench.py's
+    # read shape (override_num_blocks=2×CPUs) or every stat is serial.
+    ds = rd.from_arrow(docs).repartition(64)
+    t0 = time.time()
+    spans = extract_spans(ds)
+    assets_ref = ray.put(assets) if assets is not None else None
+    t = time.time()
+    mentions = mentions_from_spans(spans, assets_ref).materialize()
+    show("extract + mentions", mentions, time.time() - t)
+    t = time.time()
+    pairs = candidate_pairs(mentions)
+    matches = score_pairs(pairs).materialize()
+    show("block + score", matches, time.time() - t)
+    t = time.time()
+    clusters = propagate_labels(mentions, matches,
+                                num_partitions=16).materialize()
+    show("closure", clusters, time.time() - t)
+    print(f"\nn_docs={n_docs} clusters={clusters.count()} "
+          f"total={time.time() - t0:.2f}s")
     ray.shutdown()
 
 

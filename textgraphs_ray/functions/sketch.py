@@ -101,17 +101,28 @@ def band_keys(signatures: np.ndarray, *, bands: int = 16) -> np.ndarray:
 
 def simhash_batch(texts: list[str], *, k: int = 3) -> np.ndarray:
     """64-bit SimHash per string (bit-majority over shingle hashes)."""
-    out = np.empty(len(texts), dtype=np.uint64)
+    n = len(texts)
     bits = np.arange(64, dtype=np.uint64)
+    # one flattened hash64 call + segmented bit-majority (reduceat),
+    # mirroring minhash_batch — no per-text hashing overhead
+    all_sh: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
     for i, t in enumerate(texts):
         sh = char_shingles(t, k)
-        if not sh:
-            out[i] = 0
-            continue
-        h = hash64(sh)
-        bitmat = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
-        maj = (bitmat.sum(axis=0) * 2 > len(sh)).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(maj << bits)
+        counts[i] = len(sh)
+        all_sh.extend(sh)
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = counts > 0
+    if not all_sh:
+        return out
+    h = hash64(all_sh)
+    bitmat = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # reduceat needs strictly valid segment starts: drop empty rows
+    seg_sums = np.add.reduceat(bitmat, starts[nonempty], axis=0)
+    maj = (seg_sums * 2 > counts[nonempty, None]).astype(np.uint64)
+    out[nonempty] = np.bitwise_or.reduce(maj << bits[None, :], axis=1)
     return out
 
 
@@ -139,15 +150,25 @@ def shingle_embedding_batch(texts: list[str], *, dim: int = 64,
     ⇒ high cosine — the deterministic stand-in for the reference's
     transformer encoders (``rel.py:121-142``), with identical Ray
     plumbing (actor pool, batched inference)."""
-    out = np.zeros((len(texts), dim), dtype=np.float32)
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    # flatten every text's shingles into ONE hash64 call (the pandas
+    # siphash has ~0.5 ms fixed overhead per call — per-text calls were
+    # the scorer's top cost), then scatter-add into a flat (n*dim) view
+    all_sh: list[str] = []
+    rows: list[int] = []
     for i, t in enumerate(texts):
         sh = char_shingles(t, k)
-        if not sh:
-            continue
-        h = hash64(sh)
+        all_sh.extend(sh)
+        rows.extend([i] * len(sh))
+    if all_sh:
+        h = hash64(all_sh)
         idx = (h % np.uint64(dim)).astype(np.int64)
-        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0).astype(np.float32)
-        np.add.at(out[i], idx, sign)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1),
+                        np.float32(1.0), np.float32(-1.0))
+        flat = np.zeros(n * dim, dtype=np.float32)
+        np.add.at(flat, np.asarray(rows, dtype=np.int64) * dim + idx, sign)
+        out = flat.reshape(n, dim)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms

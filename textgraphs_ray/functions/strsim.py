@@ -151,7 +151,42 @@ def osa_within(a: str, b: str, k: int) -> bool:
     exact distance."""
     if abs(len(a) - len(b)) > k:
         return False
+    if a == b:
+        return True
+    if k == 1:
+        return _osa_within_one(a, b)
     return osa_distance(a, b) <= k
+
+
+def _osa_within_one(a: str, b: str) -> bool:
+    """True iff OSA distance ≤ 1, in O(n) without the DP table.
+
+    Distance ≤ 1 means the strings are equal, differ by one
+    substitution, one adjacent transposition, or one indel — each
+    checkable directly from the first/last mismatch positions.  This
+    replaces an O(n·m) Python DP on the scoring hot path (the alias
+    rule calls it once per multi-token candidate pair)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        # find first and last mismatch
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        if i == la:
+            return True
+        j = la - 1
+        while j > i and a[j] == b[j]:
+            j -= 1
+        if i == j:
+            return True  # single substitution
+        return (j == i + 1 and a[i] == b[j] and a[j] == b[i])  # transposition
+    if lb < la:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: one insertion into a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
 
 
 def osa_distance(a: str, b: str) -> int:
