@@ -1126,6 +1126,38 @@ def _q_importance_sample(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_pack_greedy(sf_dir: str):
+    """Greedy sequence packing (stages/pack.py): documents packed into
+    2000-char training bins per source, in doc_id order — the standard
+    pretraining-corpus packing step.  One groupby shuffle, then an
+    O(bins·log n) vectorized sweep per group."""
+    from textgraphs_ray.stages.pack import pack_greedy
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    out = pack_greedy(ds, budget=2000, group_col="source",
+                      order_col="doc_id", len_col="n_chars")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars", "bin_id"]),
+        batch_format="pyarrow")
+
+
+def _q_shard_stats(sf_dir: str):
+    """Deterministic shard assignment (stages/pack.py): md5-route every
+    document to one of 8 output shards, then a combiner-backed balance
+    report per shard.  The assignment is byte-stable across reruns and
+    cluster layouts (md5, no RNG) — the reproducible-export pattern."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from textgraphs_ray.stages.pack import shard_assign
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    out = shard_assign(ds, n_shards=8, key_col="doc_id")
+    return out.groupby("shard").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("doc_id", alias_name="first_doc"))
+
+
 def _q_partitioned_sink(sf_dir: str):
     """S9 resumable output: write documents partitioned by lang (one
     directory per partition key — a failed run skips finished
@@ -1261,6 +1293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "det_sample": _q_det_sample,
         "decontaminate": _q_decontaminate,
         "importance_sample": _q_importance_sample,
+        "pack_greedy": _q_pack_greedy,
+        "shard_stats": _q_shard_stats,
         "partitioned_sink": _q_partitioned_sink,
         "media_frames": _q_media_frames,
         "median_agg": _q_median_agg,
@@ -1490,6 +1524,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
                   / 4294967296.0
                   < LEAST(n_chars, 400) / 400.0
+        """,
+        "pack_greedy": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ), packed AS (
+                SELECT doc_id, source, n_chars, rn,
+                       0::BIGINT AS bin_id, n_chars::BIGINT AS running
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.doc_id, d.source, d.n_chars, d.rn,
+                       CASE WHEN p.running + d.n_chars > 2000
+                            THEN p.bin_id + 1 ELSE p.bin_id END,
+                       CASE WHEN p.running + d.n_chars > 2000
+                            THEN d.n_chars::BIGINT
+                            ELSE p.running + d.n_chars END
+                FROM packed p
+                JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, source, n_chars, bin_id FROM packed
+        """,
+        "shard_stats": """
+            SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                    % 8)::BIGINT AS shard,
+                   count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   min(doc_id) AS first_doc
+            FROM documents GROUP BY 1
         """,
         "partitioned_sink": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang

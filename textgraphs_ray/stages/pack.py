@@ -1,0 +1,99 @@
+"""Training-data export operators: greedy sequence packing and
+deterministic shard assignment.
+
+Both are standard tail-of-pipeline steps for LLM pretraining corpora
+(pack documents into fixed-token-budget training rows; route rows to a
+fixed set of output shards reproducibly).  The reference has no
+equivalent — these extend SURVEY.md §2's inventory on the
+training-data side, like ``stages/dedup.py`` and ``stages/text.py``.
+
+Scale notes
+-----------
+* ``pack_greedy`` packs WITHIN a group (``group_col``): one groupby
+  shuffle, then an O(bins·log n) vectorized sweep per group.  Packing
+  is inherently order-sequential, so the unit of sequentiality must be
+  a bounded group — at 100 TB that means packing per (source, shard),
+  never globally; the group key choice is the caller's partitioning
+  contract, same as ``sessionize``'s per-user assumption.
+* ``shard_assign`` is embarrassingly parallel (hash per row, one
+  combiner-backed groupby for the balance report).  The md5 basis makes
+  the assignment byte-stable across reruns, block layouts and cluster
+  sizes — and SQL-replayable for the oracle gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def greedy_bins(lengths: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy sequential bin ids for ``lengths`` in the given order.
+
+    Each bin is a maximal run of consecutive items whose sum stays
+    ≤ ``budget``; an item longer than the budget occupies its own bin.
+    Vectorized over bins: one ``searchsorted`` on the prefix sum per
+    emitted bin instead of a per-item Python loop.
+    """
+    n = len(lengths)
+    bins = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return bins
+    cs = np.cumsum(lengths.astype(np.int64))
+    start = 0
+    b = 0
+    while start < n:
+        base = cs[start - 1] if start else 0
+        end = int(np.searchsorted(cs, base + budget, side="right"))
+        if end <= start:  # single item exceeds the budget: own bin
+            end = start + 1
+        bins[start:end] = b
+        b += 1
+        start = end
+    return bins
+
+
+def pack_greedy(ds: "ray.data.Dataset", *, budget: int,
+                group_col: str = "source", order_col: str = "doc_id",
+                len_col: str = "n_chars") -> "ray.data.Dataset":
+    """Assign each row a ``bin_id`` by greedy sequential packing of
+    ``len_col`` under ``budget``, within each ``group_col`` group in
+    ``order_col`` order.  Output: input columns + ``bin_id``."""
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable").reset_index(drop=True)
+        g["bin_id"] = greedy_bins(g[len_col].to_numpy(), budget)
+        return g
+
+    return ds.groupby(group_col).map_groups(pack_group,
+                                            batch_format="pandas")
+
+
+def md5_shard(values: list, n_shards: int) -> np.ndarray:
+    """Deterministic shard id per value: first 8 md5 hex digits as an
+    integer, mod ``n_shards`` — matches DuckDB's
+    ``('0x' || substr(md5(v), 1, 8))::UBIGINT % n``."""
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.md5(str(v).encode()).hexdigest()[:8]
+        out[i] = int(h, 16) % n_shards
+    return out
+
+
+def shard_assign(ds: "ray.data.Dataset", *, n_shards: int = 16,
+                 key_col: str = "doc_id") -> "ray.data.Dataset":
+    """Add a deterministic ``shard`` column (md5 of ``key_col`` mod
+    ``n_shards``).  Pair with the resumable partitioned sink
+    (``sources/sinks.py``) to route training rows to fixed output
+    shards."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        shard = md5_shard(t.column(key_col).to_pylist(), n_shards)
+        return t.append_column("shard", pa.array(shard, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
