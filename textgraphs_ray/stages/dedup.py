@@ -127,11 +127,15 @@ def _banded_candidates(ds, bander, concurrency,
     is per-pair Python (exact shingle Jaccard) so each distinct pair is
     verified exactly once.  Connected components are duplicate-edge
     insensitive either way.
+
+    ``bander`` may be a callable instance (stateless → task-based map,
+    ``concurrency=None``; no actor-pool ramp-up) or a class (stateful →
+    actor pool sized by ``concurrency``).
     """
     from .blocking import PAIR_PARTITIONS
 
-    banded = ds.map_batches(bander, batch_format="pyarrow",
-                            concurrency=concurrency)
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    banded = ds.map_batches(bander, batch_format="pyarrow", **kwargs)
 
     def add_part(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -150,7 +154,7 @@ def _banded_candidates(ds, bander, concurrency,
 def minhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 64,
                   bands: int = 16, jaccard_threshold: float = 0.7,
-                  concurrency=(1, 4)) -> "ray.data.Dataset":
+                  concurrency=None) -> "ray.data.Dataset":
     """MinHash-LSH near-dedup → clusters(key=id, cluster_id).
 
     Verification is the standard signature-estimated Jaccard (fraction
@@ -187,7 +191,7 @@ def minhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
         est = (sa == sb).mean(axis=1)
         return t.filter(pa.array(est >= jaccard_threshold))
 
-    candidates = _banded_candidates(ds, Bander, concurrency)
+    candidates = _banded_candidates(ds, Bander(), concurrency)
     verified = candidates.map_batches(verify, batch_format="pyarrow",
                                       batch_size=8192)
     return _pairs_to_clusters(ds, verified, id_col=id_col)
@@ -195,7 +199,7 @@ def minhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
 
 def simhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  concurrency=(1, 4)) -> "ray.data.Dataset":
+                  concurrency=None) -> "ray.data.Dataset":
     """SimHash near-dedup: 4×16-bit chunk banding (pigeonhole: any pair
     with Hamming ≤ 3 over 64 bits collides on ≥1 chunk)."""
 
@@ -222,7 +226,7 @@ def simhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
             np.asarray(t.column("payload_b").to_pylist(), dtype=np.uint64))
         return t.filter(pa.array(ham <= max_hamming))
 
-    candidates = _banded_candidates(ds, Bander, concurrency)
+    candidates = _banded_candidates(ds, Bander(), concurrency)
     verified = candidates.map_batches(verify, batch_format="pyarrow",
                                       batch_size=8192)
     return _pairs_to_clusters(ds, verified, id_col=id_col)
@@ -231,7 +235,7 @@ def simhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
 def ngram_jaccard_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 64,
                         bands: int = 16, threshold: float = 0.8,
-                        concurrency=(1, 4)) -> "ray.data.Dataset":
+                        concurrency=None) -> "ray.data.Dataset":
     """Exact n-gram Jaccard dedup: MinHash banding for candidates,
     EXACT shingle-set Jaccard as the verifier.  The verifier is a
     per-pair set kernel, so the pair stream IS deduped first — each
@@ -263,7 +267,7 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
             dtype=np.float64, count=t.num_rows)
         return t.filter(pa.array(jac >= threshold))
 
-    candidates = _banded_candidates(ds, Bander, concurrency,
+    candidates = _banded_candidates(ds, Bander(), concurrency,
                                     dedup_pairs=True)
     verified = candidates.map_batches(verify, batch_format="pyarrow",
                                       batch_size=4096)
