@@ -68,3 +68,46 @@ def test_spanify_noun_chunks(herzog_docs):
     assert ("chu", "the son") in kinds
     # chunks equal to entity spans are NOT re-emitted (J3 anti-join)
     assert ("chu", "Werner Herzog") not in kinds
+
+
+def test_flat_analyzer_matches_per_doc_reference():
+    """analyze_spans_flat (the batch-vectorized ExtractSpans core) is
+    bit-identical to per-document analyze_spans on varied corpora."""
+    import numpy as np
+    import pyarrow as pa
+
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.schema import SPANS
+    from textgraphs_ray.stages.extract import ExtractSpans, analyze_spans
+
+    def per_doc_reference(batch: pa.Table) -> pa.Table:
+        spans_list = batch.column("spans").combine_chunks()
+        doc_ids = batch.column("doc_id").to_pylist()
+        lengths = np.diff(spans_list.offsets.to_numpy(zero_copy_only=False))
+        flat = spans_list.flatten()
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        media = flat.field("media_ref").to_pylist()
+        offs = flat.field("offset").to_pylist()
+        out = {"doc_id": list(np.repeat(np.asarray(doc_ids, object),
+                                        lengths)),
+               "offset": offs, "kind": kinds, "text": texts,
+               "media_ref": media,
+               "lemma_key": [], "pos": [], "label": [], "sent_id": [],
+               "head_offset": [], "dep_rel": [], "sub_obj": [],
+               "span_len": []}
+        pos = 0
+        for ln in lengths:
+            ln = int(ln)
+            d = analyze_spans(kinds[pos:pos + ln], texts[pos:pos + ln],
+                              media[pos:pos + ln], offs[pos:pos + ln])
+            for k in ("lemma_key", "pos", "label", "sent_id",
+                      "head_offset", "dep_rel", "sub_obj", "span_len"):
+                out[k].extend(d[k])
+            pos += ln
+        return pa.Table.from_pydict(out, schema=SPANS)
+
+    ex = ExtractSpans()
+    for seed, nd, filler in [(42, 120, 0), (7, 80, 30), (1, 10, 5)]:
+        docs, _, _ = generate(nd, seed=seed, filler_spans=filler)
+        assert per_doc_reference(docs).equals(ex(docs)), (seed, nd, filler)

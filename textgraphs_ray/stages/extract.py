@@ -214,40 +214,234 @@ def analyze_spans(kinds: list[str], texts: list[str], media_refs: list[str],
             "sub_obj": subobj_col, "span_len": len_col}
 
 
+def analyze_spans_flat(kinds: list[str], texts: list[str],
+                       media: list[str], offs: np.ndarray,
+                       lengths: np.ndarray) -> dict[str, np.ndarray]:
+    """Batch-flat vectorized :func:`analyze_spans`: same derived columns
+    for ALL documents of a batch in one pass (``lengths`` gives the
+    per-doc span counts; spans are concatenated in doc order).
+
+    Bit-identical to calling :func:`analyze_spans` per document (tested
+    against it), but the per-span Python loop is replaced by a
+    factorize-once / compute-per-distinct / scatter pattern plus
+    segment-vectorized sentence + dependency-head resolution — the
+    extraction stage dominated the 800k-doc scaling run (~2.7 ms/doc),
+    and corpora repeat surface forms constantly, so per-distinct work
+    is a small fraction of per-span work.
+    """
+    import pandas as pd
+
+    combo = [k + "\x1f" + t for k, t in zip(kinds, texts)]
+    codes, uniq = pd.factorize(np.asarray(combo, dtype=object), sort=False)
+    return _analyze_from_codes(
+        list(uniq), codes.astype(np.int64),
+        lambda idxs: [media[i] for i in idxs],
+        np.asarray(offs, dtype=np.int64), lengths)
+
+
+def _analyze_from_codes(uniq: list, codes: np.ndarray, media_at,
+                        offs: np.ndarray,
+                        lengths: np.ndarray) -> dict[str, np.ndarray]:
+    """Core of :func:`analyze_spans_flat` on pre-factorized spans:
+    ``uniq`` holds distinct ``kind + "\\x1f" + text`` strings, ``codes``
+    maps each span to its distinct form, ``media_at(idxs)`` returns the
+    media refs for the given span indices (lazy — only media spans pay
+    the lookup)."""
+    n = len(codes)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        e = np.zeros(0, dtype=object)
+        return {"pos": e, "lemma_key": e, "label": e, "sent_id": z,
+                "head_offset": z, "dep_rel": e,
+                "sub_obj": np.zeros(0, dtype=bool), "span_len": z}
+    u = len(uniq)
+
+    # per-distinct (kind, text) analysis — one _pos_lemmas_for_span call
+    # per distinct form per batch (plus the per-worker memo underneath)
+    pos_u = np.empty(u, dtype=object)
+    stub_u = np.empty(u, dtype=object)   # key for lem; "lemma.pos" stub for dep
+    label_u = np.empty(u, dtype=object)
+    len_u = np.ones(u, dtype=np.int64)
+    final_u = np.zeros(u, dtype=bool)    # sentence-final punctuation
+    verb_u = np.zeros(u, dtype=bool)
+    excl_u = np.zeros(u, dtype=bool)     # chu/media: excluded from heads
+    kind_u = np.empty(u, dtype=object)
+    for j, cmb in enumerate(uniq):
+        k, t = cmb.split("\x1f", 1)
+        kind_u[j] = k
+        if k == "media":
+            pos_u[j] = ""
+            stub_u[j] = ""
+            label_u[j] = ""
+            excl_u[j] = True
+            continue
+        pos, lemmas, poses = _pos_lemmas_for_span(k, t)
+        pos_u[j] = pos
+        len_u[j] = max(1, len(lemmas))
+        verb_u[j] = pos in ("VERB", "AUX")
+        if k == "dep":
+            stub_u[j] = nlp.lemma_key_single(lemmas[0] if lemmas else "",
+                                             pos)
+            label_u[j] = ""
+            final_u[j] = t in _SENT_FINAL
+        elif k in ("ent", "chu"):
+            stub_u[j] = nlp.lemma_key_tokens(lemmas, poses)
+            label_u[j] = nlp.ner_label(t) if k == "ent" else ""
+            excl_u[j] = k == "chu"
+        elif k == "iri":
+            stub_u[j] = t
+            label_u[j] = t
+        else:  # lem
+            stub_u[j] = nlp.lemma_key_single(lemmas[0] if lemmas else "",
+                                             pos)
+            label_u[j] = ""
+
+    pos_col = pos_u[codes]
+    label_col = label_u[codes]
+    len_col = len_u[codes]
+    key_col = stub_u[codes].copy()
+    kind_code = kind_u[codes]
+
+    # occurrence-level keys: dep keys carry the span offset placeholder
+    # (stopwords never merge); media keys carry the asset ref
+    dep_mask = kind_code == "dep"
+    if dep_mask.any():
+        di = np.nonzero(dep_mask)[0]
+        key_col[di] = [f"{offs[i]}.{key_col[i]}" for i in di]
+    media_mask = kind_code == "media"
+    if media_mask.any():
+        mi = np.nonzero(media_mask)[0]
+        key_col[mi] = ["media:" + r for r in media_at(mi)]
+
+    # sentence ids: exclusive running count of sentence-final spans,
+    # reset at each document start
+    flags = final_u[codes].astype(np.int64)
+    excl_prefix = np.zeros(n, dtype=np.int64)
+    np.cumsum(flags[:-1], out=excl_prefix[1:])
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(np.asarray(lengths[:-1], dtype=np.int64), out=starts[1:])
+    sent_col = excl_prefix - np.repeat(excl_prefix[starts], lengths)
+
+    head_col = offs.copy()               # default: chu/media head = self
+    dep_col = np.full(n, "", dtype=object)
+    subobj_col = np.zeros(n, dtype=bool)
+    dep_col[media_mask] = "media"
+    dep_col[kind_code == "chu"] = "noun_chunk"
+
+    # dependency heads over (doc, sentence) segments of included spans
+    inc_mask = ~excl_u[codes]
+    inc = np.nonzero(inc_mask)[0]
+    m = len(inc)
+    if m:
+        doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64),
+                            lengths)
+        d_i = doc_idx[inc]
+        s_i = sent_col[inc]
+        boundary = np.ones(m, dtype=bool)
+        boundary[1:] = (d_i[1:] != d_i[:-1]) | (s_i[1:] != s_i[:-1])
+        seg_id = np.cumsum(boundary) - 1
+        seg_start = np.nonzero(boundary)[0]
+        p = np.arange(m, dtype=np.int64)
+        is_verb = verb_u[codes][inc]
+        verb_pos = np.nonzero(is_verb)[0]
+        seg_of_verb = seg_id[verb_pos]
+
+        if len(verb_pos):
+            # root of each segment: its first verb, else its first span
+            fv = np.searchsorted(verb_pos, seg_start)
+            fv_c = np.minimum(fv, len(verb_pos) - 1)
+            root_seg = np.where(
+                (fv < len(verb_pos))
+                & (seg_of_verb[fv_c] == np.arange(len(seg_start))),
+                verb_pos[fv_c], seg_start)
+            root_of = root_seg[seg_id]
+            # nearest following verb within the segment, else the root
+            nv = np.searchsorted(verb_pos, p, side="right")
+            nv_c = np.minimum(nv, len(verb_pos) - 1)
+            nxt = np.where((nv < len(verb_pos))
+                           & (seg_of_verb[nv_c] == seg_id),
+                           verb_pos[nv_c], root_of)
+        else:
+            root_of = seg_start[seg_id]
+            nxt = root_of
+
+        pos_i = pos_col[inc]
+        is_root = p == root_of
+        is_noun = (pos_i == "NOUN") | (pos_i == "PROPN")
+        not_first = ~boundary
+        prev_adp = np.zeros(m, dtype=bool)
+        prev_adp[1:] = pos_i[:-1] == "ADP"
+        prev_adp &= not_first
+
+        head_i = offs[inc][nxt]
+        head_i[is_root] = offs[inc][is_root]
+        punct = pos_i == "PUNCT"
+        head_i[punct & ~is_root] = offs[inc][root_of[punct & ~is_root]]
+
+        before_root = p < root_of
+        dep_i = np.select(
+            [is_root,
+             is_noun & before_root,
+             is_noun & prev_adp,
+             is_noun & (pos_i == "NOUN"),
+             is_noun,
+             punct,
+             pos_i == "DET",
+             pos_i == "ADJ",
+             pos_i == "ADP"],
+            ["ROOT", "nsubj", "pobj", "obj", "appos", "punct", "det",
+             "amod", "prep"],
+            default="dep").astype(object)
+        sub_i = ~is_root & (is_noun & (before_root | prev_adp))
+
+        head_col[inc] = head_i
+        dep_col[inc] = dep_i
+        subobj_col[inc] = sub_i
+
+    return {"pos": pos_col, "lemma_key": key_col, "label": label_col,
+            "sent_id": sent_col, "head_offset": head_col,
+            "dep_rel": dep_col, "sub_obj": subobj_col, "span_len": len_col}
+
+
 class ExtractSpans:
     """documents(doc_id, spans) → one SPANS row per span occurrence."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         spans_list = batch.column("spans").combine_chunks()
         if isinstance(spans_list, pa.ChunkedArray):  # pragma: no cover
             spans_list = spans_list.combine_chunks()
-        doc_ids = batch.column("doc_id").to_pylist()
-        offsets_arr = spans_list.offsets.to_numpy(zero_copy_only=False)
-        lengths = np.diff(offsets_arr)
+        lengths = np.diff(spans_list.offsets.to_numpy(zero_copy_only=False))
         flat = spans_list.flatten()
-        kinds = flat.field("kind").to_pylist()
-        texts = flat.field("text").to_pylist()
-        media = flat.field("media_ref").to_pylist()
-        offs = flat.field("offset").to_pylist()
+        kind_arr = flat.field("kind")
+        text_arr = flat.field("text")
+        media_arr = flat.field("media_ref")
+        off_arr = flat.field("offset")
+        offs = off_arr.to_numpy(zero_copy_only=False).astype(np.int64)
 
-        out: dict[str, list] = {
-            "doc_id": list(np.repeat(np.asarray(doc_ids, dtype=object), lengths)),
-            "offset": offs, "kind": kinds, "text": texts, "media_ref": media,
-            "lemma_key": [], "pos": [], "label": [], "sent_id": [],
-            "head_offset": [], "dep_rel": [], "sub_obj": [], "span_len": [],
-        }
-        pos = 0
-        for ln in lengths:
-            ln = int(ln)
-            derived = analyze_spans(kinds[pos:pos + ln], texts[pos:pos + ln],
-                                    media[pos:pos + ln], offs[pos:pos + ln])
-            out["lemma_key"].extend(derived["lemma_key"])
-            out["pos"].extend(derived["pos"])
-            out["label"].extend(derived["label"])
-            out["sent_id"].extend(derived["sent_id"])
-            out["head_offset"].extend(derived["head_offset"])
-            out["dep_rel"].extend(derived["dep_rel"])
-            out["sub_obj"].extend(derived["sub_obj"])
-            out["span_len"].extend(derived["span_len"])
-            pos += ln
-        return pa.Table.from_pydict(out, schema=SPANS)
+        # factorize (kind, text) in C: join + dictionary-encode; only
+        # the DISTINCT forms cross into Python
+        dic = pc.dictionary_encode(
+            pc.binary_join_element_wise(kind_arr, text_arr, "\x1f"))
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = dic.dictionary.to_pylist()
+
+        def media_at(idxs: np.ndarray) -> list:
+            return pc.take(media_arr,
+                           pa.array(idxs, pa.int64())).to_pylist()
+
+        derived = _analyze_from_codes(uniq, codes, media_at, offs, lengths)
+        # doc_id repeated per span without a Python round-trip
+        doc_id_rep = pc.take(batch.column("doc_id"),
+                             pc.list_parent_indices(spans_list))
+        return pa.Table.from_pydict({
+            "doc_id": doc_id_rep,
+            "offset": off_arr, "kind": kind_arr, "text": text_arr,
+            "media_ref": media_arr,
+            "lemma_key": derived["lemma_key"], "pos": derived["pos"],
+            "label": derived["label"], "sent_id": derived["sent_id"],
+            "head_offset": derived["head_offset"],
+            "dep_rel": derived["dep_rel"], "sub_obj": derived["sub_obj"],
+            "span_len": derived["span_len"],
+        }, schema=SPANS)
