@@ -114,37 +114,51 @@ def _label_signature(labels_ds: "ray.data.Dataset") -> int:
 
 
 def _driver_union_find(nodes_ds: "ray.data.Dataset",
-                       adjacency: "ray.data.Dataset",
+                       edges_ds: "ray.data.Dataset",
                        checkpoint_fn) -> "ray.data.Dataset":
     """Small-graph fast path: the edge set fits on the driver (bounded
-    by ``driver_threshold``), so closure is one streaming union-find
-    pass; the component map broadcasts back via ``ray.put`` and labels
-    apply in a single ``map_batches``.  Semantically identical to the
-    distributed loop (min-label roots)."""
+    by ``driver_threshold``), so closure is a vectorized min-label
+    propagation over factorized edge arrays; the component map
+    broadcasts back via ``ray.put`` and labels apply in a single
+    ``map_batches``.  Semantically identical to the distributed loop
+    (min-label roots).  The per-edge Python union-find this replaces
+    cost ~3 s serial at 10^6 edges — pure driver latency paid equally
+    at every cluster size, i.e. straight off the scaling numerator."""
+    import pandas as pd
+
     import ray
 
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for batch in adjacency.iter_batches(batch_format="pyarrow"):
-        for a, b in zip(batch.column("node").to_pylist(),
-                        batch.column("other").to_pylist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # min-label root keeps determinism = distributed result
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-
-    resolved = {k: find(k) for k in list(parent)}
+    parts = [b.select(["key_a", "key_b"])
+             for b in edges_ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    resolved: dict[str, str] = {}
+    if parts:
+        edges = pa.concat_tables(parts)
+        # sort=True: code order == string order, so min-code root is
+        # the min-key root the distributed loop produces
+        codes, uniq = pd.factorize(np.concatenate([
+            edges.column("key_a").to_numpy(zero_copy_only=False),
+            edges.column("key_b").to_numpy(zero_copy_only=False)]),
+            sort=True)
+        m = edges.num_rows
+        # both directions: scatter-min a→b and b→a each round
+        src = np.concatenate([codes[:m], codes[m:]])
+        dst = np.concatenate([codes[m:], codes[:m]])
+        lab = np.arange(len(uniq), dtype=np.int64)
+        while True:
+            before = lab.copy()
+            # adjacency carries both directions, so one scatter-min
+            # per round propagates symmetrically
+            np.minimum.at(lab, dst, lab[src])
+            while True:  # pointer-jump to fixpoint: label <- label(label)
+                nxt = lab[lab]
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            if np.array_equal(before, lab):
+                break
+        hit = np.nonzero(lab != np.arange(len(uniq)))[0]
+        resolved = dict(zip(uniq[hit], uniq[lab[hit]]))
     ref = ray.put(resolved)
 
     def apply(t: pa.Table) -> pa.Table:
@@ -187,29 +201,32 @@ def propagate_labels(nodes_ds: "ray.data.Dataset",
     join + groupby-min + pointer-jump loop runs fully distributed —
     that is the 10^12-row path; pass ``driver_threshold=0`` to force it.
     """
-    labels = nodes_ds.map_batches(
-        lambda t: pa.table({"node": t.column("key"), "label": t.column("key")}),
-        batch_format="pyarrow",
-    ).materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return nodes_ds.map_batches(
+            lambda t: pa.table({"key": t.column("key"),
+                                "cluster_id": t.column("key")}),
+            batch_format="pyarrow",
+        )
+    if 2 * n_edges <= driver_threshold:
+        # the driver path builds both directions in numpy — never pay
+        # the distributed adjacency map + materialize + count for it
+        return _driver_union_find(
+            nodes_ds.map_batches(
+                lambda t: pa.table({"key": t.column("key")}),
+                batch_format="pyarrow"),
+            edges_ds, checkpoint_fn)
 
     adjacency = edges_ds.map_batches(
         _both_directions, batch_format="pyarrow"
     ).materialize()  # reused every round — pin once in the object store
 
-    n_adj = adjacency.count()
-    if n_adj == 0:
-        return labels.map_batches(
-            lambda t: pa.table({"key": t.column("node"),
-                                "cluster_id": t.column("label")}),
-            batch_format="pyarrow",
-        )
-    if n_adj <= driver_threshold:
-        return _driver_union_find(
-            nodes_ds.map_batches(
-                lambda t: pa.table({"key": t.column("key")}),
-                batch_format="pyarrow"),
-            adjacency, checkpoint_fn)
-
+    # only the distributed loop needs the pinned label table — the
+    # paths above never read it, so don't pay its materialization there
+    labels = nodes_ds.map_batches(
+        lambda t: pa.table({"node": t.column("key"), "label": t.column("key")}),
+        batch_format="pyarrow",
+    ).materialize()
     prev_sig = _label_signature(labels)
     for rnd in range(max_rounds):
         # neighbor step: every node takes the min label over its closed

@@ -306,8 +306,15 @@ def _analyze_from_codes(uniq: list, codes: np.ndarray, media_at,
     # (stopwords never merge); media keys carry the asset ref
     dep_mask = kind_code == "dep"
     if dep_mask.any():
+        import pyarrow.compute as pc
+
+        # most spans of a web document are dep — keep the per-span
+        # string concat in Arrow, not a Python f-string loop
         di = np.nonzero(dep_mask)[0]
-        key_col[di] = [f"{offs[i]}.{key_col[i]}" for i in di]
+        joined = pc.binary_join_element_wise(
+            pc.cast(pa.array(offs[di]), pa.string()),
+            pa.array(key_col[di], pa.string()), ".")
+        key_col[di] = joined.to_numpy(zero_copy_only=False)
     media_mask = kind_code == "media"
     if media_mask.any():
         mi = np.nonzero(media_mask)[0]
