@@ -184,4 +184,8 @@ def test_hll_merge_equals_single_pass(n, cut_frac, seed):
     update_registers(r2, vals[cut:], 12)
     assert np.array_equal(np.maximum(r1, r2), full)
     est = estimate(full)
-    assert abs(est - n) / n < 5 * 1.04 / 64  # 5σ of the p=12 bound
+    # 5σ of the p=12 relative bound, plus a small absolute floor: at
+    # tiny n a single register-index collision (P ≈ n²/2m per run)
+    # makes linear counting undercount by ~1, which dwarfs the
+    # relative bound long before the sketch's variance regime applies.
+    assert abs(est - n) <= max(2.0, n * 5 * 1.04 / 64)
