@@ -607,6 +607,21 @@ def _q_knn_ivf(sf_dir: str):
     return out
 
 
+def _q_knn_ivf_oracle(sf_dir: str):
+    """IVF with ``nprobe == ncells`` probes every cell, so every vector
+    is scored for every query — exact brute-force top-k (self-matches
+    included), which SQL reproduces with a cross join.  Verifies the
+    train → assign → probe → rerank → distributed-merge machinery
+    end-to-end; the approximate path differs only in ``nprobe``."""
+    from textgraphs_ray.stages.similarity import knn_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, duck_queries_mat(sf_dir), k=5, ncells=8, nprobe=8)
+    out["sim"] = out["sim"].round(4)
+    return out
+
+
 def _q_dedup_jaccard(sf_dir: str):
     from textgraphs_ray.stages.dedup import ngram_jaccard_dedup
 
@@ -624,6 +639,18 @@ def _q_dedup_jaccard_oracle(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return ngram_jaccard_dedup(ds, threshold=1.0, concurrency=2)
+
+
+def _q_chunk_dedup(sf_dir: str):
+    """Corpus-wide duplicated-span removal (stages/dedup.py
+    chunk_dedup): RefinedWeb/CCNet line-dedup generalized to 20-word
+    windows — strip every occurrence of any chunk appearing ≥2 times
+    across the corpus, reassemble survivors in order.  SQL reproduces
+    it by grouping word windows and anti-filtering repeated chunks."""
+    from textgraphs_ray.stages.dedup import chunk_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return chunk_dedup(ds, words_per_chunk=20, min_count=2)
 
 
 def _q_kuzu_export(sf_dir: str):
@@ -1278,8 +1305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdf_export": _q_rdf_export,
         "wordcloud": _q_wordcloud,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_oracle": _q_knn_ivf_oracle,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_oracle": _q_dedup_jaccard_oracle,
+        "chunk_dedup": _q_chunk_dedup,
         "kuzu_export": _q_kuzu_export,
         "nodelink_roundtrip": _q_nodelink_roundtrip,
         "communities": _q_communities,
@@ -1387,6 +1416,25 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(q.q_emb, e.embedding) AS raw_sim
                 FROM q CROSS JOIN embeddings e
                 WHERE e.vec_id <> q.q_id
+            ), ranked AS (
+                SELECT query_id, vec_id, raw_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY raw_sim DESC, vec_id ASC) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id, round(raw_sim, 4) AS sim
+            FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+        "knn_ivf_oracle": """
+            WITH q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                       embedding AS q_emb
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.q_emb, e.embedding) AS raw_sim
+                FROM q CROSS JOIN embeddings e
             ), ranked AS (
                 SELECT query_id, vec_id, raw_sim,
                        row_number() OVER (
@@ -1709,6 +1757,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    string_agg(u, ',' ORDER BY md5(u), u) AS sample_users
             FROM r WHERE rn <= 5 GROUP BY event_type
+        """,
+        "chunk_dedup": """
+            WITH ws AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(text, '\\s+'), x -> x <> '') AS arr
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(arr) AS word,
+                     unnest(range(1, len(arr) + 1)) AS pos
+              FROM ws
+            ), c AS (
+              SELECT doc_id, (pos - 1) // 20 AS idx,
+                     string_agg(word, ' ' ORDER BY pos) AS chunk
+              FROM w GROUP BY doc_id, (pos - 1) // 20
+            ), d AS (
+              SELECT chunk FROM c GROUP BY chunk HAVING count(*) >= 2
+            ), k AS (
+              SELECT doc_id, count(*) AS n_chunks,
+                     count(*) FILTER (
+                         WHERE chunk IN (SELECT chunk FROM d)) AS n_dropped,
+                     coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                              FILTER (WHERE chunk NOT IN
+                                      (SELECT chunk FROM d)),
+                              '') AS text_dedup
+              FROM c GROUP BY doc_id
+            )
+            SELECT doc.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+                   coalesce(k.n_chunks, 0) AS n_chunks,
+                   coalesce(k.n_dropped, 0) AS n_dropped
+            FROM documents doc LEFT JOIN k USING (doc_id)
         """,
         "dedup_jaccard_oracle": """
             WITH n AS (

@@ -288,6 +288,44 @@ def test_ngram_jaccard_dedup(dup_docs):
     assert cl["100"] != cl["0"]
 
 
+def test_chunk_dedup_strips_repeated_windows():
+    from textgraphs_ray.stages.dedup import chunk_dedup
+
+    shared = " ".join(f"s{i}" for i in range(20))   # exact 20-word window
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    tail = " ".join(f"b{i}" for i in range(7))      # short tail chunk
+    rows = [
+        {"doc_id": 1, "text": f"{shared} {uniq_a}"},
+        {"doc_id": 2, "text": f"{shared}  {tail}"},  # double space normalizes
+        {"doc_id": 3, "text": tail},                 # repeats doc 2's tail
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (chunk_dedup(rd.from_arrow(pa.Table.from_pylist(rows)),
+                       words_per_chunk=20, min_count=2)
+           .to_pandas().set_index("doc_id"))
+    # shared window (docs 1,2) and tail chunk (docs 2,3) stripped
+    # everywhere; unique window survives; whitespace normalized
+    assert out.loc[1, "text_dedup"] == uniq_a
+    assert out.loc[2, "text_dedup"] == ""
+    assert out.loc[3, "text_dedup"] == ""
+    assert out.loc[4, "text_dedup"] == ""
+    assert out.loc[1, "n_chunks"] == 2 and out.loc[1, "n_dropped"] == 1
+    assert out.loc[2, "n_chunks"] == 2 and out.loc[2, "n_dropped"] == 2
+    assert out.loc[4, "n_chunks"] == 0 and out.loc[4, "n_dropped"] == 0
+
+
+def test_chunk_dedup_no_dups_is_identity():
+    from textgraphs_ray.stages.dedup import chunk_dedup
+
+    rows = [{"doc_id": i, "text": " ".join(f"u{i}x{j}" for j in range(33))}
+            for i in range(5)]
+    out = (chunk_dedup(rd.from_arrow(pa.Table.from_pylist(rows)))
+           .to_pandas().set_index("doc_id"))
+    for i in range(5):
+        assert out.loc[i, "text_dedup"] == rows[i]["text"]
+        assert out.loc[i, "n_dropped"] == 0
+
+
 def test_kuzu_export_roundtrip(tmp_path, small_corpus):
     import ray.data as rdm
 

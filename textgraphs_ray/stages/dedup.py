@@ -331,3 +331,95 @@ def embedding_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
     verified = candidates.map_batches(verify, batch_format="pyarrow",
                                       batch_size=4096)
     return _pairs_to_clusters(ds, verified, id_col=id_col)
+
+
+def chunk_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
+                id_col: str = "doc_id", words_per_chunk: int = 20,
+                min_count: int = 2,
+                concurrency=None) -> "ray.data.Dataset":
+    """Corpus-wide duplicated-span removal → (doc_id, text_dedup,
+    n_chunks, n_dropped).
+
+    The line/paragraph dedup step of web-corpus curation (RefinedWeb /
+    CCNet drop every line that repeats across the corpus), generalized
+    to deterministic word windows so it applies to unsegmented text:
+    each document is cut into consecutive ``words_per_chunk``-word
+    chunks (last chunk may be short), every occurrence of any chunk
+    whose corpus-wide frequency is ≥ ``min_count`` is stripped, and
+    the surviving chunks are reassembled in order (whitespace
+    normalized to single spaces — same canonical form both passes use).
+
+    Two streaming passes, no joins:
+
+    1. count — per-batch ``np.unique`` combiner emits (chunk_hash,
+       partial_count); one groupby-sum; only hashes with count ≥
+       ``min_count`` survive.  That set is bounded by the number of
+       DISTINCT duplicated chunks (dup-rate-bounded, like curate's
+       loser sets) and is broadcast once via ``ray.put``.  At 10^12
+       docs hash-partition both sides on chunk_hash and anti-join
+       instead (the ``cluster._shuffle_join`` pattern).
+    2. strip — re-chunk each doc (cheap, vectorized hash), drop
+       chunks whose hash is in the broadcast set, reassemble.
+
+    Chunk identity is the 64-bit content hash (``sketch.hash64``), so
+    the shuffle moves 8-byte keys, never chunk text.
+    """
+    from ..functions.sketch import hash64
+
+    w = words_per_chunk
+
+    def _chunks_of(texts: list) -> tuple[list, np.ndarray]:
+        """All chunk strings of a batch + per-doc chunk counts."""
+        flat: list = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = (t or "").split()
+            cs = [" ".join(words[j: j + w])
+                  for j in range(0, len(words), w)]
+            counts[i] = len(cs)
+            flat.extend(cs)
+        return flat, counts
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _chunks_of(batch.column(text_col).to_pylist())
+        # int64 bit-view: uint64 values ≥ 2^63 don't survive Ray's
+        # aggregate block re-batching (Arrow int64 overflow → pickled
+        # fallback); equality is all that matters here.
+        h = hash64(flat).view(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("n", alias_name="count")))
+    dup_rows = counts.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t.column("count"), min_count))
+        .select(["h"]),
+        batch_format="pyarrow").take_all()
+    dup = np.sort(np.array([r["h"] for r in dup_rows], dtype=np.int64))
+    dup_ref = ray.put(dup)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        dup_set = ray.get(dup_ref)
+        texts = batch.column(text_col).to_pylist()
+        flat, n_chunks = _chunks_of(texts)
+        h = hash64(flat).view(np.int64)
+        is_dup = (np.zeros(len(flat), dtype=bool) if not dup_set.size
+                  else np.isin(h, dup_set))
+        bounds = np.concatenate(([0], np.cumsum(n_chunks)))
+        out_text, n_dropped = [], np.zeros(len(texts), dtype=np.int64)
+        for i in range(len(texts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            keep = [flat[j] for j in range(lo, hi) if not is_dup[j]]
+            n_dropped[i] = (hi - lo) - len(keep)
+            out_text.append(" ".join(keep))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_dedup": pa.array(out_text, pa.string()),
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "n_dropped": pa.array(n_dropped, pa.int64()),
+        })
+
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(strip, batch_format="pyarrow", **kwargs)
