@@ -44,7 +44,6 @@ import os
 import shutil
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -54,26 +53,34 @@ from ..stages.cluster import propagate_labels
 from ..stages.scoring import score_pairs
 from .er import extract_spans, mentions_from_spans
 
-_MENTIONS = "mentions.parquet"
-_MATCHES = "matches.parquet"
+_MENTIONS = "mentions"
+_MATCHES = "matches"
 
 
-def _load_state(state_dir: str) -> tuple[pa.Table | None, pa.Table | None]:
+def _load_state(state_dir: str):
+    """→ (mentions Dataset | None, matches Dataset | None).
+
+    State is a parquet DIRECTORY per table (written shard-parallel by
+    ``Dataset.write_parquet``); single-file legacy layouts read the
+    same way since ``read_parquet`` accepts either."""
     mp = os.path.join(state_dir, _MENTIONS)
     xp = os.path.join(state_dir, _MATCHES)
     if not (os.path.exists(mp) and os.path.exists(xp)):
         return None, None
-    return pq.read_table(mp), pq.read_table(xp)
+    return ray.data.read_parquet(mp), ray.data.read_parquet(xp)
 
 
-def _write_state(state_dir: str, mentions: pa.Table,
-                 matches: pa.Table) -> None:
-    """Atomic state update: write to a sibling tmp dir, swap."""
+def _write_state(state_dir: str, mentions: "ray.data.Dataset",
+                 matches: "ray.data.Dataset") -> None:
+    """Atomic state update: stream both tables to a sibling tmp dir
+    (sharded parquet — never a driver-side collect; mentions is the
+    full distinct-surface-form table and only ever exists as blocks),
+    then swap directories."""
     tmp = state_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(mentions, os.path.join(tmp, _MENTIONS))
-    pq.write_table(matches, os.path.join(tmp, _MATCHES))
+    mentions.write_parquet(os.path.join(tmp, _MENTIONS))
+    matches.write_parquet(os.path.join(tmp, _MATCHES))
     old = state_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(state_dir):
@@ -112,7 +119,7 @@ def resolve_entities_incremental(delta_docs: "ray.data.Dataset",
         from ray.data.aggregate import Min, Sum
 
         all_mentions = (delta_mentions
-                        .union(ray.data.from_arrow(prior_mentions))
+                        .union(prior_mentions)
                         .groupby("key")
                         .aggregate(Min("text", alias_name="text"),
                                    Min("media_ref", alias_name="media_ref"),
@@ -131,7 +138,7 @@ def resolve_entities_incremental(delta_docs: "ray.data.Dataset",
             hit = pc.is_in(t.column("key"), value_set=ray.get(dk_ref))
             return pa.table({"key": t.column("key").filter(hit)})
 
-        seen = {r["key"] for r in ray.data.from_arrow(prior_mentions)
+        seen = {r["key"] for r in prior_mentions
                 .map_batches(overlap, batch_format="pyarrow").take_all()}
         new_keys = delta_keys - seen
 
@@ -153,23 +160,20 @@ def resolve_entities_incremental(delta_docs: "ray.data.Dataset",
     new_matches = score_pairs(fresh_pairs,
                               concurrency=concurrency).materialize()
 
-    if prior_matches is not None and prior_matches.num_rows:
-        closure_edges = new_matches.union(
-            ray.data.from_arrow(prior_matches))
+    if prior_matches is not None and prior_matches.count():
+        closure_edges = new_matches.union(prior_matches)
     else:
         closure_edges = new_matches
 
     clusters = propagate_labels(all_mentions, closure_edges,
                                 num_partitions=num_partitions)
 
-    # persist updated state (distinct match edges keep state bounded)
+    # persist updated state (distinct match edges keep state bounded);
+    # both tables stream shard-parallel to parquet — no driver collect
     from ..stages.scoring import dedup_matches
 
-    matches_t = pa.Table.from_pandas(
-        dedup_matches(closure_edges).to_pandas(), preserve_index=False)
-    mentions_t = pa.Table.from_pandas(all_mentions.to_pandas(),
-                                      preserve_index=False)
-    _write_state(state_dir, mentions_t, matches_t)
+    _write_state(state_dir, all_mentions,
+                 dedup_matches(closure_edges).materialize())
 
     return {
         "clusters": clusters,

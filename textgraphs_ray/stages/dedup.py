@@ -117,7 +117,8 @@ def _pairs_to_clusters(ids_ds, verified_pairs: "ray.data.Dataset",
 
 
 def _banded_candidates(ds, bander, concurrency,
-                       dedup_pairs: bool = False) -> "ray.data.Dataset":
+                       dedup_pairs: bool = False,
+                       mask_fn=None) -> "ray.data.Dataset":
     """Banded rows → candidate pair stream.
 
     ``dedup_pairs=False`` skips the pair-key sort shuffle: a pair
@@ -127,6 +128,14 @@ def _banded_candidates(ds, bander, concurrency,
     is per-pair Python (exact shingle Jaccard) so each distinct pair is
     verified exactly once.  Connected components are duplicate-edge
     insensitive either way.
+
+    ``mask_fn(payload_a, payload_b) -> bool mask`` fuses verification
+    INTO the pair-generation group task: candidate pairs carry two
+    full payloads each (a 64-perm signature is 512 B, an embedding
+    more), so emitting then re-reading the raw pair stream costs
+    ~1 KB × pairs of object-store traffic; verifying in place emits
+    only the accepted (id_a, id_b) rows — the payload never leaves
+    the task that built the pair.
 
     ``bander`` may be a callable instance (stateless → task-based map,
     ``concurrency=None``; no actor-pool ramp-up) or a class (stateful →
@@ -145,9 +154,22 @@ def _banded_candidates(ds, bander, concurrency,
             pa.int32())
         return t.append_column("part", part)
 
-    pairs = (banded.map_batches(add_part, batch_format="pyarrow")
-             .groupby("part")
-             .map_groups(_bucket_pairs_partition, batch_format="pandas"))
+    parted = banded.map_batches(add_part, batch_format="pyarrow")
+
+    if mask_fn is not None and not dedup_pairs:
+        def gen_and_verify(g: pd.DataFrame) -> pd.DataFrame:
+            pairs_df = _bucket_pairs_partition(g)
+            if not len(pairs_df):
+                return pairs_df[["id_a", "id_b"]]
+            m = mask_fn(pairs_df["payload_a"].to_numpy(),
+                        pairs_df["payload_b"].to_numpy())
+            return pairs_df.loc[m, ["id_a", "id_b"]]
+
+        return parted.groupby("part").map_groups(gen_and_verify,
+                                                 batch_format="pandas")
+
+    pairs = parted.groupby("part").map_groups(_bucket_pairs_partition,
+                                              batch_format="pandas")
     return _dedup_pairs(pairs) if dedup_pairs else pairs
 
 
@@ -181,19 +203,13 @@ def minhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                     np.asarray(sig_bytes, object), bands), pa.binary()),
             })
 
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        sa = np.stack([np.frombuffer(b, dtype=np.uint64)
-                       for b in t.column("payload_a").to_pylist()])
-        sb = np.stack([np.frombuffer(b, dtype=np.uint64)
-                       for b in t.column("payload_b").to_pylist()])
-        est = (sa == sb).mean(axis=1)
-        return t.filter(pa.array(est >= jaccard_threshold))
+    def sig_mask(pa_buf: np.ndarray, pb_buf: np.ndarray) -> np.ndarray:
+        sa = np.stack([np.frombuffer(b, dtype=np.uint64) for b in pa_buf])
+        sb = np.stack([np.frombuffer(b, dtype=np.uint64) for b in pb_buf])
+        return (sa == sb).mean(axis=1) >= jaccard_threshold
 
-    candidates = _banded_candidates(ds, Bander(), concurrency)
-    verified = candidates.map_batches(verify, batch_format="pyarrow",
-                                      batch_size=8192)
+    verified = _banded_candidates(ds, Bander(), concurrency,
+                                  mask_fn=sig_mask)
     return _pairs_to_clusters(ds, verified, id_col=id_col)
 
 
@@ -220,15 +236,12 @@ def simhash_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                                     pa.uint64()),
             })
 
-    def verify(t: pa.Table) -> pa.Table:
-        ham = hamming64(
-            np.asarray(t.column("payload_a").to_pylist(), dtype=np.uint64),
-            np.asarray(t.column("payload_b").to_pylist(), dtype=np.uint64))
-        return t.filter(pa.array(ham <= max_hamming))
+    def ham_mask(pa_buf: np.ndarray, pb_buf: np.ndarray) -> np.ndarray:
+        ham = hamming64(pa_buf.astype(np.uint64), pb_buf.astype(np.uint64))
+        return ham <= max_hamming
 
-    candidates = _banded_candidates(ds, Bander(), concurrency)
-    verified = candidates.map_batches(verify, batch_format="pyarrow",
-                                      batch_size=8192)
+    verified = _banded_candidates(ds, Bander(), concurrency,
+                                  mask_fn=ham_mask)
     return _pairs_to_clusters(ds, verified, id_col=id_col)
 
 
@@ -317,19 +330,13 @@ def embedding_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
                     np.asarray(payload, object), bands), pa.binary()),
             })
 
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        ea = np.stack([np.frombuffer(b, dtype=np.float32)
-                       for b in t.column("payload_a").to_pylist()])
-        eb = np.stack([np.frombuffer(b, dtype=np.float32)
-                       for b in t.column("payload_b").to_pylist()])
-        cos = cosine_batch(ea, eb)
-        return t.filter(pa.array(cos >= cosine_threshold))
+    def cos_mask(pa_buf: np.ndarray, pb_buf: np.ndarray) -> np.ndarray:
+        ea = np.stack([np.frombuffer(b, dtype=np.float32) for b in pa_buf])
+        eb = np.stack([np.frombuffer(b, dtype=np.float32) for b in pb_buf])
+        return cosine_batch(ea, eb) >= cosine_threshold
 
-    candidates = _banded_candidates(ds, Bander, concurrency)
-    verified = candidates.map_batches(verify, batch_format="pyarrow",
-                                      batch_size=4096)
+    verified = _banded_candidates(ds, Bander, concurrency,
+                                  mask_fn=cos_mask)
     return _pairs_to_clusters(ds, verified, id_col=id_col)
 
 
