@@ -1008,6 +1008,28 @@ def _q_curate_oracle(sf_dir: str):
     return res["docs"].select_columns(["doc_id"])
 
 
+def _q_hist_quantile(sf_dir: str):
+    """Grouped histogram-sketch quantiles (functions/histq.py): fixed
+    1024-bin mergeable state per group — the 10^12-row scale path for
+    quantiles where the exact per-group sort (`p90_agg`) can't hold a
+    group.  Deterministic binning ⇒ SQL reproduces the estimate
+    EXACTLY (same floor-bin + rank rule), so this sketch is
+    value-hash-checked, not tolerance-checked."""
+    from textgraphs_ray.functions.histq import hist_quantile_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = ds.groupby("l_returnflag").aggregate(
+        hist_quantile_agg("l_extendedprice", q=0.5, lo=900.0, hi=105000.0,
+                          alias_name="p50_hist"),
+        hist_quantile_agg("l_extendedprice", q=0.9, lo=900.0, hi=105000.0,
+                          alias_name="p90_hist"))
+    # no rounding: bin edges are dyadic rationals (width = 104100/1024),
+    # exactly representable in IEEE double on both sides — rounding
+    # would only reintroduce half-even-vs-half-up divergence
+    return out
+
+
 def _q_hll_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users per event type: constant
     2^12 bytes of state per group vs a full value shuffle for the exact
@@ -1337,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         "curate_oracle": _q_curate_oracle,
         "hll_distinct": _q_hll_distinct,
+        "hist_quantile": _q_hist_quantile,
         "bottomk_sample": _q_bottomk_sample,
         "media_dedup": _q_media_dedup,
         "repetition": _q_repetition,
@@ -1757,6 +1780,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    string_agg(u, ',' ORDER BY md5(u), u) AS sample_users
             FROM r WHERE rn <= 5 GROUP BY event_type
+        """,
+        "hist_quantile": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     least(greatest(CAST(floor(
+                         (l_extendedprice - 900.0) / (105000.0 - 900.0)
+                         * 1024) AS BIGINT), 0), 1023) AS bin
+              FROM lineitem
+            ), c AS (
+              SELECT l_returnflag, bin, count(*) AS n
+              FROM b GROUP BY l_returnflag, bin
+            ), cum AS (
+              SELECT l_returnflag, bin,
+                     sum(n) OVER (PARTITION BY l_returnflag
+                                  ORDER BY bin) AS cumn,
+                     sum(n) OVER (PARTITION BY l_returnflag) AS total
+              FROM c
+            ), pick AS (
+              SELECT l_returnflag,
+                     min(CASE WHEN cumn >= greatest(ceil(0.5 * total), 1)
+                              THEN bin END) AS b50,
+                     min(CASE WHEN cumn >= greatest(ceil(0.9 * total), 1)
+                              THEN bin END) AS b90
+              FROM cum GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   900.0 + b50 * ((105000.0 - 900.0) / 1024) AS p50_hist,
+                   900.0 + b90 * ((105000.0 - 900.0) / 1024) AS p90_hist
+            FROM pick
         """,
         "chunk_dedup": """
             WITH ws AS (

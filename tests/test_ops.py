@@ -769,3 +769,38 @@ def test_salted_aggregate_equals_plain():
     assert (salted["v"] == plain["v"]).all()
     assert (salted["n"] == plain["n"]).all()
     assert salted.loc["hot", "n"] == 5000
+
+
+def test_hist_quantile_block_invariance_and_accuracy():
+    """Sketch result is identical under any block layout (mergeable
+    state) and within one bin width of the exact quantile."""
+    from textgraphs_ray.functions.histq import hist_quantile_agg
+
+    rng = np.random.RandomState(3)
+    vals = rng.uniform(0.0, 100.0, size=4000)
+    t = pa.table({"g": pa.array(["a"] * 2000 + ["b"] * 2000),
+                  "v": pa.array(vals)})
+    width = 100.0 / 256
+    results = []
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = (ds.groupby("g").aggregate(
+            hist_quantile_agg("v", q=0.9, lo=0.0, hi=100.0, nbins=256,
+                              alias_name="p90"))
+            .to_pandas().sort_values("g").reset_index(drop=True))
+        results.append(out)
+    assert results[0].equals(results[1])
+    for g, part in (("a", vals[:2000]), ("b", vals[2000:])):
+        est = results[0].set_index("g").loc[g, "p90"]
+        assert abs(est - np.quantile(part, 0.9)) <= width + 1e-9
+
+
+def test_hist_quantile_empty_and_clamp():
+    from textgraphs_ray.functions.histq import hist_quantile_agg
+
+    # out-of-range values clamp into the edge bins instead of crashing
+    t = pa.table({"g": ["x", "x", "x"], "v": [-5.0, 50.0, 500.0]})
+    out = (rd.from_arrow(t).groupby("g").aggregate(
+        hist_quantile_agg("v", q=0.5, lo=0.0, hi=100.0, nbins=10,
+                          alias_name="p50")).to_pandas())
+    assert out.loc[0, "p50"] == 50.0
