@@ -1138,6 +1138,17 @@ def _q_det_sample(sf_dir: str):
     return ds.map_batches(samp, batch_format="pyarrow")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic n-per-group (balanced mixture) sample
+    (stages/sampling.py stratified_sample): cap every source at 10
+    docs by smallest md5(doc_id) — combiner bounds the shuffle to
+    n rows per group per batch; SQL replays the exact selection."""
+    from textgraphs_ray.stages.sampling import stratified_sample
+
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+    return stratified_sample(docs, group_col="source", n=10)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination (stages/decontam.py): docs from
     source 'src0' act as the held-out benchmark; every other document is
@@ -1360,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_oracle": _q_curate_oracle,
         "hll_distinct": _q_hll_distinct,
         "hist_quantile": _q_hist_quantile,
+        "stratified_sample": _q_stratified_sample,
         "bottomk_sample": _q_bottomk_sample,
         "media_dedup": _q_media_dedup,
         "repetition": _q_repetition,
@@ -1780,6 +1792,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    string_agg(u, ',' ORDER BY md5(u), u) AS sample_users
             FROM r WHERE rn <= 5 GROUP BY event_type
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10
         """,
         "hist_quantile": """
             WITH b AS (

@@ -804,3 +804,29 @@ def test_hist_quantile_empty_and_clamp():
         hist_quantile_agg("v", q=0.5, lo=0.0, hi=100.0, nbins=10,
                           alias_name="p50")).to_pandas())
     assert out.loc[0, "p50"] == 50.0
+
+
+def test_stratified_sample_deterministic_and_balanced():
+    from textgraphs_ray.stages.sampling import stratified_sample
+
+    rows = ([{"doc_id": f"a{i}", "source": "big"} for i in range(50)]
+            + [{"doc_id": f"b{i}", "source": "tiny"} for i in range(3)])
+    t = pa.Table.from_pylist(rows)
+    results = []
+    for nblocks in (1, 9):
+        out = (stratified_sample(rd.from_arrow(t).repartition(nblocks),
+                                 group_col="source", n=5)
+               .to_pandas().sort_values(["source", "doc_id"])
+               .reset_index(drop=True))
+        results.append(out)
+    # block-layout invariant, caps the big stratum, keeps all of the
+    # small one
+    assert results[0].equals(results[1])
+    counts = results[0].groupby("source").size()
+    assert counts["big"] == 5 and counts["tiny"] == 3
+    # matches the md5-order oracle
+    import hashlib
+    want = sorted((hashlib.md5(f"a{i}".encode()).hexdigest(), f"a{i}")
+                  for i in range(50))[:5]
+    assert set(results[0][results[0]["source"] == "big"]["doc_id"]) == \
+        {d for _, d in want}

@@ -53,3 +53,46 @@ def importance_sample(ds: "ray.data.Dataset", *, prob_col: str,
         return t.filter(pa.array(u < p))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds: "ray.data.Dataset", *, group_col: str,
+                      n: int, id_col: str = "doc_id",
+                      columns: list | None = None) -> "ray.data.Dataset":
+    """Deterministic n-per-group sample → the ``n`` rows of each group
+    with the smallest ``md5(id)`` digest (uniform without replacement,
+    identical for any block layout / cluster size / rerun).
+
+    The balanced-mixture counterpart of :func:`importance_sample`
+    (fixed COUNT per stratum vs fixed per-row probability): cap every
+    source/domain/language at ``n`` documents for a training mixture.
+
+    Physical plan: a per-batch combiner keeps each batch's n smallest
+    digests per group — the shuffle then moves at most ``n`` rows per
+    group per batch, never the full stratum — followed by one groupby
+    whose reducer re-selects the global bottom-n (bottom-k merges are
+    associative, same law as ``functions/bottomk``).  SQL replays the
+    exact sample: ``row_number() OVER (PARTITION BY g ORDER BY
+    md5(id), id) <= n``.
+    """
+    import pandas as pd
+
+    keep_cols = columns or [group_col, id_col]
+
+    def _prioritize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pri"] = [hashlib.md5(str(k).encode()).hexdigest()
+                      for k in df[id_col]]
+        return df
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = _prioritize(t.select(keep_cols).to_pandas())
+        return (df.sort_values([group_col, "_pri", id_col], kind="stable")
+                .groupby(group_col, sort=False).head(n))
+
+    def reduce_grp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_pri", id_col], kind="stable").head(n)
+        return g[keep_cols].reset_index(drop=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(reduce_grp, batch_format="pandas"))
