@@ -1149,6 +1149,19 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs, group_col="source", n=10)
 
 
+def _q_interleave(sf_dir: str):
+    """Weighted deterministic source interleave (stages/pack.py
+    interleave_sources): emit a 3:2:1 src0/src1/src2 training stream,
+    truncated at the last round every source can fill; SQL replays the
+    rank + position arithmetic exactly."""
+    from textgraphs_ray.stages.pack import interleave_sources
+
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+    return interleave_sources(
+        docs, weights={"src0": 3, "src1": 2, "src2": 1},
+        stop="first_exhausted")
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination (stages/decontam.py): docs from
     source 'src0' act as the held-out benchmark; every other document is
@@ -1372,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "hist_quantile": _q_hist_quantile,
         "stratified_sample": _q_stratified_sample,
+        "interleave": _q_interleave,
         "bottomk_sample": _q_bottomk_sample,
         "media_dedup": _q_media_dedup,
         "repetition": _q_repetition,
@@ -1792,6 +1806,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    string_agg(u, ',' ORDER BY md5(u), u) AS sample_users
             FROM r WHERE rn <= 5 GROUP BY event_type
+        """,
+        "interleave": """
+            WITH ranked AS (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS r,
+                     CASE source WHEN 'src0' THEN 3
+                                 WHEN 'src1' THEN 2 ELSE 1 END AS w,
+                     CASE source WHEN 'src0' THEN 0
+                                 WHEN 'src1' THEN 3 ELSE 5 END AS off
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+            ), lim AS (
+              SELECT min(cnt // w) * 6 AS cutoff
+              FROM (SELECT source, count(*) AS cnt, any_value(w) AS w
+                    FROM ranked GROUP BY source)
+            )
+            SELECT doc_id, source, (r // w) * 6 + off + (r % w) AS pos
+            FROM ranked CROSS JOIN lim
+            WHERE (r // w) * 6 + off + (r % w) < cutoff
         """,
         "stratified_sample": """
             SELECT source, doc_id FROM (

@@ -830,3 +830,34 @@ def test_stratified_sample_deterministic_and_balanced():
                   for i in range(50))[:5]
     assert set(results[0][results[0]["source"] == "big"]["doc_id"]) == \
         {d for _, d in want}
+
+
+def test_interleave_sources_ratio_and_determinism():
+    from textgraphs_ray.stages.pack import interleave_sources
+
+    rows = ([{"doc_id": f"w{i}", "source": "web"} for i in range(30)]
+            + [{"doc_id": f"b{i}", "source": "book"} for i in range(10)]
+            + [{"doc_id": f"x{i}", "source": "junk"} for i in range(5)])
+    t = pa.Table.from_pylist(rows)
+    outs = []
+    for nblocks in (1, 6):
+        out = (interleave_sources(
+            rd.from_arrow(t).repartition(nblocks),
+            weights={"web": 3, "book": 1}, stop="first_exhausted")
+            .to_pandas().sort_values("pos").reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    # positions are dense 0..n-1; unlisted source dropped
+    assert list(out["pos"]) == list(range(len(out)))
+    assert set(out["source"]) == {"web", "book"}
+    # every complete round of 4 holds exactly 3 web + 1 book
+    rounds = min(30 // 3, 10 // 1)
+    assert len(out) == rounds * 4
+    for r in range(rounds):
+        window = out.iloc[r * 4:(r + 1) * 4]["source"]
+        assert (window == "web").sum() == 3 and (window == "book").sum() == 1
+    # all_exhausted keeps every weighted row
+    full = interleave_sources(rd.from_arrow(t), weights={"web": 3, "book": 1},
+                              stop="all_exhausted").to_pandas()
+    assert len(full) == 40

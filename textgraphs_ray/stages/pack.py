@@ -97,3 +97,67 @@ def shard_assign(ds: "ray.data.Dataset", *, n_shards: int = 16,
         return t.append_column("shard", pa.array(shard, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def interleave_sources(ds: "ray.data.Dataset", *, weights: dict,
+                       source_col: str = "source",
+                       id_col: str = "doc_id",
+                       stop: str = "all_exhausted") -> "ray.data.Dataset":
+    """Deterministic weighted interleave of per-source streams into one
+    global training order → rows + ``pos`` (0-based position in the
+    interleaved stream).
+
+    The mixture-shaping step of a pretraining pipeline: emit rows in
+    rounds, each round taking ``weights[s]`` rows from every source
+    ``s`` (sources cycled in sorted-name order), rows within a source
+    ordered by ``md5(id)`` — so a 7:2:1 web/books/code ratio holds in
+    every window of the stream, reproducibly across reruns, block
+    layouts and cluster sizes.
+
+    ``stop="first_exhausted"`` truncates the stream at the last
+    complete schedule round every source can fill (the
+    HuggingFace-interleave convention); ``"all_exhausted"`` keeps all
+    rows (later rounds thin out as sources drain).
+
+    Physical plan: one groupby(``source_col``) ranks each source's rows
+    by digest in a single vectorized reducer (a group must fit a
+    worker — at 10^12 rows rank via sort + per-partition offsets
+    instead); position arithmetic is then a pure per-row map:
+    ``pos = (r // w) * W + offset(s) + r % w`` with ``W = Σ weights``,
+    ``offset(s)`` the weight-prefix-sum of sources before ``s``.  SQL
+    replays the exact order with one window rank + the same formula.
+    """
+    srcs = sorted(weights)
+    W = sum(weights[s] for s in srcs)
+    offs, acc = {}, 0
+    for s in srcs:
+        offs[s] = acc
+        acc += weights[s]
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[source_col].iloc[0]
+        if s not in weights:
+            return g.iloc[0:0].assign(pos=pd.Series([], dtype="int64"))
+        g = g.copy()
+        g["_pri"] = [hashlib.md5(str(k).encode()).hexdigest()
+                     for k in g[id_col]]
+        g = g.sort_values(["_pri", id_col], kind="stable")
+        r = np.arange(len(g), dtype=np.int64)
+        w = weights[s]
+        g["pos"] = (r // w) * W + offs[s] + r % w
+        return g.drop(columns="_pri")
+
+    out = ds.groupby(source_col).map_groups(rank_group,
+                                            batch_format="pandas")
+    if stop == "first_exhausted":
+        counts = {r[source_col]: r["count()"] for r in
+                  ds.groupby(source_col).count().take_all()}
+        rounds = min(counts.get(s, 0) // weights[s] for s in srcs)
+        cutoff = rounds * W
+
+        def trunc(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.less(t.column("pos"), cutoff))
+
+        out = out.map_batches(trunc, batch_format="pyarrow")
+    return out
