@@ -102,6 +102,15 @@ def main() -> None:
     er_prec, er_rec, er_f1 = er_f1_against_truth(
         ent_spans, res["clusters"].to_pandas(), truth_df)
 
+    # release the ER chain's materialized datasets before the secondary
+    # pipelines: the spans/mentions/clusters blocks otherwise stay
+    # pinned in the object store for the rest of the run and push the
+    # later dedup shuffles into spill territory
+    del res, ent_spans, truth_df, docs_ds
+    import gc
+
+    gc.collect()
+
     # secondary pipelines over driver testdata
     t0 = time.perf_counter()
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
