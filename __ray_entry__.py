@@ -653,6 +653,19 @@ def _q_chunk_dedup(sf_dir: str):
     return chunk_dedup(ds, words_per_chunk=20, min_count=2)
 
 
+def _q_substring_dedup(sf_dir: str):
+    """ExactSubstr-style repeated-substring removal (stages/dedup.py
+    substring_dedup): every word 10-gram occurring ≥2 times corpus-wide
+    marks its tokens covered in ALL occurrences; maximal uncovered runs
+    are reassembled — repeated spans of any length ≥10 are removed in
+    full (Lee et al. suffix-array semantics, stride-1 rolling-hash
+    plan).  SQL replays window grouping + coverage exactly."""
+    from textgraphs_ray.stages.dedup import substring_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return substring_dedup(ds, window=10, min_count=2)
+
+
 def _q_kuzu_export(sf_dir: str):
     """S7: graph-DB CSV export projection (nodes.csv/edges.csv rows)."""
     from textgraphs_ray.corpus import generate
@@ -1355,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_oracle": _q_dedup_jaccard_oracle,
         "chunk_dedup": _q_chunk_dedup,
+        "substring_dedup": _q_substring_dedup,
         "kuzu_export": _q_kuzu_export,
         "nodelink_roundtrip": _q_nodelink_roundtrip,
         "communities": _q_communities,
@@ -1895,6 +1909,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.n_chunks, 0) AS n_chunks,
                    coalesce(k.n_dropped, 0) AS n_dropped
             FROM documents doc LEFT JOIN k USING (doc_id)
+        """,
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(w) AS word,
+                     unnest(range(1, len(w) + 1)) AS pos
+              FROM toks
+            ), win AS (
+              SELECT doc_id, i, array_to_string(w[i:i+9], ' ') AS g
+              FROM toks, unnest(generate_series(1, len(w) - 9)) AS t(i)
+              WHERE len(w) >= 10
+            ), dup AS (
+              SELECT g FROM win GROUP BY g HAVING count(*) >= 2
+            ), cov AS (
+              SELECT DISTINCT win.doc_id, t.pos
+              FROM win JOIN dup USING (g),
+                   unnest(generate_series(win.i, win.i + 9)) AS t(pos)
+            ), res AS (
+              SELECT words.doc_id,
+                     coalesce(string_agg(words.word, ' '
+                                         ORDER BY words.pos)
+                              FILTER (WHERE cov.pos IS NULL),
+                              '') AS text_dedup,
+                     count(*) AS n_tokens,
+                     count(cov.pos) AS n_removed
+              FROM words LEFT JOIN cov
+                ON words.doc_id = cov.doc_id AND words.pos = cov.pos
+              GROUP BY words.doc_id
+            )
+            SELECT d.doc_id, coalesce(res.text_dedup, '') AS text_dedup,
+                   coalesce(res.n_tokens, 0) AS n_tokens,
+                   coalesce(res.n_removed, 0) AS n_removed
+            FROM documents d LEFT JOIN res USING (doc_id)
         """,
         "dedup_jaccard_oracle": """
             WITH n AS (

@@ -861,3 +861,41 @@ def test_interleave_sources_ratio_and_determinism():
     full = interleave_sources(rd.from_arrow(t), weights={"web": 3, "book": 1},
                               stop="all_exhausted").to_pandas()
     assert len(full) == 40
+
+
+def test_substring_dedup_removes_shared_spans_any_offset():
+    from textgraphs_ray.stages.dedup import substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(12))   # 12-token shared span
+    pre = " ".join(f"p{i}" for i in range(5))     # different offsets
+    ua = " ".join(f"a{i}" for i in range(11))
+    ub = " ".join(f"b{i}" for i in range(9))   # < window: never a gram
+    rows = [
+        {"doc_id": 1, "text": f"{span} {ua}"},
+        {"doc_id": 2, "text": f"{pre} {span} {ub}"},  # span at offset 5
+        {"doc_id": 3, "text": ub},                    # < window, repeated
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (substring_dedup(rd.from_arrow(pa.Table.from_pylist(rows)),
+                           window=10, min_count=2)
+           .to_pandas().set_index("doc_id"))
+    # the 12-token span is stripped from BOTH docs despite different
+    # offsets (chunk_dedup's aligned windows would miss doc 2)
+    assert out.loc[1, "text_dedup"] == ua
+    assert out.loc[2, "text_dedup"] == f"{pre} {ub}"
+    assert out.loc[1, "n_removed"] == 12 and out.loc[2, "n_removed"] == 12
+    # repeats shorter than the window survive (doc 3 == doc 2 tail)
+    assert out.loc[3, "text_dedup"] == ub
+    assert out.loc[4, "n_tokens"] == 0
+
+
+def test_substring_dedup_unique_corpus_identity():
+    from textgraphs_ray.stages.dedup import substring_dedup
+
+    rows = [{"doc_id": i, "text": " ".join(f"u{i}x{j}" for j in range(25))}
+            for i in range(4)]
+    out = (substring_dedup(rd.from_arrow(pa.Table.from_pylist(rows)))
+           .to_pandas().set_index("doc_id"))
+    for i in range(4):
+        assert out.loc[i, "text_dedup"] == rows[i]["text"]
+        assert out.loc[i, "n_removed"] == 0

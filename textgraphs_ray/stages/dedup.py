@@ -430,3 +430,90 @@ def chunk_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(strip, batch_format="pyarrow", **kwargs)
+
+
+def substring_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 10,
+                    min_count: int = 2,
+                    concurrency=None) -> "ray.data.Dataset":
+    """ExactSubstr-style repeated-substring removal → (doc_id,
+    text_dedup, n_tokens, n_removed).
+
+    The token-level counterpart of Lee et al.'s suffix-array substring
+    dedup, approximated with stride-1 rolling windows: every word
+    ``window``-gram occurring ≥ ``min_count`` times corpus-wide marks
+    ALL tokens of ALL its occurrences as covered; maximal uncovered
+    runs are reassembled in order.  A duplicated span of L ≥ window
+    tokens yields L−window+1 duplicated windows whose coverage is
+    exactly the span — so repeated spans of any length ≥ ``window``
+    are removed in full, the same guarantee the suffix array gives,
+    without a global sort.  Unlike :func:`chunk_dedup` (aligned
+    non-overlapping windows) this catches repeats at ANY offset.
+
+    Same two-pass streaming shape as :func:`chunk_dedup`: a per-batch
+    ``np.unique`` combiner feeds one groupby-sum; duplicated window
+    hashes broadcast once (dup-rate-bounded; at 10^12 docs
+    hash-partition + anti-join instead); the strip pass recomputes
+    window hashes (vectorized polynomial over the flat token-hash
+    stream, ``decontam._gram_hashes_flat``) and marks coverage with a
+    difference array — one cumsum for the whole batch.
+    """
+    from .decontam import _WS, _gram_hashes_flat
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        gh, _ = _gram_hashes_flat(batch.column(text_col).to_pylist(),
+                                  window)
+        uniq, cnt = np.unique(gh.view(np.int64), return_counts=True)
+        return pa.table({"h": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("n", alias_name="count")))
+    dup_rows = counts.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t.column("count"), min_count))
+        .select(["h"]),
+        batch_format="pyarrow").take_all()
+    dup = np.sort(np.array([r["h"] for r in dup_rows], dtype=np.int64))
+    dup_ref = ray.put(dup)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        dup_set = ray.get(dup_ref)
+        texts = batch.column(text_col).to_pylist()
+        words_per_doc = [_WS.split(t.strip()) if t else [] for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), np.int64,
+                           count=len(texts))
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        total = int(bounds[-1])
+        gh, doc_idx = _gram_hashes_flat(texts, window)
+        # window start positions in the FLAT token stream: valid
+        # windows of doc d are the first len_d-window+1 flat positions
+        # of d, in order — recover them from the per-doc window counts
+        delta = np.zeros(total + 1, dtype=np.int64)
+        if len(gh) and dup_set.size:
+            is_dup = np.isin(gh.view(np.int64), dup_set)
+            n_win = np.maximum(lens - window + 1, 0)
+            win_starts = (np.arange(len(gh))
+                          - np.repeat(np.cumsum(
+                              np.concatenate(([0], n_win[:-1]))), n_win)
+                          + np.repeat(bounds[:-1], n_win))
+            s = win_starts[is_dup]
+            np.add.at(delta, s, 1)
+            np.add.at(delta, s + window, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        out_text, n_removed = [], np.zeros(len(texts), dtype=np.int64)
+        for i, words in enumerate(words_per_doc):
+            lo, hi = bounds[i], bounds[i + 1]
+            cov = covered[lo:hi]
+            n_removed[i] = int(cov.sum())
+            out_text.append(" ".join(
+                w for w, c in zip(words, cov) if not c))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_dedup": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(strip, batch_format="pyarrow", **kwargs)
