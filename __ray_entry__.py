@@ -379,6 +379,18 @@ def _q_dedup_embedding(sf_dir: str):
     return embedding_dedup(ds, cosine_threshold=0.95, concurrency=2)
 
 
+def _q_dedup_semantic(sf_dir: str):
+    """SemDeDup-style semantic dedup (stages/dedup.py semantic_dedup):
+    k-means cells as data-adaptive blocking, cosine-verified pairs,
+    connected components.  Rows-only (cell assignment depends on
+    learned centroids); planted-copy recall is pytest-asserted."""
+    from textgraphs_ray.stages.dedup import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, cosine_threshold=0.95, ncells=8)
+
+
 def _q_knn_lsh(sf_dir: str):
     from textgraphs_ray.stages.similarity import knn_lsh
 
@@ -1355,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_semantic": _q_dedup_semantic,
         "knn_lsh": _q_knn_lsh,
         "media_features": _q_media_features,
         "lang_id": _q_lang_id,

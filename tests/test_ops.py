@@ -899,3 +899,29 @@ def test_substring_dedup_unique_corpus_identity():
     for i in range(4):
         assert out.loc[i, "text_dedup"] == rows[i]["text"]
         assert out.loc[i, "n_removed"] == 0
+
+
+def test_semantic_dedup_clusters_planted_copies():
+    from textgraphs_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(40):
+        rows.append({"vec_id": i, "embedding": rng.standard_normal(16)
+                     .astype(np.float32).tolist()})
+    base = rng.standard_normal(16).astype(np.float32)
+    for j, vid in enumerate((200, 201, 202)):
+        noisy = base + 0.005 * rng.standard_normal(16).astype(np.float32)
+        rows.append({"vec_id": vid, "embedding": noisy.tolist()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = semantic_dedup(ds, cosine_threshold=0.98, ncells=4).to_pandas()
+    cl = dict(zip(out["key"], out["cluster_id"]))
+    assert cl["200"] == cl["201"] == cl["202"]
+    assert cl["0"] != cl["200"]
+    assert len(out) == 43
+
+    # empty input yields a typed empty result, not a crash
+    empty = rd.from_arrow(pa.schema(
+        [("vec_id", pa.int64()),
+         ("embedding", pa.list_(pa.float32()))]).empty_table())
+    assert semantic_dedup(empty).count() == 0

@@ -517,3 +517,71 @@ def substring_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(strip, batch_format="pyarrow", **kwargs)
+
+
+def semantic_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
+                   id_col: str = "vec_id", cosine_threshold: float = 0.95,
+                   ncells: int = 16, train: str = "sample",
+                   sample_size: int = 4096, seed: int = 42,
+                   concurrency=None) -> "ray.data.Dataset":
+    """SemDeDup-style semantic near-dedup → clusters(key, cluster_id).
+
+    Same verify/closure machinery as :func:`embedding_dedup`, but the
+    blocking is DATA-ADAPTIVE: k-means cells learned from the corpus
+    (bounded sample, or full-data distributed Lloyd's with
+    ``train="distributed"``) instead of random hyperplanes.  Learned
+    cells concentrate semantically-close vectors into the same bucket,
+    so recall at a given candidate budget tracks the corpus geometry —
+    the SemDeDup observation that semantic duplicates land in the same
+    k-means cluster.  Keeper convention (min id per component) matches
+    the rest of the dedup family.
+    """
+    from .similarity import (_normalize, kmeans_centroids,
+                             kmeans_distributed)
+
+    if train == "distributed":
+        cent = kmeans_distributed(ds, ncells, emb_col=emb_col,
+                                  sample_size=sample_size, seed=seed)
+    else:
+        sample = np.asarray(
+            [r[emb_col] for r in ds.limit(sample_size).take_all()],
+            dtype=np.float32)
+        cent = (kmeans_centroids(sample, ncells, seed=seed)
+                if len(sample) else np.zeros((0, 0), np.float32))
+    if cent.size == 0:
+        # empty input: every id is its own cluster (no centroids to
+        # block with, nothing to pair)
+        return ds.map_batches(
+            lambda t: pa.table({
+                "key": pa.compute.cast(t.column(id_col), pa.string()),
+                "cluster_id": pa.compute.cast(t.column(id_col),
+                                              pa.string())}),
+            batch_format="pyarrow")
+    cent_ref = ray.put(cent)
+
+    class Bander:
+        def __init__(self) -> None:
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = [str(v) for v in batch.column(id_col).to_pylist()]
+            emb = np.asarray(batch.column(emb_col).to_pylist(),
+                             dtype=np.float32)
+            en = _normalize(emb)
+            cell = np.argmax(en @ self.cent.T, axis=1).astype(np.uint64)
+            payload = [e.tobytes() for e in en]
+            return pa.table({
+                "band_id": pa.array(np.zeros(len(ids), dtype=np.int32)),
+                "band_hash": pa.array(cell, pa.uint64()),
+                "id": pa.array(ids, pa.string()),
+                "payload": pa.array(payload, pa.binary()),
+            })
+
+    def cos_mask(pa_buf: np.ndarray, pb_buf: np.ndarray) -> np.ndarray:
+        ea = np.stack([np.frombuffer(b, dtype=np.float32) for b in pa_buf])
+        eb = np.stack([np.frombuffer(b, dtype=np.float32) for b in pb_buf])
+        return cosine_batch(ea, eb) >= cosine_threshold
+
+    verified = _banded_candidates(ds, Bander, concurrency or (1, 4),
+                                  mask_fn=cos_mask)
+    return _pairs_to_clusters(ds, verified, id_col=id_col)
