@@ -72,9 +72,13 @@ def _loser_ids_near(ds, id_col: str, text_col: str,
     over the cluster table — never a full-table ``to_pandas``."""
     from ray.data.aggregate import Count, Min
 
+    # minhash banding is task-based (stateless); an actor-pool tuple
+    # from the curate chain maps to its max-worker count
+    conc = max(concurrency) if isinstance(concurrency, tuple) \
+        else concurrency
     clusters = minhash_dedup(ds, text_col=text_col, id_col=id_col,
                              jaccard_threshold=jaccard_threshold,
-                             concurrency=concurrency)
+                             concurrency=conc)
     agg = clusters.groupby("cluster_id").aggregate(
         Min("key", alias_name="keeper"), Count(alias_name="sz"))
     multi = agg.map_batches(
