@@ -634,6 +634,25 @@ def _q_knn_ivf_oracle(sf_dir: str):
     return out
 
 
+def _q_knn_join(sf_dir: str):
+    """Distributed kNN-graph construction (stages/similarity.py
+    knn_self_join): every row is a query — cell-partitioned matmuls +
+    per-query merge, never an N×N matrix.  Run full-probe
+    (nprobe=ncells ⇒ exactly brute force) in float64 so DuckDB's
+    cross-join cosine reproduces every sim at 4 decimals."""
+    import numpy as np
+
+    from textgraphs_ray.stages.similarity import knn_self_join
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = knn_self_join(ds, k=3, ncells=8, nprobe=8, dtype=np.float64)
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sim"), "sim",
+                               pc.round(t.column("sim"), 4)),
+        batch_format="pyarrow")
+
+
 def _q_dedup_jaccard(sf_dir: str):
     from textgraphs_ray.stages.dedup import ngram_jaccard_dedup
 
@@ -1378,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordcloud": _q_wordcloud,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_oracle": _q_knn_ivf_oracle,
+        "knn_join": _q_knn_join,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_oracle": _q_dedup_jaccard_oracle,
         "chunk_dedup": _q_chunk_dedup,
@@ -1501,6 +1521,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank, vec_id, round(raw_sim, 4) AS sim
             FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+        "knn_join": """
+            WITH scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id,
+                       list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[])
+                           AS raw_sim
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id <> b.vec_id
+            ), ranked AS (
+                SELECT query_id, vec_id, raw_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY raw_sim DESC, vec_id ASC) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id, round(raw_sim, 4) AS sim
+            FROM ranked WHERE rank < 3
         """,
         "knn_ivf_oracle": """
             WITH q AS (

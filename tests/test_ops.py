@@ -925,3 +925,29 @@ def test_semantic_dedup_clusters_planted_copies():
         [("vec_id", pa.int64()),
          ("embedding", pa.list_(pa.float32()))]).empty_table())
     assert semantic_dedup(empty).count() == 0
+
+
+def test_knn_self_join_exact_at_full_probe_and_recall():
+    from textgraphs_ray.stages.similarity import knn_brute, knn_self_join
+
+    rng = np.random.RandomState(11)
+    emb = rng.standard_normal((80, 12)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(80), pa.int64()),
+                  "embedding": [e.tolist() for e in emb]})
+    ds = rd.from_arrow(t)
+    exact = (knn_brute(ds, emb, k=4, exclude_self=True)
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    full = (knn_self_join(ds, k=4, ncells=5, nprobe=5).to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # nprobe == ncells scans every member: exactly brute force
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    np.testing.assert_allclose(full["sim"], exact["sim"], rtol=1e-6)
+    # partial probing keeps most neighbors
+    part = knn_self_join(ds, k=4, ncells=5, nprobe=2).to_pandas()
+    hits = len(part.merge(exact, on=["query_id", "vec_id"]))
+    assert hits / len(exact) > 0.5
+    # empty input: typed empty result
+    empty = rd.from_arrow(pa.schema(
+        [("vec_id", pa.int64()),
+         ("embedding", pa.list_(pa.float32()))]).empty_table())
+    assert knn_self_join(empty).count() == 0

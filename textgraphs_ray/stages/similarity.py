@@ -308,3 +308,107 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
 
     parts = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(parts, k, num_queries=qn.shape[0])
+
+
+def knn_self_join(ds: "ray.data.Dataset", *, k: int = 5,
+                  emb_col: str = "embedding", id_col: str = "vec_id",
+                  ncells: int = 16, nprobe: int = 4,
+                  sample_size: int = 4096, seed: int = 42,
+                  exclude_self: bool = True,
+                  dtype=np.float32) -> "ray.data.Dataset":
+    """Distributed k-NN GRAPH construction: top-k cosine neighbors for
+    EVERY row of the table → Dataset (query_id=vec_id, rank, vec_id,
+    sim).
+
+    :func:`knn_brute`/:func:`knn_ivf` answer a small broadcast query
+    set; building a kNN graph (SemDeDup, clustering, retrieval prep)
+    needs all N rows as queries, which no broadcast can hold.  Plan:
+
+    1. train coarse k-means cells (bounded sample, as knn_ivf);
+    2. one pass emits every vector once as a MEMBER of its argmax
+       cell, and once per probed cell as a QUERY (``nprobe`` nearest
+       cells) — the stream is N·(1+nprobe) rows of (cell, role, id,
+       vec);
+    3. groupby(cell): one matmul queries×members per cell, local
+       top-k per query;
+    4. groupby(query): merge partial top-k (bounded at nprobe·k rows
+       per query — never the N×N similarity matrix anywhere).
+
+    With ``nprobe = ncells`` every query scans every member, so the
+    result is EXACTLY brute force — the oracle configuration; smaller
+    ``nprobe`` trades recall for a 1/ncells-ish per-query scan.
+    """
+    sample_rows = [r[emb_col] for r in ds.limit(sample_size).take_all()]
+    if not sample_rows:
+        return ds.map_batches(
+            lambda t: pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    cent = kmeans_centroids(
+        np.asarray(sample_rows, dtype=np.float32), ncells, seed=seed)
+    cent_ref = ray.put(cent)
+    np_ = min(nprobe, cent.shape[0])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        cmat = ray.get(cent_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        en = _normalize(np.asarray(batch.column(emb_col).to_pylist(),
+                                   dtype=dtype))
+        sims = en @ cmat.T.astype(dtype)
+        member_cell = np.argmax(sims, axis=1).astype(np.int32)
+        probe = np.argsort(-sims, axis=1)[:, :np_].astype(np.int32)
+        n = len(ids)
+        payload = [e.tobytes() for e in en]
+        return pa.table({
+            "cell": pa.array(np.concatenate(
+                [member_cell, probe.ravel()]), pa.int32()),
+            "role": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(n * np_, np.int8)]),
+                pa.int8()),
+            "id": pa.array(np.concatenate(
+                [ids, np.repeat(ids, np_)]), pa.int64()),
+            "vec": pa.array(payload + [p for p in payload
+                                       for _ in range(np_)],
+                            pa.binary()),
+        })
+
+    def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g[g["role"] == 0]
+        qry = g[g["role"] == 1]
+        if not len(mem) or not len(qry):
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        mv = np.stack([np.frombuffer(b, dtype)
+                       for b in mem["vec"].to_numpy()])
+        qv = np.stack([np.frombuffer(b, dtype)
+                       for b in qry["vec"].to_numpy()])
+        mids = mem["id"].to_numpy()
+        qids = qry["id"].to_numpy()
+        sims = qv @ mv.T  # (Q, M)
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_m = mids[idx.ravel()]
+        rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        out = pd.DataFrame({"query_id": rows_q, "vec_id": rows_m,
+                            "sim": rows_s.astype(np.float64)})
+        if exclude_self:
+            out = out[out["query_id"] != out["vec_id"]]
+        return out
+
+    def query_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["vec_id"])
+             .sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True))
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "sim"]]
+
+    emitted = ds.map_batches(emit, batch_format="pyarrow")
+    partials = emitted.groupby("cell").map_groups(cell_topk,
+                                                  batch_format="pandas")
+    return partials.groupby("query_id").map_groups(query_topk,
+                                                   batch_format="pandas")
