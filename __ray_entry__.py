@@ -697,6 +697,33 @@ def _q_substring_dedup(sf_dir: str):
     return substring_dedup(ds, window=10, min_count=2)
 
 
+def _q_pagerank_global(sf_dir: str):
+    """GLOBAL PageRank over the corpus-wide lemma graph
+    (stages/rank.py pagerank_distributed): one graph, not per-doc
+    (A4/rank_partitions) — driver kernel below 2M edges, Dataset
+    power-iteration loop above; both paths pytest-asserted equal and
+    networkx-semantics checked.  Rows-only (iterative, not in SQL)."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import extract_spans
+    from textgraphs_ray.stages.graph import (build_edges, build_nodes,
+                                             extract_raw_edges)
+    from textgraphs_ray.stages.rank import pagerank_distributed
+
+    docs, _, _ = generate(300)
+    docs_ds = rd.from_arrow(docs)
+    nodes = build_nodes(extract_spans(docs_ds, concurrency=(1, 2)))
+    edges = (docs_ds.map_batches(extract_raw_edges, batch_format="pyarrow")
+             .map_batches(lambda t: pa.table({
+                 "key_a": t.column("src_key"),
+                 "key_b": t.column("dst_key")}), batch_format="pyarrow"))
+    out = pagerank_distributed(nodes.select_columns(["key"]), edges,
+                               iters=20)
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("rank"), "rank",
+                               pc.round(t.column("rank"), 8)),
+        batch_format="pyarrow")
+
+
 def _q_kuzu_export(sf_dir: str):
     """S7: graph-DB CSV export projection (nodes.csv/edges.csv rows)."""
     from textgraphs_ray.corpus import generate
@@ -1403,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "substring_dedup": _q_substring_dedup,
         "kuzu_export": _q_kuzu_export,
+        "pagerank_global": _q_pagerank_global,
         "nodelink_roundtrip": _q_nodelink_roundtrip,
         "communities": _q_communities,
         "ttl_bootstrap": _q_ttl_bootstrap,

@@ -113,3 +113,48 @@ def test_sparse_edges_high_partitions_distributed():
     assert m["n05"] == m["n06"] == "n05"
     # singletons keep their own label
     assert m["n02"] == "n02"
+
+
+def test_pagerank_distributed_paths_agree_and_match_nx():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.rank import pagerank_distributed
+
+    nodes = rd.from_arrow(pa.table({"key": ["a", "b", "c", "d", "iso"]}))
+    edges = rd.from_arrow(pa.table({"key_a": ["a", "a", "b", "c"],
+                                    "key_b": ["b", "c", "c", "a"]}))
+    drv = (pagerank_distributed(nodes, edges, iters=40)
+           .to_pandas().set_index("key")["rank"])
+    # path equality at a shallow depth (keeps the suite fast — the
+    # distributed loop pays 2 shuffles per iteration); equality for
+    # one fixed iteration count implies the recurrences match
+    drv12 = (pagerank_distributed(nodes, edges, iters=12)
+             .to_pandas().set_index("key")["rank"])
+    dist12 = (pagerank_distributed(nodes, edges, iters=12,
+                                   driver_threshold=0, num_partitions=4)
+              .to_pandas().set_index("key")["rank"])
+    for k in ["a", "b", "c", "d", "iso"]:
+        assert abs(drv12[k] - dist12[k]) < 1e-12
+    assert abs(drv.sum() - 1.0) < 1e-9
+    # networkx golden (pure-python impl: scipy absent in this env)
+    try:
+        import networkx as nx
+        from networkx.algorithms.link_analysis.pagerank_alg import \
+            _pagerank_python
+    except ImportError:
+        return
+    g = nx.DiGraph()
+    g.add_nodes_from(["a", "b", "c", "d", "iso"])
+    g.add_edges_from([("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")])
+    nxr = _pagerank_python(g, alpha=0.85, max_iter=500, tol=1e-13)
+    for k in nxr:
+        assert abs(drv[k] - nxr[k]) < 1e-7
+
+    # empty graph: every node gets the uniform teleport rank
+    lonely = rd.from_arrow(pa.table({"key": ["x", "y"]}))
+    none_e = rd.from_arrow(pa.table({"key_a": pa.array([], pa.string()),
+                                     "key_b": pa.array([], pa.string())}))
+    out = (pagerank_distributed(lonely, none_e, iters=5)
+           .to_pandas().set_index("key")["rank"])
+    assert abs(out["x"] - 0.5) < 1e-12 and abs(out["y"] - 0.5) < 1e-12
