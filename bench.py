@@ -63,8 +63,29 @@ def main() -> None:
     queries: dict[str, float] = {}
     assets = pq.read_table(os.path.join(corpus_dir, "assets.parquet"))
 
-    # warm the page cache (measure compute+shuffle, not first disk read)
-    rd.read_parquet(corpus_dir).count()
+    # Warm-up before the timed sections: `count()` on parquet only reads
+    # footer metadata, so without this the first timed pipeline pays the
+    # cold start of every Ray worker process (spawn + numpy/pandas/
+    # pyarrow imports in 32 procs) — measured as the bulk of the 11–74 s
+    # er_resolve spread between fresh sessions (BASELINE.md).  A tiny
+    # map_batches across as many blocks as workers forces the pool up
+    # and the heavy imports in, so the timed numbers are steady-state
+    # throughput — the quantity that matters for the 100 TB claim.
+    def _warm(batch):
+        import pandas  # noqa: F401
+        import numpy  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        from textgraphs_ray.stages import extract  # noqa: F401
+        return batch
+
+    (rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4)
+     .map_batches(_warm, batch_format="pyarrow").count())
+    # and the page cache for the corpus files themselves
+    for f in sorted(os.listdir(corpus_dir)):
+        with open(os.path.join(corpus_dir, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
 
     # headline: full ER chain on the interleaved corpus
     t0 = time.perf_counter()
