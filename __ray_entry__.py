@@ -1302,6 +1302,86 @@ def _q_shard_stats(sf_dir: str):
         Min("doc_id", alias_name="first_doc"))
 
 
+def _q_split_assign(sf_dir: str):
+    """Leakage-safe train/val/test split (stages/sampling.py
+    hash_split): exact-duplicate documents must not straddle train and
+    test, so the split variate hashes each doc's CLUSTER KEEPER (min
+    doc_id among identical texts), not the doc itself — every member
+    of a dup cluster inherits one split.  One groupby shuffle on the
+    text fingerprint, then a stateless hash_split; fractions are exact
+    binary (0.75/0.125/0.125) so the float boundary arithmetic is
+    bit-identical in SQL."""
+    import hashlib
+
+    from textgraphs_ray.stages.sampling import hash_split
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5((x or "").encode()).hexdigest()
+               for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fp": pa.array(fps, pa.string())})
+
+    def keeper_grp(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "keeper": g["doc_id"].min()})
+
+    with_keeper = (docs.map_batches(add_fp, batch_format="pyarrow")
+                   .groupby("fp")
+                   .map_groups(keeper_grp, batch_format="pandas"))
+    out = hash_split(with_keeper,
+                     splits={"train": 0.75, "val": 0.125, "test": 0.125},
+                     key_col="keeper")
+    return out.map_batches(lambda t: t.select(["doc_id", "split"]),
+                           batch_format="pyarrow")
+
+
+def _q_chunk_windows(sf_dir: str):
+    """RAG/context-window chunking (stages/text.py chunk_windows):
+    every document → overlapping 500-char windows at stride 400, one
+    row per chunk — a row-expanding stateless map_batches whose chunk
+    boundaries SQL replays exactly via generate_series + substr."""
+    from textgraphs_ray.stages.text import chunk_windows
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return chunk_windows(docs, size=500, stride=400)
+
+
+def _q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary statistics: global distinct-token count +
+    total token count in one pass — per-batch combiner (ONE regex scan
+    over the batch's concatenated text, then np.unique with counts)
+    shrinks the shuffle to distinct-terms-per-block; a groupby(term)
+    sums partials and a final tiny aggregate emits the single stats
+    row.  The canonical wide-distinct pattern at corpus scale."""
+    docs = _docs(sf_dir, columns=["text"])
+
+    import re as _re
+
+    tok = _re.compile(r"[a-z]+")
+
+    def terms(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        joined = "\x00".join(x.lower() if x else "" for x in texts)
+        words, counts = np.unique(tok.findall(joined), return_counts=True)
+        return pa.table({"term": pa.array(words, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    per_term = (docs.map_batches(terms, batch_format="pyarrow")
+                .groupby("term").aggregate(Sum("n", alias_name="n")))
+    agg = per_term.map_batches(
+        lambda t: pa.table({"vocab_part": [t.num_rows],
+                            "tok_part": [pc.sum(t.column("n")).as_py() or 0]}),
+        batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "vocab_size": [np.int64(agg["vocab_part"].sum())],
+        "total_tokens": [np.int64(agg["tok_part"].sum())],
+    })
+
+
 def _q_partitioned_sink(sf_dir: str):
     """S9 resumable output: write documents partitioned by lang (one
     directory per partition key — a failed run skips finished
@@ -1468,6 +1548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "scrub": _q_scrub,
         "salted_agg": _q_salted_agg,
+        "split_assign": _q_split_assign,
+        "chunk_windows": _q_chunk_windows,
+        "vocab_stats": _q_vocab_stats,
     }
 
 
@@ -1813,6 +1896,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) AS t_start_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "split_assign": """
+            WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY fp),
+            u AS (SELECT fp,
+                         ('0x' || substr(md5(keeper::VARCHAR), 1, 8))::UBIGINT
+                             / 4294967296.0 AS frac
+                  FROM k)
+            SELECT f.doc_id,
+                   CASE WHEN u.frac < 0.75 THEN 'train'
+                        WHEN u.frac < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM f JOIN u USING (fp)
+        """,
+        "chunk_windows": """
+            WITH c AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(
+                         0, CAST(ceil(length(text) / 400.0) AS BIGINT) - 1
+                     )) AS chunk_id
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id, chunk_id,
+                   length(substr(text, chunk_id * 400 + 1, 500))
+                       AS chunk_len,
+                   substr(text, chunk_id * 400 + 1, 500) AS chunk_text
+            FROM c
+        """,
+        "vocab_stats": """
+            WITH w AS (
+              SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS term
+              FROM documents
+            )
+            SELECT count(DISTINCT term) AS vocab_size,
+                   count(*) AS total_tokens
+            FROM w
         """,
         "scrub": """
             SELECT doc_id,

@@ -121,3 +121,91 @@ class TestImportanceSample:
             " / 4294967296.0 AS f FROM (SELECT unnest(range(50)) AS k)"
         ).df()["f"].to_numpy()
         assert np.array_equal(ours, theirs)
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self):
+        from textgraphs_ray.stages.sampling import hash_split
+
+        rows = [{"doc_id": i} for i in range(4000)]
+        out = hash_split(_ds(rows),
+                         splits={"train": 0.75, "val": 0.125,
+                                 "test": 0.125}).to_pandas()
+        frac = out["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.75) < 0.03
+        assert abs(frac["val"] - 0.125) < 0.02
+        assert abs(frac["test"] - 0.125) < 0.02
+        # block layout must not change any assignment
+        out2 = hash_split(
+            rd.from_arrow(pa.Table.from_pylist(rows)).repartition(13),
+            splits={"train": 0.75, "val": 0.125,
+                    "test": 0.125}).to_pandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_group_key_prevents_leakage(self):
+        """Splitting on a shared group key puts every member of a
+        cluster in the same split (the split_assign pattern)."""
+        from textgraphs_ray.stages.sampling import hash_split
+
+        rows = [{"doc_id": i, "cluster": i % 37} for i in range(500)]
+        out = hash_split(_ds(rows), key_col="cluster",
+                         splits={"train": 0.5, "test": 0.5}).to_pandas()
+        assert (out.groupby("cluster")["split"].nunique() == 1).all()
+
+    def test_remainder_falls_in_last_split(self):
+        from textgraphs_ray.stages.sampling import hash_split
+
+        out = hash_split(_ds([{"doc_id": i} for i in range(1000)]),
+                         splits={"a": 0.25, "b": 0.25}).to_pandas()
+        # fractions sum to 0.5; the ~50% remainder lands in 'b'
+        assert set(out["split"]) == {"a", "b"}
+        assert (out["split"] == "b").mean() > 0.6
+
+
+class TestChunkWindows:
+    def test_boundaries_and_overlap(self):
+        from textgraphs_ray.stages.text import chunk_windows
+
+        text = "".join(chr(97 + (i % 26)) for i in range(1050))
+        out = (chunk_windows(_ds([{"doc_id": 1, "text": text}]),
+                             size=500, stride=400)
+               .to_pandas().sort_values("chunk_id"))
+        # ceil(1050/400) = 3 chunks
+        assert list(out["chunk_id"]) == [0, 1, 2]
+        assert list(out["chunk_len"]) == [500, 500, 250]
+        assert out["chunk_text"].iloc[0] == text[0:500]
+        assert out["chunk_text"].iloc[1] == text[400:900]
+        assert out["chunk_text"].iloc[2] == text[800:1050]
+        # overlap: consecutive chunks share size - stride chars
+        assert out["chunk_text"].iloc[0][400:] == \
+            out["chunk_text"].iloc[1][:100]
+
+    def test_empty_and_short_docs(self):
+        from textgraphs_ray.stages.text import chunk_windows
+
+        out = chunk_windows(
+            _ds([{"doc_id": 1, "text": ""},
+                 {"doc_id": 2, "text": None},
+                 {"doc_id": 3, "text": "tiny"}]),
+            size=500, stride=400).to_pandas()
+        assert set(out["doc_id"]) == {3}
+        assert list(out["chunk_len"]) == [4]
+
+    def test_full_coverage_reconstruction(self):
+        """Stride-prefix concatenation of the chunks reproduces the
+        document — no character lost or duplicated."""
+        from textgraphs_ray.stages.text import chunk_windows
+
+        rng = np.random.default_rng(3)
+        docs = [{"doc_id": i,
+                 "text": "".join(rng.choice(list("abcdef "),
+                                            size=int(n)))}
+                for i, n in enumerate(rng.integers(1, 2000, size=20))]
+        out = chunk_windows(_ds(docs), size=500, stride=400).to_pandas()
+        for i, d in enumerate(docs):
+            g = (out[out["doc_id"] == i].sort_values("chunk_id")
+                 ["chunk_text"].tolist())
+            rebuilt = "".join([c[:400] for c in g[:-1]] + g[-1:])
+            assert rebuilt == d["text"]

@@ -55,6 +55,38 @@ def importance_sample(ds: "ray.data.Dataset", *, prob_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def hash_split(ds: "ray.data.Dataset", *, splits: dict[str, float],
+               key_col: str = "doc_id",
+               out_col: str = "split") -> "ray.data.Dataset":
+    """Deterministic train/val/test split: append ``out_col`` with the
+    split name chosen by each row's md5 variate against the cumulative
+    split fractions (``splits`` values must sum to ≤ 1; any remainder
+    falls into the LAST split).
+
+    Stateless ``map_batches`` — no shuffle, no RNG, identical
+    assignment for any block layout / cluster size / rerun, and
+    SQL-replayable (``CASE WHEN frac < c1 THEN ... END`` over the same
+    md5 arithmetic as :func:`md5_frac`).
+
+    For a LEAKAGE-SAFE split (near/exact duplicates must not straddle
+    train and test), hash a GROUP key instead of the row key: pass the
+    dedup cluster id (or exact-dup keeper id) as ``key_col`` so every
+    member of a cluster inherits one split — see the ``split_assign``
+    query for the composed pattern.
+    """
+    names = list(splits.keys())
+    bounds = np.cumsum([splits[n] for n in names])
+
+    def assign(t: pa.Table) -> pa.Table:
+        u = md5_frac(t.column(key_col).to_pylist())
+        idx = np.minimum(np.searchsorted(bounds, u, side="right"),
+                         len(names) - 1)
+        lab = np.asarray(names, dtype=object)[idx]
+        return t.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def stratified_sample(ds: "ray.data.Dataset", *, group_col: str,
                       n: int, id_col: str = "doc_id",
                       columns: list | None = None) -> "ray.data.Dataset":

@@ -273,3 +273,55 @@ class CompressionRatio:
             if raw:
                 ratios[i] = len(zlib.compress(raw, self.level)) / len(raw)
         return batch.append_column("compress_ratio", pa.array(ratios))
+
+
+def chunk_windows(ds: "ray.data.Dataset", *, size: int = 500,
+                  stride: int = 400, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  keep_text: bool = True) -> "ray.data.Dataset":
+    """Split every document into overlapping character windows — the
+    retrieval / context-window prep step (RAG chunking, long-document
+    truncation): chunk ``i`` covers ``[i*stride, i*stride + size)``,
+    one output row per chunk (``doc_id, chunk_id, chunk_len[, chunk_text]``).
+
+    A row-expanding stateless ``map_batches`` (output rows ≠ input
+    rows, no shuffle): the chunk count per document is computed
+    vectorized, then one pandas ``str.slice`` per chunk POSITION (a
+    handful of iterations — bounded by the longest doc in the batch,
+    not the row count) slices every row at that position at once.
+    Character (codepoint) semantics match SQL ``substr``/``len``, so
+    the oracle replays chunk boundaries exactly via
+    ``generate_series``.  Empty documents yield zero chunks.
+    """
+    import pandas as pd
+
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def expand(t: pa.Table) -> pd.DataFrame:
+        df = t.select([id_col, text_col]).to_pandas()
+        texts = df[text_col].fillna("")
+        lens = texts.str.len().to_numpy(np.int64)
+        n_chunks = -(-lens // stride)  # ceil(len/stride); 0 for empty
+        out_frames = []
+        for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            m = n_chunks > j
+            piece = texts[m].str.slice(j * stride, j * stride + size)
+            frame = pd.DataFrame({
+                id_col: df.loc[m, id_col].to_numpy(),
+                "chunk_id": np.int64(j),
+                "chunk_len": piece.str.len().to_numpy(np.int64),
+            })
+            if keep_text:
+                frame["chunk_text"] = piece.to_numpy()
+            out_frames.append(frame)
+        if not out_frames:
+            cols = {id_col: pd.Series([], dtype=df[id_col].dtype),
+                    "chunk_id": pd.Series([], dtype="int64"),
+                    "chunk_len": pd.Series([], dtype="int64")}
+            if keep_text:
+                cols["chunk_text"] = pd.Series([], dtype=object)
+            return pd.DataFrame(cols)
+        return pd.concat(out_frames, ignore_index=True)
+
+    return ds.map_batches(expand, batch_format="pyarrow")
