@@ -214,3 +214,33 @@ def test_imaging_codecs_roundtrip():
 
     with pytest.raises(NotImplementedError):
         imaging.decode_image(b"\x89PNG compressed")
+
+
+class TestRelIRIResolution:
+    """Reference two-tier rel→IRI resolution (kg.py:370-438 +
+    rel.py:108-110): known Wikidata property labels hit the cache,
+    unknown labels take the model-namespace literal fallback."""
+
+    def test_known_labels_resolve_to_wikidata_properties(self):
+        from textgraphs_ray.functions.kg import resolve_rel_iri
+
+        assert resolve_rel_iri("spouse") == \
+            "http://www.wikidata.org/prop/direct/P26"
+        assert resolve_rel_iri("Founded By") == \
+            "http://www.wikidata.org/prop/direct/P112"
+        assert resolve_rel_iri("instance of") == \
+            "http://www.wikidata.org/prop/direct/P31"
+
+    def test_unknown_label_uses_reference_fallback_convention(self):
+        from textgraphs_ray.functions.kg import resolve_rel_iri
+
+        # rel.py:109: iri = "opennre:" + rel.replace(" ", "_")
+        assert resolve_rel_iri("totally made up rel") == \
+            "opennre:totally_made_up_rel"
+        assert resolve_rel_iri("x y", fallback_ns="mrebel") == "mrebel:x_y"
+
+    def test_compat_facade_delegates(self):
+        from textgraphs_ray.compat import KGWikiMedia
+
+        assert KGWikiMedia().resolve_rel_iri("author") == \
+            "http://www.wikidata.org/prop/direct/P50"

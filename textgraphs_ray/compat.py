@@ -283,9 +283,9 @@ class KGWikiMedia:
 
     def resolve_rel_iri(self, rel: str, *, lang: str = "en",
                         debug: bool = False) -> str:
-        from .functions.kg import link_iri
+        from .functions.kg import resolve_rel_iri as _resolve
 
-        return link_iri(rel)
+        return _resolve(rel)
 
 
 from dataclasses import dataclass  # noqa: E402

@@ -155,3 +155,106 @@ def wikidata_iri(canonical_surface: str) -> str:
     import hashlib
     h = int(hashlib.sha1(canonical_surface.encode("utf-8")).hexdigest()[:8], 16)
     return NS_PREFIX["wd_ent"] + f"Q{h % 10_000_000}"
+
+
+# Relation label → Wikidata property id, for the relation vocabularies
+# the reference's RE models emit (OpenNRE `wiki80` / mREBEL are TRAINED
+# on Wikidata properties, so the label→P-id pairs below are public
+# facts from that dataset/ontology).  This is the warm `iri_cache` the
+# reference builds by querying the live Wikidata API per label
+# (kg.py:370-438); offline, a pre-resolved cache of the model's OWN
+# training vocabulary is the faithful equivalent — labels outside it
+# fall back to the reference's literal convention (rel.py:108-110).
+REL_PROP_CACHE: dict[str, str] = {
+    "place served by transport hub": "P931",
+    "mouth of the watercourse": "P403",
+    "contains administrative territorial entity": "P150",
+    "located in the administrative territorial entity": "P131",
+    "head of government": "P6",
+    "country of citizenship": "P27",
+    "original network": "P449",
+    "heritage designation": "P1435",
+    "performer": "P175",
+    "participant of": "P1344",
+    "position held": "P39",
+    "has part": "P527",
+    "part of": "P361",
+    "location of formation": "P740",
+    "located on terrain feature": "P706",
+    "architect": "P84",
+    "country of origin": "P495",
+    "country": "P17",
+    "capital": "P36",
+    "capital of": "P1376",
+    "publisher": "P123",
+    "director": "P57",
+    "father": "P22",
+    "mother": "P25",
+    "child": "P40",
+    "sibling": "P3373",
+    "spouse": "P26",
+    "developer": "P178",
+    "military branch": "P241",
+    "mountain range": "P4552",
+    "taxon rank": "P105",
+    "location": "P276",
+    "subsidiary": "P355",
+    "operator": "P137",
+    "record label": "P264",
+    "genre": "P136",
+    "tributary": "P974",
+    "sister city": "P190",
+    "instance of": "P31",
+    "subclass of": "P279",
+    "sport": "P641",
+    "religion": "P140",
+    "occupation": "P106",
+    "member of political party": "P102",
+    "residence": "P551",
+    "work location": "P937",
+    "field of work": "P101",
+    "language of work or name": "P407",
+    "applies to jurisdiction": "P1001",
+    "notable work": "P800",
+    "operating system": "P306",
+    "characters": "P674",
+    "manufacturer": "P176",
+    "owned by": "P127",
+    "member of": "P463",
+    "crosses": "P177",
+    "licensed to broadcast to": "P1408",
+    "headquarters location": "P159",
+    "main subject": "P921",
+    "successful candidate": "P991",
+    "member of sports team": "P54",
+    "league": "P118",
+    "screenwriter": "P58",
+    "platform": "P400",
+    "winner": "P1346",
+    "constellation": "P59",
+    "composer": "P86",
+    "instrument": "P1303",
+    "educated at": "P69",
+    "nominated for": "P1411",
+    "movement": "P135",
+    "author": "P50",
+    "founded by": "P112",
+    "employer": "P108",
+    "place of birth": "P19",
+    "place of death": "P20",
+    "award received": "P166",
+    "creator": "P170",
+}
+
+
+def resolve_rel_iri(rel_label: str, *, fallback_ns: str = "opennre") -> str:
+    """Relation label → IRI, mirroring the reference's two-tier
+    resolution (kg.py:370-438 cache/API hit, rel.py:108-110 fallback):
+    a known Wikidata property label yields the canonical
+    ``wd:prop/direct/P…`` IRI; anything else yields the model-namespace
+    literal ``{fallback_ns}:{label with '_'}`` EXACTLY as the reference
+    constructs it when the API returns nothing."""
+    pid = REL_PROP_CACHE.get(rel_label.strip().lower())
+    if pid is not None:
+        return NS_PREFIX["wd"] + "prop/direct/" + pid
+    return f"{fallback_ns}:" + rel_label.replace(" ", "_")

@@ -176,14 +176,15 @@ class RelationScorer:
 
     @staticmethod
     def resolve_rel_iri(label: str) -> str:
-        """rel label → deterministic pseudo Wikidata property IRI
-        (stand-in for reference kg.py:370-438 P1628/P2235 resolution;
-        distinct labels resolve identically everywhere — the broadcast
-        join is implicit in determinism)."""
-        import hashlib
-        h = int(hashlib.blake2b(label.encode(), digest_size=4)
-                .hexdigest(), 16)
-        return kg.NS_PREFIX["wd"] + f"prop/direct/P{h % 10000}"
+        """rel label → IRI via the pre-resolved Wikidata property
+        cache (functions/kg.py REL_PROP_CACHE — the reference's warm
+        ``iri_cache``, kg.py:394-396, built offline from the RE
+        models' public training vocabulary) with the reference's
+        literal fallback ``opennre:label_with_underscores``
+        (rel.py:108-110) for labels outside it.  Deterministic, so the
+        broadcast join is implicit — every worker resolves a label
+        identically."""
+        return kg.resolve_rel_iri(label, fallback_ns="opennre")
 
 
 def infer_relations(docs_ds: "ray.data.Dataset", *,
