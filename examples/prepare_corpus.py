@@ -5,8 +5,9 @@ them:
 
     quality/language filter ──► exact + MinHash dedup (curate)
         ──► repeated-substring removal ──► benchmark decontamination
-        ──► weighted source interleave ──► greedy sequence packing
-        ──► shard routing ──► partitioned parquet
+        ──► leakage-safe train/val split ──► weighted source interleave
+        ──► greedy sequence packing ──► shard routing
+        ──► partitioned parquet
 
 Run: ``python examples/prepare_corpus.py [sf_dir] [out_dir]``
 (defaults: /root/testdata/sf0.001, /tmp/prepared_corpus).  Owns its
@@ -78,8 +79,16 @@ def main() -> None:
     clean = (decontaminate(stripped, bench, n=8)
              .filter(expr="contaminated == 0"))
 
-    # 4. 3:1 mixture of two sources, deterministic interleave order
-    mixed = interleave_sources(clean, weights={"src1": 3, "src2": 1},
+    # 4. leakage-safe train/val split: hash the exact-dup keeper so
+    #    duplicates never straddle splits, then keep the train side
+    from textgraphs_ray.stages.sampling import hash_split
+
+    split = hash_split(clean, splits={"train": 0.9, "val": 0.1},
+                       key_col="doc_id")
+    train = split.filter(expr="split == 'train'")
+
+    # 5. 3:1 mixture of two sources, deterministic interleave order
+    mixed = interleave_sources(train, weights={"src1": 3, "src2": 1},
                                stop="all_exhausted")
 
     # 5. token-budget packing and shard routing, then partitioned write
