@@ -922,9 +922,14 @@ def _q_sessionize(sf_dir: str):
 def _q_multi_join(sf_dir: str):
     """Three-way join chain + rollup (TPC-H Q5 shape): lineitem ⨝
     orders ⨝ customer ⨝ nation → revenue per nation.  The two big
-    sides use the distributed hash join; the tiny nation map is a
-    broadcast lookup."""
+    sides ride stages/join.py ``shuffle_join`` (empty-partition-safe
+    union + coarse hash partition + per-group merge); the tiny nation
+    table is a ``broadcast_join`` (ray.put once, vectorized index_in
+    per batch — never an all-to-all for a 25-row dimension table)."""
+    import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
+
+    from textgraphs_ray.stages.join import broadcast_join, shuffle_join
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice",
@@ -938,25 +943,16 @@ def _q_multi_join(sf_dir: str):
         batch_format="pyarrow")
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
-    j1 = li.join(orders, join_type="inner", on=("o_orderkey",),
-                 num_partitions=8)
+    j1 = shuffle_join(li, orders, "o_orderkey", "o_orderkey", 8,
+                      lambda m: m[["rev", "o_custkey"]])
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
-    cust = cust.map_batches(
-        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
-        batch_format="pyarrow")
-    j2 = j1.join(cust, join_type="inner", on=("o_custkey",),
-                 num_partitions=8)
-    nation = {r["n_nationkey"]: r["n_name"] for r in rd.read_parquet(
-        f"{sf_dir}/nation.parquet").take_all()}
-    nref = ray.put(nation)
-
-    def add_name(t: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
-        names = [nm[k] for k in t.column("c_nationkey").to_pylist()]
-        return t.append_column("n_name", pa.array(names, pa.string()))
-
-    out = (j2.map_batches(add_name, batch_format="pyarrow")
+    j2 = shuffle_join(j1, cust, "o_custkey", "c_custkey", 8,
+                      lambda m: m[["rev", "c_nationkey"]])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    out = (broadcast_join(j2, nation, on="c_nationkey",
+                          build_on="n_nationkey")
            .groupby("n_name")
            .aggregate(Count(alias_name="n_items"),
                       Sum("rev", alias_name="revenue")))

@@ -1,0 +1,100 @@
+"""stages/join.py: shuffle_join + broadcast_join semantics, including
+the empty-shuffle-partition regression Ray's native hash join fails
+(repo invariant, CLAUDE.md)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from textgraphs_ray.stages.join import broadcast_join, shuffle_join
+
+
+def _ds(rows: list[dict]) -> "rd.Dataset":
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+class TestShuffleJoin:
+    def test_inner_matches_pandas_merge(self):
+        left = [{"k": i % 7, "a": i} for i in range(50)]
+        right = [{"k": i % 5, "b": i * 10} for i in range(20)]
+        got = shuffle_join(_ds(left), _ds(right), "k", "k", 4).to_pandas()
+        want = pd.DataFrame(left).merge(pd.DataFrame(right), on="k")
+        assert _sorted(got).equals(_sorted(want))
+
+    def test_differing_key_names_and_project(self):
+        left = [{"lk": i, "a": i} for i in range(10)]
+        right = [{"rk": i, "b": -i} for i in range(5, 15)]
+        got = shuffle_join(_ds(left), _ds(right), "lk", "rk", 3,
+                           lambda m: m[["a", "b"]]).to_pandas()
+        assert sorted(got.columns) == ["a", "b"]
+        assert sorted(got["a"]) == list(range(5, 10))
+
+    def test_left_join_keeps_unmatched(self):
+        left = [{"k": i, "a": i} for i in range(6)]
+        right = [{"k": i, "b": i} for i in range(3)]
+        got = shuffle_join(_ds(left), _ds(right), "k", "k", 2,
+                           how="left").to_pandas()
+        assert len(got) == 6
+        assert got[got["k"] >= 3]["b"].isna().all()
+
+    def test_sparse_keys_high_partitions(self):
+        """The empty-partition case that crashes Ray's native hash
+        join: 2 distinct keys spread across 64 partitions."""
+        left = [{"k": k, "a": 1} for k in ("x", "y")]
+        right = [{"k": k, "b": 2} for k in ("y", "z")]
+        got = shuffle_join(_ds(left), _ds(right), "k", "k", 64).to_pandas()
+        assert list(got["k"]) == ["y"]
+
+    def test_string_and_int_keys(self):
+        left = [{"k": f"s{i}", "a": i} for i in range(9)]
+        right = [{"k": f"s{i}", "b": i} for i in range(0, 18, 2)]
+        got = shuffle_join(_ds(left), _ds(right), "k", "k", 5).to_pandas()
+        assert sorted(got["a"]) == [0, 2, 4, 6, 8]
+
+
+class TestBroadcastJoin:
+    def _build(self):
+        return pa.table({"nk": pa.array([1, 2, 3], pa.int64()),
+                         "name": ["ar", "br", "ca"]})
+
+    def test_inner_drops_unmatched(self):
+        probe = _ds([{"nk": i % 5, "v": i} for i in range(20)])
+        got = broadcast_join(probe, self._build(), on="nk").to_pandas()
+        assert set(got["nk"]) == {1, 2, 3}
+        want_names = {1: "ar", 2: "br", 3: "ca"}
+        assert all(want_names[k] == n
+                   for k, n in zip(got["nk"], got["name"]))
+
+    def test_left_keeps_unmatched_with_nulls(self):
+        probe = _ds([{"nk": i, "v": i} for i in range(5)])
+        got = broadcast_join(probe, self._build(), on="nk",
+                             how="left").to_pandas()
+        assert len(got) == 5
+        assert got[got["nk"].isin([0, 4])]["name"].isna().all()
+
+    def test_differing_key_names_and_column_projection(self):
+        build = pa.table({"bk": [10, 20], "x": ["a", "b"],
+                          "y": [1.0, 2.0]})
+        probe = _ds([{"k": 10}, {"k": 20}, {"k": 30}])
+        got = broadcast_join(probe, build, on="k", build_on="bk",
+                             columns=["x"]).to_pandas()
+        assert sorted(got.columns) == ["k", "x"]
+        assert list(got.sort_values("k")["x"]) == ["a", "b"]
+
+    def test_matches_pandas_merge_on_random_data(self):
+        rng = np.random.default_rng(11)
+        probe_rows = [{"k": int(k), "v": i}
+                      for i, k in enumerate(rng.integers(0, 30, 200))]
+        build = pa.table({"k": pa.array(range(0, 30, 3), pa.int64()),
+                          "w": [f"w{i}" for i in range(10)]})
+        got = broadcast_join(_ds(probe_rows), build, on="k").to_pandas()
+        want = pd.DataFrame(probe_rows).merge(build.to_pandas(), on="k")
+        assert _sorted(got).equals(_sorted(want))

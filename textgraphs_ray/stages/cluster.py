@@ -30,56 +30,10 @@ from ray.data.aggregate import Min
 from ..functions.sketch import hash64
 
 
-def _shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
-                  left_on: str, right_on: str, num_partitions: int,
-                  project) -> "ray.data.Dataset":
-    """Inner join as union + coarse hash-partition groupby + vectorized
-    per-partition pandas merge.
-
-    Ray's native hash JOIN loses its schema when a shuffle partition
-    comes up empty (repo invariant, CLAUDE.md) — with a sparse edge set
-    and high ``num_partitions`` the closure loop's joins crash with
-    "No match ... FieldRef".  Carrying both sides through ONE sort
-    shuffle keyed on a bounded hash partition sidesteps the empty-
-    partition path entirely: map_groups only ever sees non-empty
-    groups, and the merge inside each group is plain pandas.
-
-    ``project(merged_df) -> df`` selects/renames the output columns.
-    """
-    lnames = list(left.schema().names)
-    rnames = list(right.schema().names)
-    allnames = lnames + [c for c in rnames if c not in lnames]
-
-    def widen(names: list, key: str, side: int):
-        def fn(t: pa.Table) -> pd.DataFrame:
-            df = t.to_pandas()
-            for c in allnames:
-                if c not in df.columns:
-                    df[c] = None
-            df["_side"] = np.int8(side)
-            df["_part"] = (pd.util.hash_array(df[key].to_numpy(object))
-                           % num_partitions).astype(np.int32)
-            return df[allnames + ["_side", "_part"]]
-        return fn
-
-    both = (left.map_batches(widen(lnames, left_on, 0),
-                             batch_format="pyarrow")
-            .union(right.map_batches(widen(rnames, right_on, 1),
-                                     batch_format="pyarrow")))
-
-    def merge(g: pd.DataFrame) -> pa.Table:
-        lt = g[g["_side"] == 0][lnames]
-        rt = g[g["_side"] == 1][rnames]
-        if left_on == right_on:
-            m = lt.merge(rt, on=left_on, how="inner")
-        else:
-            m = lt.merge(rt, left_on=left_on, right_on=right_on,
-                         how="inner")
-        # emit Arrow so downstream union with arrow-block datasets keeps
-        # one block type
-        return pa.Table.from_pandas(project(m), preserve_index=False)
-
-    return both.groupby("_part").map_groups(merge, batch_format="pandas")
+# The empty-partition-safe join now lives in stages/join.py as the
+# public ``shuffle_join`` operator; the closure loop rides it with the
+# same positional signature it always had.
+from .join import shuffle_join as _shuffle_join  # noqa: E402
 
 
 def _both_directions(batch: pa.Table) -> pa.Table:
