@@ -1353,14 +1353,18 @@ def _q_vocab_stats(sf_dir: str):
     row.  The canonical wide-distinct pattern at corpus scale."""
     docs = _docs(sf_dir, columns=["text"])
 
-    import re as _re
-
-    tok = _re.compile(r"[a-z]+")
+    # the repo's one corpus-tokenizer convention (tfidf.py, matches the
+    # SQL regexp_split_to_array('[^a-z]+') oracles)
+    from textgraphs_ray.stages.tfidf import _WORD
 
     def terms(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
         joined = "\x00".join(x.lower() if x else "" for x in texts)
-        words, counts = np.unique(tok.findall(joined), return_counts=True)
+        toks = _WORD.findall(joined)
+        if not toks:  # token-free batch: np.unique([]) is float64
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, counts = np.unique(toks, return_counts=True)
         return pa.table({"term": pa.array(words, pa.string()),
                          "n": pa.array(counts, pa.int64())})
 
@@ -1894,7 +1898,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
         "split_assign": """
-            WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            WITH f AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
+                       FROM documents),
             k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY fp),
             u AS (SELECT fp,
                          ('0x' || substr(md5(keeper::VARCHAR), 1, 8))::UBIGINT

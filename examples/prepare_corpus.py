@@ -79,8 +79,11 @@ def main() -> None:
     clean = (decontaminate(stripped, bench, n=8)
              .filter(expr="contaminated == 0"))
 
-    # 4. leakage-safe train/val split: hash the exact-dup keeper so
-    #    duplicates never straddle splits, then keep the train side
+    # 4. deterministic train/val split.  Hashing doc_id is
+    #    leakage-safe HERE because curate() already removed exact and
+    #    near duplicates upstream; if dedup were skipped or loosened,
+    #    pass the dup-cluster keeper as key_col instead (the
+    #    split_assign query shows that composition)
     from textgraphs_ray.stages.sampling import hash_split
 
     split = hash_split(clean, splits={"train": 0.9, "val": 0.1},
@@ -91,7 +94,7 @@ def main() -> None:
     mixed = interleave_sources(train, weights={"src1": 3, "src2": 1},
                                stop="all_exhausted")
 
-    # 5. token-budget packing and shard routing, then partitioned write
+    # 6. token-budget packing and shard routing, then partitioned write
     def add_len(t: pa.Table) -> pa.Table:
         n = [len((x or "").split()) for x in t.column("text").to_pylist()]
         return t.append_column("n_tokens", pa.array(n, pa.int64()))

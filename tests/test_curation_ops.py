@@ -209,3 +209,14 @@ class TestChunkWindows:
                  ["chunk_text"].tolist())
             rebuilt = "".join([c[:400] for c in g[:-1]] + g[-1:])
             assert rebuilt == d["text"]
+
+
+class TestHashSplitValidation:
+    def test_over_one_fractions_raise(self):
+        import pytest
+
+        from textgraphs_ray.stages.sampling import hash_split
+
+        with pytest.raises(ValueError, match="sum"):
+            hash_split(_ds([{"doc_id": 1}]),
+                       splits={"train": 0.8, "val": 0.3})

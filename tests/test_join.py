@@ -98,3 +98,37 @@ class TestBroadcastJoin:
         got = broadcast_join(_ds(probe_rows), build, on="k").to_pandas()
         want = pd.DataFrame(probe_rows).merge(build.to_pandas(), on="k")
         assert _sorted(got).equals(_sorted(want))
+
+
+class TestReviewRegressions:
+    def test_shuffle_join_default_project_keeps_both_keys(self):
+        """Documented default: pandas-merge semantics — both key
+        columns survive when names differ."""
+        left = [{"lk": i, "a": i} for i in range(4)]
+        right = [{"rk": i, "b": i} for i in range(4)]
+        got = shuffle_join(_ds(left), _ds(right), "lk", "rk",
+                           2).to_pandas()
+        assert sorted(got.columns) == ["a", "b", "lk", "rk"]
+
+    def test_broadcast_join_columns_may_include_key(self):
+        build = pa.table({"k": [1, 2], "x": ["a", "b"]})
+        probe = _ds([{"k": 1}, {"k": 2}])
+        got = broadcast_join(probe, build, on="k",
+                             columns=["k", "x"]).to_pandas()
+        assert sorted(got.columns) == ["k", "x"]
+
+    def test_broadcast_join_empty_columns_is_semijoin(self):
+        build = pa.table({"k": [1], "x": ["a"]})
+        probe = _ds([{"k": 1, "v": 9}, {"k": 2, "v": 8}])
+        got = broadcast_join(probe, build, on="k",
+                             columns=[]).to_pandas()
+        assert sorted(got.columns) == ["k", "v"]
+        assert list(got["k"]) == [1]
+
+    def test_broadcast_join_unknown_column_raises(self):
+        import pytest
+
+        build = pa.table({"k": [1], "x": ["a"]})
+        with pytest.raises(ValueError, match="nope"):
+            broadcast_join(_ds([{"k": 1}]), build, on="k",
+                           columns=["nope"])

@@ -42,8 +42,9 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     per-partition pandas merge (empty-partition-safe; see module doc).
 
     ``project(merged_df) -> df`` selects/renames output columns
-    (default: all columns, right key dropped when names differ).
-    ``how`` is ``"inner"`` or ``"left"``.  ``num_partitions`` bounds
+    (default: every column of both sides — including BOTH key columns
+    when the names differ, pandas-merge semantics; pass a project to
+    drop one).  ``how`` is ``"inner"`` or ``"left"``.  ``num_partitions`` bounds
     per-task group size — size it ≈ total rows / (rows a worker can
     merge in memory).
     """
@@ -96,15 +97,22 @@ def broadcast_join(probe: "ray.data.Dataset", build: pa.Table, *,
     ``pc.index_in`` + ``take`` — no shuffle, no per-row Python.
 
     ``columns`` limits which build columns are appended (default: all
-    but the key).  ``how="left"`` keeps unmatched probe rows with null
-    build columns; ``"inner"`` drops them.  Duplicate build keys keep
-    the FIRST occurrence (dimension tables are unique-keyed by
-    contract — assert upstream if unsure).
+    but the key; the key itself is never appended — pass ``[]`` for a
+    pure semi-join that appends nothing).  ``how="left"`` keeps
+    unmatched probe rows with null build columns; ``"inner"`` drops
+    them.  Duplicate build keys keep the FIRST occurrence (dimension
+    tables are unique-keyed by contract — assert upstream if unsure).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     bkey = build_on or on
-    out_cols = columns or [c for c in build.column_names if c != bkey]
+    if columns is None:
+        out_cols = [c for c in build.column_names if c != bkey]
+    else:
+        missing = [c for c in columns if c not in build.column_names]
+        if missing:
+            raise ValueError(f"columns not in build table: {missing}")
+        out_cols = [c for c in columns if c != bkey]
     build = build.combine_chunks()
     b_ref = ray.put(build.select([bkey] + out_cols))
 

@@ -102,6 +102,11 @@ class RelationScorer:
                  min_prob: float = MIN_PROB) -> None:
         self.max_skip = max_skip
         self.min_prob = min_prob
+        # the stand-in classifier's label space IS the model's trained
+        # vocabulary (OpenNRE wiki80 — the public property labels in
+        # REL_PROP_CACHE): a real RE head returns argmax over exactly
+        # this set, never a raw verb from the text
+        self._vocab = sorted(kg.REL_PROP_CACHE)
 
     def _score(self, rel_lemma: str) -> float:
         """Deterministic stand-in for the model softmax: stable in
@@ -115,11 +120,17 @@ class RelationScorer:
                     rel_lemma: str) -> tuple:
         """Pair-scoring hook → (prob, model_rel_label | None).
 
-        The base class scores from the connecting verb lemma alone
-        (deterministic stand-in); :class:`OpenNREScorer` overrides this
+        The base class is the deterministic model stand-in: the
+        connecting verb lemma maps stably into the wiki80 label space
+        (a real classifier also returns one of its trained relation
+        labels, never the verb itself), and the probability is a
+        stable pseudo-softmax.  :class:`OpenNREScorer` overrides this
         with real model inference over the pair's sentence context."""
         del span_texts, i, j
-        return self._score(rel_lemma), None
+        import hashlib
+        h = int(hashlib.blake2b(rel_lemma.encode(), digest_size=4)
+                .hexdigest(), 16)
+        return self._score(rel_lemma), self._vocab[h % len(self._vocab)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .extract import analyze_spans

@@ -76,6 +76,9 @@ def hash_split(ds: "ray.data.Dataset", *, splits: dict[str, float],
     """
     names = list(splits.keys())
     bounds = np.cumsum([splits[n] for n in names])
+    if len(bounds) and bounds[-1] > 1.0 + 1e-9:
+        raise ValueError(
+            f"split fractions sum to {bounds[-1]:.4f} > 1: {splits}")
 
     def assign(t: pa.Table) -> pa.Table:
         u = md5_frac(t.column(key_col).to_pylist())
