@@ -1382,6 +1382,44 @@ def _q_vocab_stats(sf_dir: str):
     })
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra–Gries heavy hitters (functions/freq.py): top-20 part
+    types by frequency via a bounded mergeable summary — constant
+    ``capacity`` counters per block instead of the exact plan's full
+    distinct-value shuffle.  Capacity (512) exceeds the column's
+    distinct count (150), so the summary is provably exact and the
+    DuckDB oracle value-hash-checks it; the lossy regime's error
+    bound is pytest-asserted instead (tests/test_freq.py)."""
+    from textgraphs_ray.functions.freq import mg_agg, top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type"])
+    summary = ds.aggregate(
+        mg_agg("p_type", capacity=512, alias_name="hh"))["hh"]
+    rows = top_k(summary, 20)
+    return pd.DataFrame({"item": [r[0] for r in rows],
+                         "cnt": np.asarray([r[1] for r in rows], np.int64)})
+
+
+def _q_bloom_anti_join(sf_dir: str):
+    """Bloom-prefiltered exact anti-join (stages/join.py
+    `bloom_anti_join`): customers with no orders.  The Bloom bitmap
+    over the order keys is built as a Dataset aggregate and broadcast
+    once; probe rows that fail it skip the shuffle entirely, the small
+    candidate remainder is verified with an exact distributed
+    anti-join — output is exactly SQL ANTI JOIN semantics (false
+    positives only cost verify work, never change answers)."""
+    from textgraphs_ray.stages.join import bloom_anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+              .filter(expr="o_totalprice > 300000")
+              .select_columns(["o_custkey"]))
+    return bloom_anti_join(cust, orders, "c_custkey", "o_custkey",
+                           num_partitions=16)
+
+
 def _q_partitioned_sink(sf_dir: str):
     """S9 resumable output: write documents partitioned by lang (one
     directory per partition key — a failed run skips finished
@@ -1551,6 +1589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "chunk_windows": _q_chunk_windows,
         "vocab_stats": _q_vocab_stats,
+        "heavy_hitters": _q_heavy_hitters,
+        "bloom_anti_join": _q_bloom_anti_join,
     }
 
 
@@ -1570,6 +1610,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (
                 SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "heavy_hitters": """
+            SELECT p_type AS item, count(*) AS cnt
+            FROM part GROUP BY p_type
+            ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "bloom_anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
         """,
         "o1_topk": """
             SELECT o_orderkey, round(o_totalprice, 2) AS total

@@ -44,12 +44,14 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     ``project(merged_df) -> df`` selects/renames output columns
     (default: every column of both sides — including BOTH key columns
     when the names differ, pandas-merge semantics; pass a project to
-    drop one).  ``how`` is ``"inner"`` or ``"left"``.  ``num_partitions`` bounds
-    per-task group size — size it ≈ total rows / (rows a worker can
-    merge in memory).
+    drop one).  ``how`` is ``"inner"``, ``"left"``, ``"semi"`` or
+    ``"anti"`` (semi/anti emit only left columns: left rows with ≥1 /
+    no match).  ``num_partitions`` bounds per-task group size — size it
+    ≈ total rows / (rows a worker can merge in memory).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
     lnames = list(left.schema().names)
     rnames = list(right.schema().names)
     allnames = lnames + [c for c in rnames if c not in lnames]
@@ -74,7 +76,10 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     def merge(g: pd.DataFrame) -> pa.Table:
         lt = g[g["_side"] == 0][lnames]
         rt = g[g["_side"] == 1][rnames]
-        if left_on == right_on:
+        if how in ("semi", "anti"):
+            hit = lt[left_on].isin(rt[right_on].unique())
+            m = lt[hit] if how == "semi" else lt[~hit]
+        elif left_on == right_on:
             m = lt.merge(rt, on=left_on, how=how)
         else:
             m = lt.merge(rt, left_on=left_on, right_on=right_on,
@@ -128,3 +133,75 @@ def broadcast_join(probe: "ray.data.Dataset", build: pa.Table, *,
         return t
 
     return probe.map_batches(lookup, batch_format="pyarrow")
+
+
+def bloom_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                    left_on: str, right_on: str, *,
+                    expected: int | None = None, fp_rate: float = 0.01,
+                    num_partitions: int = 32) -> "ray.data.Dataset":
+    """Exact ANTI JOIN (left rows with no key match in ``right``) where
+    BOTH sides are too large to broadcast raw — the 100 TB plan for
+    "drop every row whose key appears over there".
+
+    Physical plan:
+
+    1. **Build** a Bloom bitmap over ``right``'s keys as a Dataset
+       aggregate (``functions/bloom.py`` — per-block bitmap partials,
+       bitwise-OR merge; constant ~1.2 bytes/key at 1% FP regardless of
+       key count) and ``ray.put`` it once.
+    2. **Pre-filter**: one stateless pass over ``left``; rows whose key
+       fails the Bloom test are *definitely* unmatched (no false
+       negatives) and are emitted directly — they never enter a
+       shuffle.  That is the entire scale win: at a typical 1-10% match
+       rate, ~90-99% of the probe side skips the exchange.
+    3. **Verify** the small candidate remainder (true matches + ~1%
+       false positives) with an exact distributed semi/anti join
+       against ``right``'s per-block-distinct keys (:func:`shuffle_join`
+       ``how="anti"``), so false positives are winnowed and the output
+       is exactly the SQL ``ANTI JOIN`` — the Bloom never changes
+       answers, only how many rows pay the shuffle.
+
+    ``expected``: approximate distinct-key count of ``right`` used to
+    size the filter (defaults to ``right.count()``, cheap parquet
+    metadata for file-backed datasets; pass it explicitly when
+    ``right`` is a derived pipeline to avoid executing it twice).
+    ``left`` is consumed by two streaming passes (pre-filter branch +
+    candidate branch); materialize it first if it is expensive to
+    recompute.
+    """
+    from ..functions.bloom import bloom_agg, bloom_contains, bloom_params
+
+    if expected is None:
+        expected = right.count()
+    m_bits, k = bloom_params(expected, fp_rate)
+    name = f"bloom({right_on})"
+    bitmap = right.aggregate(bloom_agg(right_on, m_bits=m_bits, k=k,
+                                       alias_name=name))[name]
+    bm_ref = ray.put(np.ascontiguousarray(bitmap))
+
+    def split(maybe: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            bm = ray.get(bm_ref)
+            hit = bloom_contains(
+                bm, t.column(left_on).to_numpy(zero_copy_only=False), k)
+            return t.filter(pa.array(hit if maybe else ~hit))
+        return fn
+
+    definite = left.map_batches(split(False), batch_format="pyarrow")
+    candidates = left.map_batches(split(True), batch_format="pyarrow")
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.table({right_on: pc.unique(t.column(right_on))})
+
+    right_keys = right.select_columns([right_on]).map_batches(
+        distinct_keys, batch_format="pyarrow")
+    verified = shuffle_join(candidates, right_keys, left_on, right_on,
+                            num_partitions, how="anti")
+    # pandas→arrow round-trips in the verify path type empty string
+    # columns as null; cast back to the probe schema so the union of
+    # the two branches keeps one block type
+    lschema = pa.schema(list(zip(left.schema().names, left.schema().types)))
+    verified = verified.map_batches(
+        lambda t: t.cast(lschema) if t.schema != lschema else t,
+        batch_format="pyarrow")
+    return definite.union(verified)
