@@ -401,6 +401,23 @@ def _q_knn_lsh(sf_dir: str):
     return out
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (stages/similarity.py `knn_pq`):
+    vectors compressed to m_sub uint8 codes (32× at D=64), queries
+    scored via per-subspace lookup tables (ADC) — the memory-bound
+    scale path at 10^9+ vectors.  Approximate by construction ⇒
+    rows-only; recall and the ADC math are pytest-asserted against
+    brute force (tests/test_pq.py)."""
+    from textgraphs_ray.stages.similarity import knn_pq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = knn_pq(ds, duck_queries_mat(sf_dir), k=5, m_sub=8,
+                 n_centroids=64)
+    out["sim"] = out["sim"].round(4)
+    return out
+
+
 def _q_media_features(sf_dir: str):
     from textgraphs_ray.stages.media import (DecodeStub, MediaFeaturizer,
                                              ResizeStub, synth_media_table)
@@ -1382,6 +1399,19 @@ def _q_vocab_stats(sf_dir: str):
     })
 
 
+def _q_bm25_topk(sf_dir: str):
+    """BM25 lexical retrieval (stages/tfidf.py `bm25_topk`): top-10
+    documents for a fixed term query.  Pass 1 folds per-block partial
+    (N, Σdl, per-term df) rows — never a vocabulary shuffle; pass 2 is
+    a stateless scoring scan with block-local top-k truncation, so the
+    driver merge sees ≤ blocks·k rows.  Standard smooth idf, exactly
+    reproduced by the DuckDB oracle."""
+    from textgraphs_ray.stages.tfidf import bm25_topk
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return bm25_topk(docs, ["hash", "join", "scan"], k=10)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra–Gries heavy hitters (functions/freq.py): top-20 part
     types by frequency via a bounded mergeable summary — constant
@@ -1533,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_semantic": _q_dedup_semantic,
         "knn_lsh": _q_knn_lsh,
+        "knn_pq": _q_knn_pq,
         "media_features": _q_media_features,
         "lang_id": _q_lang_id,
         "a3_distinct_count": _q_a3_distinct_count,
@@ -1591,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats": _q_vocab_stats,
         "heavy_hitters": _q_heavy_hitters,
         "bloom_anti_join": _q_bloom_anti_join,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -1615,6 +1647,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_type AS item, count(*) AS cnt
             FROM part GROUP BY p_type
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "bm25_topk": """
+            WITH w AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS term
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+            ), stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT count(*) FROM w) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), qt AS (SELECT unnest(['hash','join','scan']) AS term),
+            df AS (
+              SELECT qt.term, count(DISTINCT w.doc_id) AS df
+              FROM qt LEFT JOIN w ON w.term = qt.term GROUP BY qt.term
+            ), tf AS (
+              SELECT w.doc_id, w.term, count(*) AS tf
+              FROM w JOIN qt USING (term) GROUP BY w.doc_id, w.term
+            ), scored AS (
+              SELECT tf.doc_id,
+                     sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * tf.tf * (1.2 + 1.0)
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * dl.dl / stats.avgdl))
+                         ) AS score_raw
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score_raw, 6) AS score
+            FROM scored ORDER BY score_raw DESC, doc_id LIMIT 10
         """,
         "bloom_anti_join": """
             SELECT c_custkey, c_name FROM customer c

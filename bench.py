@@ -32,12 +32,21 @@ CORPUS_DIR = os.environ.get(
 
 def ensure_corpus() -> str:
     """Deterministic F5 corpus in the input_hint schema (built once,
-    reused across bench invocations and both scaling levels)."""
+    reused across bench invocations and both scaling levels).
+
+    Shard count scales with corpus size: a generation worker holds one
+    whole shard as Python span dicts before the Arrow conversion
+    (~1.2 GB per 25k docs at 200 filler spans), so 32 fixed shards at
+    3.2M docs put 32 × ~4 GB in flight and thrashed the host; capping
+    a shard at 25k docs bounds pool-wide peak memory at ~38 GB
+    regardless of corpus size."""
     marker = os.path.join(CORPUS_DIR, "truth.parquet")
     if not os.path.exists(marker):
         from textgraphs_ray.corpus import write_corpus
 
-        write_corpus(CORPUS_DIR, ER_DOCS, shards=32, filler_spans=FILLER)
+        shards = max(32, ER_DOCS // 25_000)
+        write_corpus(CORPUS_DIR, ER_DOCS, shards=shards,
+                     filler_spans=FILLER)
     return CORPUS_DIR
 
 
@@ -247,12 +256,17 @@ def _burn(n: int) -> int:
 
 
 def scaling() -> None:
-    # Scaling verdicts need a compute-dominated job: at 20k tiny docs
-    # the fixed per-stage costs (stage startup, driver union-find,
-    # small shuffles) flatten the curve, so the N-vs-4N comparison runs
-    # the ER chain over 800k web-document-sized docs (200 extra filler
-    # spans each ≈ realistic token counts) unless overridden.
-    scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "800000")
+    # Scaling verdicts need a compute-dominated job: the corpus
+    # vocabulary is bounded, so every stage AFTER mention-distinct
+    # (blocking, scoring, closure) is near-constant cost (~7 s of
+    # small shuffles) regardless of doc count — a fixed term that
+    # flattens the curve unless extraction dominates.  Stage-level
+    # profile at 800k docs: extract+mentions ~14-36 s, pairs+score
+    # ~3 s, closure ~3 s.  3.2M web-document-sized docs (200 filler
+    # spans each) push the parallel fraction past 90% at 32 CPUs and
+    # make each leg minutes long, which also averages over the
+    # host's minute-scale speed drift.
+    scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "3200000")
     scaling_filler = os.environ.get("GRAFT_SCALING_FILLER", "200")
     # The sandbox host's wall-clock speed drifts up to ~3x between
     # fresh processes minutes apart (BASELINE.md) — a single lo/hi
@@ -277,12 +291,15 @@ def scaling() -> None:
     runs_lo, runs_hi = [], []
     hw_lo, hw_hi = [], []
     for _ in range(reps):
-        # hardware calibration bracket each Ray leg so the ceiling is
+        # hardware calibration brackets each Ray leg so the ceiling is
         # measured under the same host conditions as the job itself
         hw_lo.append(_hw_throughput(lo))
         runs_lo.append(run(lo))
         hw_hi.append(_hw_throughput(hi))
         runs_hi.append(run(hi))
+    # close the bracket: one final probe pair after the last legs
+    hw_lo.append(_hw_throughput(lo))
+    hw_hi.append(_hw_throughput(hi))
     t_lo = min(r["queries"]["er_resolve"] for r in runs_lo)
     t_hi = min(r["queries"]["er_resolve"] for r in runs_hi)
     best_lo = min(runs_lo, key=lambda r: r["queries"]["er_resolve"])

@@ -244,3 +244,35 @@ class TestRelIRIResolution:
 
         assert KGWikiMedia().resolve_rel_iri("author") == \
             "http://www.wikidata.org/prop/direct/P50"
+
+
+class TestEntityQIDResolution:
+    """J10 two-tier entity→QID resolution (reference kg.py:1068-1142):
+    cached public sameAs facts yield real canonical QIDs; misses yield
+    a collision-safe pseudo-QID (or nothing under strict=True, the
+    reference's no-edge-on-API-miss behavior)."""
+
+    def test_cached_entities_resolve_to_real_qids(self):
+        from textgraphs_ray.functions.kg import wikidata_iri
+
+        assert wikidata_iri("Germany") == \
+            "http://www.wikidata.org/entity/Q183"
+        assert wikidata_iri("werner herzog") == \
+            "http://www.wikidata.org/entity/Q44131"
+        assert wikidata_iri("  Berlin ") == \
+            "http://www.wikidata.org/entity/Q64"
+
+    def test_miss_yields_stable_collision_safe_pseudo_qid(self):
+        from textgraphs_ray.functions.kg import wikidata_iri
+
+        a = wikidata_iri("Dietrich Herzog")
+        assert a == wikidata_iri("Dietrich Herzog")  # deterministic
+        qnum = int(a.rsplit("Q", 1)[1])
+        assert qnum >= 2_000_000_000  # far above the real QID range
+
+    def test_strict_miss_emits_nothing(self):
+        from textgraphs_ray.functions.kg import wikidata_iri
+
+        assert wikidata_iri("Dietrich Herzog", strict=True) == ""
+        assert wikidata_iri("Germany", strict=True) == \
+            "http://www.wikidata.org/entity/Q183"

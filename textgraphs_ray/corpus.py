@@ -254,7 +254,13 @@ def write_corpus(out_dir: str, n_docs: int, *, seed: int = 42,
         shard += 1
 
     if n_docs >= 50_000 and len(jobs) > 1:
-        with mp.get_context("fork").Pool(
+        # SPAWN, not fork: callers (bench.py, the driver) have already
+        # imported ray, whose import starts background threads — fork
+        # from a threaded process inherits locked mutexes and the
+        # worker pool deadlocks on futexes (observed hanging a 3.2M-doc
+        # generation at 32 workers).  Spawned workers re-import the
+        # package cleanly; output is byte-identical either way.
+        with mp.get_context("spawn").Pool(
                 min(len(jobs), os.cpu_count() or 8)) as pool:
             truth_paths = pool.map(_write_shard, jobs)
     else:

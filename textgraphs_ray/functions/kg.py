@@ -149,12 +149,58 @@ def link_iri(canonical_surface: str) -> str:
     return NS_PREFIX["dbr"] + iri_slug(canonical_surface)
 
 
-def wikidata_iri(canonical_surface: str) -> str:
-    """Deterministic pseudo-QID for the secondary Wikidata link
-    (stand-in for reference kg.py:1068-1142)."""
+# Surface form → Wikidata QID for well-known entities: public
+# ``owl:sameAs`` facts (every pair below is published by both DBPedia
+# and Wikidata).  This is the same two-tier shape as REL_PROP_CACHE —
+# the warm cache the reference accumulates by querying the live
+# Wikidata API per entity (kg.py:1068-1142); offline, a pre-resolved
+# cache of unambiguous entities is the faithful equivalent.
+ENTITY_QID_CACHE: dict[str, str] = {
+    # countries
+    "germany": "Q183", "france": "Q142", "united states": "Q30",
+    "united kingdom": "Q145", "japan": "Q17", "china": "Q148",
+    "india": "Q668", "russia": "Q159", "italy": "Q38", "spain": "Q29",
+    "canada": "Q16", "australia": "Q408", "brazil": "Q155",
+    "austria": "Q40", "switzerland": "Q39", "netherlands": "Q55",
+    "sweden": "Q34", "norway": "Q20", "poland": "Q36",
+    # cities
+    "berlin": "Q64", "paris": "Q90", "london": "Q84",
+    "new york city": "Q60", "tokyo": "Q1490", "rome": "Q220",
+    "vienna": "Q1741", "munich": "Q1726", "moscow": "Q649",
+    "madrid": "Q2807", "amsterdam": "Q727",
+    # continents / planet
+    "earth": "Q2", "europe": "Q46", "asia": "Q48", "africa": "Q15",
+    # people (incl. the reference's own demo subject, Werner Herzog)
+    "albert einstein": "Q937", "isaac newton": "Q935",
+    "charles darwin": "Q1035", "marie curie": "Q7186",
+    "william shakespeare": "Q692", "leonardo da vinci": "Q762",
+    "wolfgang amadeus mozart": "Q254", "ludwig van beethoven": "Q255",
+    "johann sebastian bach": "Q1339", "barack obama": "Q76",
+    "angela merkel": "Q567", "werner herzog": "Q44131",
+    # languages
+    "english": "Q1860", "german": "Q188", "french": "Q150",
+}
+
+
+def wikidata_iri(canonical_surface: str, *, strict: bool = False) -> str:
+    """Surface form → Wikidata entity IRI, two-tier like the
+    reference's per-entity API resolution (kg.py:1068-1142):
+    a cache hit yields the REAL canonical QID (public sameAs facts,
+    ``ENTITY_QID_CACHE``); a miss yields a deterministic content-hash
+    pseudo-QID stand-in — or ``""`` under ``strict=True``, matching
+    the reference's emit-no-sameAs-edge-on-API-miss behavior
+    (``sameas_edges`` drops empty ``wd_iri`` rows)."""
+    qid = ENTITY_QID_CACHE.get(canonical_surface.strip().lower())
+    if qid is not None:
+        return NS_PREFIX["wd_ent"] + qid
+    if strict:
+        return ""
     import hashlib
     h = int(hashlib.sha1(canonical_surface.encode("utf-8")).hexdigest()[:8], 16)
-    return NS_PREFIX["wd_ent"] + f"Q{h % 10_000_000}"
+    # pseudo ids live far above the real QID range (~1.3e8 as of 2025)
+    # so a stand-in can never collide with a cached real entity and
+    # spuriously merge two clusters through the sameAs closure
+    return NS_PREFIX["wd_ent"] + f"Q{2_000_000_000 + h}"
 
 
 # Relation label → Wikidata property id, for the relation vocabularies

@@ -140,3 +140,91 @@ def unigram_logprob(ds: "ray.data.Dataset", *, text_col: str = "text",
                              "logprob": out_val})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(ds: "ray.data.Dataset", query_terms: list, *, k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> pd.DataFrame:
+    """Top-k documents for a term query under BM25 (Robertson et al.,
+    the Okapi weighting every lexical retrieval stack uses) →
+    DataFrame (doc_id, score), score desc / doc_id asc.
+
+    Two passes, both embarrassingly parallel:
+
+    1. **corpus stats** — one ``map_batches`` emits a single partial
+       row per block: doc count, total token count, and per-query-term
+       document frequencies (only the handful of query terms is
+       counted — never a full vocabulary shuffle).  Driver folds the
+       ≤ #blocks tiny rows.
+    2. **score** — one stateless pass; each doc computes tf for the
+       query terms + its own length, scores
+       ``idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))`` and emits only
+       matching docs, pre-truncated to the block-local top-k, so the
+       driver merge sees ≤ blocks·k rows.
+
+    ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)`` — the standard
+    non-negative smooth, expressible verbatim in the DuckDB oracle
+    (``bm25_topk``); scores round to 6dp on both sides (same last-ulp
+    argument as ``tfidf_topk``)."""
+    terms = sorted(set(query_terms))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n, total_dl = 0, 0
+        df = dict.fromkeys(terms, 0)
+        for t in batch.column(text_col).to_pylist():
+            words = _WORD.findall((t or "").lower())
+            n += 1
+            total_dl += len(words)
+            ws = set(words)
+            for q in terms:
+                if q in ws:
+                    df[q] += 1
+        cols = {"n": pa.array([n], pa.int64()),
+                "sum_dl": pa.array([total_dl], pa.int64())}
+        for i, q in enumerate(terms):
+            cols[f"df_{i}"] = pa.array([df[q]], pa.int64())
+        return pa.table(cols)
+
+    agg = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    # an empty dataset yields zero stat rows (no columns at all)
+    n_docs = int(agg["n"].sum()) if "n" in agg.columns else 0
+    if n_docs == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="object"),
+                             "score": pd.Series([], dtype="float64")})
+    avgdl = float(agg["sum_dl"].sum()) / n_docs
+    idf = {q: float(np.log((n_docs - int(agg[f"df_{i}"].sum()) + 0.5)
+                           / (int(agg[f"df_{i}"].sum()) + 0.5) + 1.0))
+           for i, q in enumerate(terms)}
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        out_id, out_s = [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            words = _WORD.findall((t or "").lower())
+            if not words:
+                continue
+            dl = len(words)
+            s = 0.0
+            hit = False
+            for q in terms:
+                tf = words.count(q)
+                if tf:
+                    hit = True
+                    s += (idf[q] * tf * (k1 + 1.0)
+                          / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            if hit:
+                out_id.append(did)
+                out_s.append(s)
+        part = pd.DataFrame({"doc_id": out_id, "score": out_s})
+        return part.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(k)
+
+    merged = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if merged.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="object"),
+                             "score": pd.Series([], dtype="float64")})
+    top = (merged.sort_values(["score", "doc_id"],
+                              ascending=[False, True], kind="stable")
+           .head(k).reset_index(drop=True))
+    top["score"] = top["score"].astype("float64").round(6)
+    return top
