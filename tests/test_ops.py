@@ -951,3 +951,46 @@ def test_knn_self_join_exact_at_full_probe_and_recall():
         [("vec_id", pa.int64()),
          ("embedding", pa.list_(pa.float32()))]).empty_table())
     assert knn_self_join(empty).count() == 0
+
+
+def test_rebel_generator_wiring():
+    """The real-model mREBEL kernel: registry gate matches the
+    transformers import; an injected generator drives the seq2seq
+    linearization through parse_rebel_triplets with rel->IRI
+    resolution (wiki80 cache hit + mrebel: literal fallback)."""
+    import pyarrow as pa
+
+    from textgraphs_ray.registry import registry
+    from textgraphs_ray.stages.relations import (HAVE_TRANSFORMERS,
+                                                 RebelGenerator)
+
+    assert ("mrebel" in registry.inferrers) == HAVE_TRANSFORMERS
+    if not HAVE_TRANSFORMERS:
+        with pytest.raises(ImportError):
+            RebelGenerator()
+
+    def fake_generate(texts):
+        assert texts == ["Herzog was born in Munich.", ""]
+        return ["<s><triplet> Werner Herzog <per> Munich <loc> "
+                "place of birth </s>", ""]
+
+    batch = pa.table({"doc_id": ["d0", "d1"],
+                      "text": ["Herzog was born in Munich.", ""]})
+    out = RebelGenerator(generator=fake_generate)(batch)
+    rows = out.to_pylist()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == "d0"
+    assert rows[0]["head"] == "Werner Herzog"
+    assert rows[0]["head_type"] == "per"
+    assert rows[0]["tail"] == "Munich"
+    assert rows[0]["tail_type"] == "loc"
+    assert rows[0]["rel"] == "place of birth"
+    # wiki80-cache hit -> canonical Wikidata property IRI
+    assert rows[0]["iri"] == "http://www.wikidata.org/prop/direct/P19"
+
+    def unknown_rel(texts):
+        return ["<triplet> A <x> B <y> made up rel"] * len(texts)
+
+    out2 = RebelGenerator(generator=unknown_rel)(
+        pa.table({"doc_id": ["d2"], "text": ["ab"]}))
+    assert out2.to_pylist()[0]["iri"] == "mrebel:made_up_rel"

@@ -79,11 +79,15 @@ class Registry:
             from .stages.spacy_extract import SpacyExtractor
             self.extractors.setdefault(
                 "spacy", StageSpec(SpacyExtractor, batch_size=64))
-        from .stages.relations import HAVE_OPENNRE
+        from .stages.relations import HAVE_OPENNRE, HAVE_TRANSFORMERS
         if HAVE_OPENNRE:
             from .stages.relations import OpenNREScorer
             self.inferrers.setdefault(
                 "opennre", StageSpec(OpenNREScorer, batch_size=64))
+        if HAVE_TRANSFORMERS:
+            from .stages.relations import RebelGenerator
+            self.inferrers.setdefault(
+                "mrebel", StageSpec(RebelGenerator, batch_size=16))
         self.linkers.setdefault("local-kg", StageSpec(EntityLinker))
         self.scorers.setdefault("string-sim", StageSpec(PairScorer,
                                                         batch_size=8192))

@@ -252,3 +252,75 @@ class OpenNREScorer(RelationScorer):
         label, prob = self.model.infer(
             {"text": text, "h": {"pos": h_pos}, "t": {"pos": t_pos}})
         return float(prob), label
+
+
+try:  # capability gate — never a hard dependency (pipe.py:161-209)
+    import transformers  # noqa: F401
+
+    HAVE_TRANSFORMERS = True
+except ImportError:
+    HAVE_TRANSFORMERS = False
+
+
+class RebelGenerator:
+    """Real mREBEL seq2seq kernel (reference ``rel.py:28-106``): the HF
+    generation pipeline loads ONCE per actor in ``__init__`` (the
+    reference's ``pipeline("translation_xx_to_yy", ...)`` factory),
+    every batch generates the ``<triplet>...`` linearization for its
+    texts, and the SAME :func:`parse_rebel_triplets` state machine
+    used by the deterministic stand-in decodes it — so swapping the
+    stand-in for the model changes the kernel, not the plumbing.
+
+    ``generator`` is injectable (``texts -> list[str]`` of decoded
+    strings) so the stage is testable without model downloads — this
+    sandbox has none; with transformers installed the gated default
+    loads ``model_name``.  Registered as ``inferrers["mrebel"]`` when
+    the gate is up (registry.py)."""
+
+    def __init__(self, *, model_name: str = "Babelscape/mrebel-large",
+                 generator=None, text_col: str = "text",
+                 id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        if generator is not None:
+            self.generate = generator
+        else:
+            if not HAVE_TRANSFORMERS:
+                raise ImportError(
+                    "transformers is not installed — use RelationScorer "
+                    "(deterministic stand-in) instead")
+            from transformers import pipeline
+
+            pipe = pipeline("translation_xx_to_yy", model=model_name,
+                            tokenizer=model_name)
+            self.generate = lambda texts: [
+                o["translation_text"] for o in pipe(
+                    texts, src_lang="en_XX", tgt_lang="tp_XX")]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        decoded = self.generate([t or "" for t in texts])
+        out = {"doc_id": [], "head": [], "head_type": [], "rel": [],
+               "tail": [], "tail_type": [], "iri": []}
+        from ..functions.kg import resolve_rel_iri
+
+        for did, dec in zip(ids, decoded):
+            for trip in parse_rebel_triplets(dec or ""):
+                out["doc_id"].append(did)
+                out["head"].append(trip["head"])
+                out["head_type"].append(trip["head_type"])
+                out["rel"].append(trip["type"])
+                out["tail"].append(trip["tail"])
+                out["tail_type"].append(trip["tail_type"])
+                out["iri"].append(
+                    resolve_rel_iri(trip["type"], fallback_ns="mrebel"))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "head": pa.array(out["head"], pa.string()),
+            "head_type": pa.array(out["head_type"], pa.string()),
+            "rel": pa.array(out["rel"], pa.string()),
+            "tail": pa.array(out["tail"], pa.string()),
+            "tail_type": pa.array(out["tail_type"], pa.string()),
+            "iri": pa.array(out["iri"], pa.string()),
+        })
