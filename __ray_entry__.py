@@ -1399,6 +1399,39 @@ def _q_vocab_stats(sf_dir: str):
     })
 
 
+def _q_embedding_cov(sf_dir: str):
+    """Streamed embedding covariance (stages/pca.py
+    `embedding_moments`): per-block (n, Σx, ΣxxT) sufficient-statistic
+    partials — constant bytes per block — folded on the driver; the
+    oracle replays a 4-dim slice with DuckDB `covar_samp`.  The PCA
+    eigendecomposition consuming this is checked in tests
+    (tests/test_pca.py); covariance is the distributed part."""
+    from textgraphs_ray.stages.pca import embedding_moments
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    _, _, cov = embedding_moments(ds)
+    cols = {}
+    for i in range(4):
+        for j in range(i, 4):
+            cols[f"c{i}{j}"] = [round(float(cov[i, j]), 6)]
+    return pd.DataFrame(cols)
+
+
+def _q_pca_project(sf_dir: str):
+    """PCA projection pipeline (stages/pca.py): train top-4 components
+    from the streamed covariance, broadcast the (k, D) model once,
+    project every vector with one centered matmul per batch.
+    Eigenvectors aren't SQL-expressible ⇒ rows-only; equivalence with
+    single-process numpy PCA is pytest-asserted."""
+    from textgraphs_ray.stages.pca import pca_project, pca_train
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    model = pca_train(ds, 4)
+    return pca_project(ds, model).select_columns(["vec_id", "pca"])
+
+
 def _q_bm25_topk(sf_dir: str):
     """BM25 lexical retrieval (stages/tfidf.py `bm25_topk`): top-10
     documents for a fixed term query.  Pass 1 folds per-block partial
@@ -1623,6 +1656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "bloom_anti_join": _q_bloom_anti_join,
         "bm25_topk": _q_bm25_topk,
+        "embedding_cov": _q_embedding_cov,
+        "pca_project": _q_pca_project,
     }
 
 
@@ -1647,6 +1682,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_type AS item, count(*) AS cnt
             FROM part GROUP BY p_type
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "embedding_cov": """
+            SELECT
+              round(covar_samp(embedding[1], embedding[1]), 6) AS c00,
+              round(covar_samp(embedding[1], embedding[2]), 6) AS c01,
+              round(covar_samp(embedding[1], embedding[3]), 6) AS c02,
+              round(covar_samp(embedding[1], embedding[4]), 6) AS c03,
+              round(covar_samp(embedding[2], embedding[2]), 6) AS c11,
+              round(covar_samp(embedding[2], embedding[3]), 6) AS c12,
+              round(covar_samp(embedding[2], embedding[4]), 6) AS c13,
+              round(covar_samp(embedding[3], embedding[3]), 6) AS c22,
+              round(covar_samp(embedding[3], embedding[4]), 6) AS c23,
+              round(covar_samp(embedding[4], embedding[4]), 6) AS c33
+            FROM embeddings
         """,
         "bm25_topk": """
             WITH w AS (
