@@ -1463,6 +1463,28 @@ def _q_heavy_hitters(sf_dir: str):
                          "cnt": np.asarray([r[1] for r in rows], np.int64)})
 
 
+def _q_heavy_hitters_grouped(sf_dir: str):
+    """Grouped Misra–Gries: top-2 part types per brand via one
+    groupby-aggregate with a bounded per-group summary (the grouped
+    form of `heavy_hitters`; same exact-when-capacity≥ndv contract,
+    so the oracle value-hash-checks it)."""
+    from textgraphs_ray.functions.freq import mg_agg, top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_type"])
+    rows = ds.groupby("p_brand").aggregate(
+        mg_agg("p_type", capacity=64, alias_name="hh")).take_all()
+    out = {"p_brand": [], "item": [], "cnt": []}
+    for r in rows:
+        for item, cnt in top_k(r["hh"], 2):
+            out["p_brand"].append(r["p_brand"])
+            out["item"].append(item)
+            out["cnt"].append(cnt)
+    df = pd.DataFrame(out)
+    df["cnt"] = df["cnt"].astype("int64")
+    return df
+
+
 def _q_bloom_anti_join(sf_dir: str):
     """Bloom-prefiltered exact anti-join (stages/join.py
     `bloom_anti_join`): customers with no orders.  The Bloom bitmap
@@ -1654,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": _q_chunk_windows,
         "vocab_stats": _q_vocab_stats,
         "heavy_hitters": _q_heavy_hitters,
+        "heavy_hitters_grouped": _q_heavy_hitters_grouped,
         "bloom_anti_join": _q_bloom_anti_join,
         "bm25_topk": _q_bm25_topk,
         "embedding_cov": _q_embedding_cov,
@@ -1696,6 +1719,16 @@ def oracle_sql() -> dict[str, str]:
               round(covar_samp(embedding[3], embedding[4]), 6) AS c23,
               round(covar_samp(embedding[4], embedding[4]), 6) AS c33
             FROM embeddings
+        """,
+        "heavy_hitters_grouped": """
+            WITH c AS (
+              SELECT p_brand, p_type AS item, count(*) AS cnt,
+                     row_number() OVER (
+                         PARTITION BY p_brand
+                         ORDER BY count(*) DESC, p_type) AS rn
+              FROM part GROUP BY p_brand, p_type
+            )
+            SELECT p_brand, item, cnt FROM c WHERE rn <= 2
         """,
         "bm25_topk": """
             WITH w AS (

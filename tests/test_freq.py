@@ -68,3 +68,20 @@ class TestMisraGries:
         summary = [("a", 9), ("b", 5), ("c", 1)]
         assert top_k(summary, 2) == [("a", 9), ("b", 5)]
         assert top_k(summary, 10) == summary
+
+    def test_grouped_aggregate_exact(self):
+        """Grouped MG: per-group summaries survive the Arrow block
+        round-trip between the map and reduce phases (the accumulator
+        rides as pickled bytes — a dict would be rewritten into a
+        struct over the union of keys with None gaps)."""
+        rows = [{"g": f"g{i % 3}", "v": f"x{(i * 7) % 11}"}
+                for i in range(3_000)]
+        want: dict = {}
+        for r in rows:
+            want.setdefault(r["g"], Counter())[r["v"]] += 1
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+        out = ds.groupby("g").aggregate(
+            mg_agg("v", capacity=100, alias_name="hh")).take_all()
+        assert len(out) == 3
+        for r in out:
+            assert dict(r["hh"]) == dict(want[r["g"]])

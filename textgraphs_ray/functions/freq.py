@@ -64,24 +64,33 @@ def mg_agg(col: str, *, capacity: int,
     Finalizes to a list of ``(item, est_count)`` tuples sorted by
     (count desc, item asc) — a deterministic order so downstream top-k
     selection is reproducible across runs and cluster layouts.
-    """
+
+    The in-flight accumulator is PICKLED BYTES, not the dict itself:
+    grouped aggregation stores per-group accumulators inside Arrow
+    blocks between the map and reduce phases, and Arrow rewrites a
+    dict into a struct over the UNION of keys seen across groups —
+    missing keys come back as None and corrupt the merge.  Bytes
+    round-trip untouched (same reason uint64 hashes ride aggregates
+    as int64 bit-views, CLAUDE.md)."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
+    import pickle
 
-    def accumulate_block(acc: dict, block) -> dict:
+    def accumulate_block(acc: bytes, block) -> bytes:
         import pyarrow as pa
 
         if isinstance(block, pa.Table):
             vals = block.column(col).to_numpy(zero_copy_only=False)
         else:
             vals = block[col].to_numpy()
-        return mg_fold(acc, vals, capacity)
+        return pickle.dumps(mg_fold(pickle.loads(acc), vals, capacity))
 
     return AggregateFn(
-        init=lambda _k: {},
-        merge=lambda a, b: mg_merge(a, b, capacity),
+        init=lambda _k: pickle.dumps({}),
+        merge=lambda a, b: pickle.dumps(
+            mg_merge(pickle.loads(a), pickle.loads(b), capacity)),
         accumulate_block=accumulate_block,
-        finalize=lambda acc: sorted(acc.items(),
+        finalize=lambda acc: sorted(pickle.loads(acc).items(),
                                     key=lambda kv: (-kv[1], str(kv[0]))),
         name=alias_name or f"heavy_hitters({col})",
     )
