@@ -189,7 +189,7 @@ def bm25_topk(ds: "ray.data.Dataset", query_terms: list, *, k: int = 10,
     # an empty dataset yields zero stat rows (no columns at all)
     n_docs = int(agg["n"].sum()) if "n" in agg.columns else 0
     if n_docs == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="object"),
+        return pd.DataFrame({id_col: pd.Series([], dtype="object"),
                              "score": pd.Series([], dtype="float64")})
     avgdl = float(agg["sum_dl"].sum()) / n_docs
     idf = {q: float(np.log((n_docs - int(agg[f"df_{i}"].sum()) + 0.5)
@@ -215,15 +215,15 @@ def bm25_topk(ds: "ray.data.Dataset", query_terms: list, *, k: int = 10,
             if hit:
                 out_id.append(did)
                 out_s.append(s)
-        part = pd.DataFrame({"doc_id": out_id, "score": out_s})
-        return part.sort_values(["score", "doc_id"],
+        part = pd.DataFrame({id_col: out_id, "score": out_s})
+        return part.sort_values(["score", id_col],
                                 ascending=[False, True]).head(k)
 
     merged = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     if merged.empty:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="object"),
+        return pd.DataFrame({id_col: pd.Series([], dtype="object"),
                              "score": pd.Series([], dtype="float64")})
-    top = (merged.sort_values(["score", "doc_id"],
+    top = (merged.sort_values(["score", id_col],
                               ascending=[False, True], kind="stable")
            .head(k).reset_index(drop=True))
     top["score"] = top["score"].astype("float64").round(6)
