@@ -35,6 +35,7 @@ from ray.data.aggregate import Min, Sum
 from ..functions.sketch import (band_keys, hamming64, jaccard_shingles,
                                 minhash_batch, simhash_batch)
 from ..functions.strsim import cosine_batch
+from ..functions.vec import embeddings_to_ndarray
 from .cluster import propagate_labels
 
 PAIR_CAP_WINDOW = 8
@@ -304,8 +305,7 @@ def embedding_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = [str(v) for v in batch.column(id_col).to_pylist()]
-            emb = np.asarray(batch.column(emb_col).to_pylist(),
-                             dtype=np.float32)
+            emb = embeddings_to_ndarray(batch.column(emb_col))
             if self.planes is None:
                 rng = np.random.RandomState(seed)
                 self.planes = rng.standard_normal(
@@ -565,8 +565,7 @@ def semantic_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = [str(v) for v in batch.column(id_col).to_pylist()]
-            emb = np.asarray(batch.column(emb_col).to_pylist(),
-                             dtype=np.float32)
+            emb = embeddings_to_ndarray(batch.column(emb_col))
             en = _normalize(emb)
             cell = np.argmax(en @ self.cent.T, axis=1).astype(np.uint64)
             payload = [e.tobytes() for e in en]

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.vec import embeddings_to_ndarray
+
 import ray
 
 from ..functions.sketch import shingle_embedding_batch
@@ -77,7 +79,7 @@ def cosine_topk_brute(query_mat: np.ndarray, k: int):
     qn = query_mat / np.maximum(np.linalg.norm(query_mat, axis=1, keepdims=True), 1e-12)
 
     def score(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        emb = embeddings_to_ndarray(batch.column("embedding"))
         ids = batch.column("vec_id").to_pylist()
         en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         sims = en @ qn.T  # (N, Q)

@@ -30,6 +30,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.vec import embeddings_to_ndarray
+
 
 def embedding_moments(ds: "ray.data.Dataset", *,
                       emb_col: str = "embedding"
@@ -42,7 +44,7 @@ def embedding_moments(ds: "ray.data.Dataset", *,
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        emb = embeddings_to_ndarray(batch.column(emb_col), dtype=np.float64)
         if emb.size == 0:
             return pa.table({"n": pa.array([], pa.int64()),
                              "s1": pa.array([], pa.list_(pa.float64())),
@@ -98,7 +100,7 @@ def pca_project(ds: "ray.data.Dataset", model: dict, *,
 
     def project(batch: pa.Table) -> pa.Table:
         m = ray.get(m_ref)
-        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        emb = embeddings_to_ndarray(batch.column(emb_col), dtype=np.float64)
         if emb.size == 0:
             return batch.append_column(
                 out_col, pa.array([], pa.list_(pa.float64())))

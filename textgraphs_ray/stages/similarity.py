@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.vec import embeddings_to_ndarray, ids_to_ndarray
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -97,8 +99,8 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
 
     def score(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        emb = embeddings_to_ndarray(batch.column(emb_col))
+        ids = ids_to_ndarray(batch.column(id_col))
         sims = _normalize(emb) @ q.T  # (N, Q)
         kk = min(k + (1 if exclude_self else 0), sims.shape[0])
         out_q, out_id, out_sim = [], [], []
@@ -144,8 +146,8 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
 
     def score(batch: pa.Table) -> pa.Table:
         q, planes_m, probes = ray.get(shared)
-        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        emb = embeddings_to_ndarray(batch.column(emb_col))
+        ids = ids_to_ndarray(batch.column(id_col))
         en = _normalize(emb)
         sig = ((en @ planes_m) > 0) @ (1 << np.arange(planes_m.shape[1],
                                                       dtype=np.int64))
@@ -199,8 +201,7 @@ def kmeans_distributed(ds: "ray.data.Dataset", ncells: int, *,
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
-            emb = np.asarray(batch.column(emb_col).to_pylist(),
-                             dtype=np.float32)
+            emb = embeddings_to_ndarray(batch.column(emb_col))
             if emb.size == 0:
                 return pa.table({
                     "cell": pa.array([], pa.int32()),
@@ -284,8 +285,8 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
 
     def score(batch: pa.Table) -> pa.Table:
         q, cmat, probes = ray.get(shared)
-        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        emb = embeddings_to_ndarray(batch.column(emb_col))
+        ids = ids_to_ndarray(batch.column(id_col))
         en = _normalize(emb)
         cell = np.argmax(en @ cmat.T, axis=1)
         out_q, out_id, out_sim = [], [], []
@@ -354,9 +355,9 @@ def knn_self_join(ds: "ray.data.Dataset", *, k: int = 5,
 
     def emit(batch: pa.Table) -> pa.Table:
         cmat = ray.get(cent_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        en = _normalize(np.asarray(batch.column(emb_col).to_pylist(),
-                                   dtype=dtype))
+        ids = ids_to_ndarray(batch.column(id_col)).astype(np.int64)
+        en = _normalize(embeddings_to_ndarray(batch.column(emb_col),
+                                              dtype=dtype))
         sims = en @ cmat.T.astype(dtype)
         member_cell = np.argmax(sims, axis=1).astype(np.int32)
         probe = np.argsort(-sims, axis=1)[:, :np_].astype(np.int32)
@@ -475,7 +476,7 @@ def pq_encode(ds: "ray.data.Dataset", books: np.ndarray, *,
 
     def encode(batch: pa.Table) -> pa.Table:
         b = ray.get(b_ref)
-        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        emb = embeddings_to_ndarray(batch.column(emb_col))
         if emb.size == 0:
             return batch.append_column(
                 code_col, pa.array([], pa.list_(pa.uint8())))
@@ -520,8 +521,8 @@ def knn_pq(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
     def score(batch: pa.Table) -> pa.Table:
         b = ray.get(b_ref)
         lut = ray.get(l_ref)
-        emb = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        emb = embeddings_to_ndarray(batch.column(emb_col))
+        ids = ids_to_ndarray(batch.column(id_col))
         if emb.size == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
