@@ -1450,7 +1450,8 @@ def _q_heavy_hitters(sf_dir: str):
     types by frequency via a bounded mergeable summary — constant
     ``capacity`` counters per block instead of the exact plan's full
     distinct-value shuffle.  Capacity (512) exceeds the column's
-    distinct count (150), so the summary is provably exact and the
+    distinct count (6 in the shipped testdata; 150 on canonical
+    TPC-H), so the summary is provably exact and the
     DuckDB oracle value-hash-checks it; the lossy regime's error
     bound is pytest-asserted instead (tests/test_freq.py)."""
     from textgraphs_ray.functions.freq import mg_agg, top_k
@@ -1467,13 +1468,16 @@ def _q_heavy_hitters_grouped(sf_dir: str):
     """Grouped Misra–Gries: top-2 part types per brand via one
     groupby-aggregate with a bounded per-group summary (the grouped
     form of `heavy_hitters`; same exact-when-capacity≥ndv contract,
-    so the oracle value-hash-checks it)."""
+    so the oracle value-hash-checks it).  Capacity 512 covers the
+    worst-case per-group distinct count even on canonical TPC-H
+    (150 p_types) — below ndv the Misra–Gries trim would fire and the
+    counts would stop being exact."""
     from textgraphs_ray.functions.freq import mg_agg, top_k
 
     ds = rd.read_parquet(f"{sf_dir}/part.parquet",
                          columns=["p_brand", "p_type"])
     rows = ds.groupby("p_brand").aggregate(
-        mg_agg("p_type", capacity=64, alias_name="hh")).take_all()
+        mg_agg("p_type", capacity=512, alias_name="hh")).take_all()
     out = {"p_brand": [], "item": [], "cnt": []}
     for r in rows:
         for item, cnt in top_k(r["hh"], 2):
@@ -2114,7 +2118,8 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
               SELECT doc_id, text,
                      unnest(generate_series(
-                         0, CAST(ceil(length(text) / 400.0) AS BIGINT) - 1
+                         0, greatest(1, CAST(ceil((length(text) - 500)
+                             / 400.0) AS BIGINT) + 1) - 1
                      )) AS chunk_id
               FROM documents WHERE length(text) > 0
             )

@@ -193,6 +193,23 @@ class TestChunkWindows:
         assert set(out["doc_id"]) == {3}
         assert list(out["chunk_len"]) == [4]
 
+    def test_no_fully_covered_windows(self):
+        """When size > stride, a window whose content is entirely
+        inside the previous one is NOT emitted (len=500/size=500/
+        stride=400 used to yield a chunk [400,500) already covered by
+        chunk 0)."""
+        from textgraphs_ray.stages.text import chunk_windows
+
+        out = chunk_windows(
+            _ds([{"doc_id": 1, "text": "x" * 500},
+                 {"doc_id": 2, "text": "y" * 900},
+                 {"doc_id": 3, "text": "z" * 901}]),
+            size=500, stride=400).to_pandas()
+        per_doc = out.groupby("doc_id")["chunk_id"].count()
+        assert per_doc.loc[1] == 1      # len == size → one chunk
+        assert per_doc.loc[2] == 2      # [0,500) + [400,900)
+        assert per_doc.loc[3] == 3      # one char past → third window
+
     def test_full_coverage_reconstruction(self):
         """Stride-prefix concatenation of the chunks reproduces the
         document — no character lost or duplicated."""

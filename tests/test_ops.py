@@ -4,6 +4,7 @@ search, text analysis, media plumbing, relations, exports."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -668,6 +669,56 @@ def test_unigram_logprob():
     # doc of only the frequent word scores higher than one with a rare
     assert out.loc[1, "logprob"] > out.loc[2, "logprob"]
     assert out.loc[1, "n_words"] == 3
+
+
+def test_tfidf_distributed_path_parity():
+    """Forcing the hash-partitioned vocabulary join (broadcast_vocab_max=0)
+    must reproduce the broadcast path byte-for-byte at the 6dp contract."""
+    from textgraphs_ray.stages.tfidf import top_tfidf_terms
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 25)))
+             for _ in range(60)]
+    t = pa.table({"doc_id": list(range(60)), "text": texts})
+    cols = ["doc_id", "rank", "term", "tfidf"]
+    base = (top_tfidf_terms(rd.from_arrow(t), k=3).to_pandas()
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)[cols])
+    dist = (top_tfidf_terms(rd.from_arrow(t), k=3, broadcast_vocab_max=0,
+                            num_partitions=5).to_pandas()
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)[cols])
+    pd.testing.assert_frame_equal(base, dist, check_dtype=False)
+
+
+def test_unigram_logprob_distributed_path_parity_and_oov():
+    from textgraphs_ray.stages.tfidf import unigram_logprob
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(2, 20)))
+             for _ in range(50)]
+    t = pa.table({"doc_id": list(range(50)), "text": texts})
+    cols = ["doc_id", "n_words", "logprob"]
+    base = (unigram_logprob(rd.from_arrow(t)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)[cols])
+    dist = (unigram_logprob(rd.from_arrow(t), broadcast_vocab_max=0,
+                            num_partitions=4).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)[cols])
+    pd.testing.assert_frame_equal(base, dist, check_dtype=False)
+
+    # OOV contract: a model trained on one corpus scoring a DISJOINT
+    # corpus must not raise — unseen words take the documented floor,
+    # identically on both physical paths
+    stats_total = sum(len(x.split()) for x in texts)
+    floor = round(float(np.log(0.5 / stats_total)), 6)
+    other = pa.table({"doc_id": [999], "text": ["zzz zzz unseen"]})
+    stats = rd.from_arrow(t)
+    for bmax in (10**6, 0):
+        out = (unigram_logprob(rd.from_arrow(other), stats_ds=stats,
+                               broadcast_vocab_max=bmax,
+                               num_partitions=4)
+               .to_pandas().set_index("doc_id"))
+        assert out.loc[999, "logprob"] == floor  # all-OOV doc = floor
 
 
 def test_scrubber_and_compression_ratio():

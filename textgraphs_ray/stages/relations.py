@@ -293,9 +293,22 @@ class RebelGenerator:
 
             pipe = pipeline("translation_xx_to_yy", model=model_name,
                             tokenizer=model_name)
-            self.generate = lambda texts: [
-                o["translation_text"] for o in pipe(
-                    texts, src_lang="en_XX", tgt_lang="tp_XX")]
+
+            # Generate raw token ids and batch_decode them WITHOUT
+            # skip_special_tokens: the default pipeline text output
+            # strips the <triplet>/entity-type marker tokens that
+            # parse_rebel_triplets keys on, silently yielding zero
+            # triples (reference rel.py:145-171 decodes the same way:
+            # decoder_start_token_id=250058, tgt_lang="<triplet>",
+            # return_tensors=True, then tokenizer.batch_decode).
+            def generate(texts: list) -> list:
+                outs = pipe(texts, decoder_start_token_id=250058,
+                            src_lang="en_XX", tgt_lang="<triplet>",
+                            return_tensors=True, return_text=False)
+                return pipe.tokenizer.batch_decode(
+                    [o["translation_token_ids"] for o in outs])
+
+            self.generate = generate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()

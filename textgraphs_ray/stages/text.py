@@ -283,6 +283,11 @@ def chunk_windows(ds: "ray.data.Dataset", *, size: int = 500,
     retrieval / context-window prep step (RAG chunking, long-document
     truncation): chunk ``i`` covers ``[i*stride, i*stride + size)``,
     one output row per chunk (``doc_id, chunk_id, chunk_len[, chunk_text]``).
+    Standard sliding-window count — ``max(1, ceil((len-size)/stride)+1)``
+    chunks per non-empty doc — so a window whose content is fully
+    inside the previous one (possible whenever ``size > stride``) is
+    never emitted: redundant duplicate-content chunks would bloat a
+    RAG index with exact dups.
 
     A row-expanding stateless ``map_batches`` (output rows ≠ input
     rows, no shuffle): the chunk count per document is computed
@@ -302,7 +307,11 @@ def chunk_windows(ds: "ray.data.Dataset", *, size: int = 500,
         df = t.select([id_col, text_col]).to_pandas()
         texts = df[text_col].fillna("")
         lens = texts.str.len().to_numpy(np.int64)
-        n_chunks = -(-lens // stride)  # ceil(len/stride); 0 for empty
+        # sliding-window count: 1 chunk when len<=size, else
+        # ceil((len-size)/stride)+1; 0 for empty docs
+        n_chunks = np.where(
+            lens == 0, 0,
+            np.maximum(1, -(-(lens - size) // stride) + 1)).astype(np.int64)
         out_frames = []
         for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
             m = n_chunks > j
