@@ -232,6 +232,28 @@ def _q_tfidf_topk(sf_dir: str):
     return top_tfidf_terms(ds, k=3)
 
 
+def _q_tfidf_topk_distributed(sf_dir: str):
+    """`tfidf_topk` with the distributed vocabulary plan FORCED
+    (broadcast_vocab_max=0): the (term, idf) table never visits the
+    driver — docs explode to (doc_id, term, tf) and hash-partition-join
+    the vocabulary on term (the 100-TB raw-web-vocab path).  Same
+    oracle as `tfidf_topk` (plans are output-identical at 6dp)."""
+    from textgraphs_ray.stages.tfidf import top_tfidf_terms
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return top_tfidf_terms(ds, k=3, broadcast_vocab_max=0,
+                           num_partitions=16)
+
+
+def _q_unigram_logprob_distributed(sf_dir: str):
+    """`unigram_logprob` with the distributed vocabulary plan FORCED
+    (broadcast_vocab_max=0); same oracle as `unigram_logprob`."""
+    from textgraphs_ray.stages.tfidf import unigram_logprob
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return unigram_logprob(ds, broadcast_vocab_max=0, num_partitions=16)
+
+
 def _q_salted_agg(sf_dir: str):
     """Hot-key-safe aggregation: the same event_type rollup as
     a2_count_agg but through the salted two-stage path
@@ -712,6 +734,29 @@ def _q_substring_dedup(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return substring_dedup(ds, window=10, min_count=2)
+
+
+def _q_chunk_dedup_joinplan(sf_dir: str):
+    """`chunk_dedup` with the hash-partitioned semi-join plan FORCED
+    (dup_broadcast_max=0) — the 10^12-doc path where the distinct-dup
+    set outgrows a driver broadcast: (doc_id, pos, hash) triples
+    semi-join the dup table, positions join back, per-doc reassembly.
+    Same oracle as `chunk_dedup` (plans are output-identical)."""
+    from textgraphs_ray.stages.dedup import chunk_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return chunk_dedup(ds, words_per_chunk=20, min_count=2,
+                       dup_broadcast_max=0, num_partitions=16)
+
+
+def _q_substring_dedup_joinplan(sf_dir: str):
+    """`substring_dedup` with the semi-join plan FORCED
+    (dup_broadcast_max=0); same oracle as `substring_dedup`."""
+    from textgraphs_ray.stages.dedup import substring_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return substring_dedup(ds, window=10, min_count=2,
+                           dup_broadcast_max=0, num_partitions=16)
 
 
 def _q_pagerank_global(sf_dir: str):
@@ -1594,58 +1639,11 @@ def _q_er_resume(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # SQL-checked relational operators
-        "j1_node_upsert": _q_j1_node_upsert,
-        "j2_edge_dedup": _q_j2_edge_dedup,
-        "j3_anti_join": _q_j3_anti_join,
-        "o1_topk": _q_o1_topk,
-        "a2_count_agg": _q_a2_count_agg,
-        "m12_filter": _q_m12_filter,
-        "join_groupby": _q_join_groupby,
-        "dedup_exact": _q_dedup_exact,
-        "token_count": _q_token_count,
-        "fingerprint": _q_fingerprint,
-        "quality_punct": _q_quality,
-        "knn_brute": _q_knn_brute,
-        "m6_label_remap": _q_m6_label_remap,
-        "m9_iri_slug": _q_m9_iri_slug,
-        "a8_quantile_stripe": _q_a8_stripe,
-        "a9_rms": _q_a9_rms,
-        "o2_group_max": _q_o2_group_max,
-        # rows-only pipelines
-        "er_spans": _q_er_spans,
-        "er_clusters": _q_er_clusters,
-        "er_phrases": _q_er_phrases,
-        "gor_affinity": _q_gor_affinity,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_semantic": _q_dedup_semantic,
-        "knn_lsh": _q_knn_lsh,
-        "knn_pq": _q_knn_pq,
-        "media_features": _q_media_features,
-        "lang_id": _q_lang_id,
-        "a3_distinct_count": _q_a3_distinct_count,
-        "union_agg": _q_union,
-        "infer_relations": _q_infer_relations,
-        "rdf_export": _q_rdf_export,
-        "wordcloud": _q_wordcloud,
-        "knn_ivf": _q_knn_ivf,
-        "knn_ivf_oracle": _q_knn_ivf_oracle,
-        "knn_join": _q_knn_join,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_jaccard_oracle": _q_dedup_jaccard_oracle,
-        "chunk_dedup": _q_chunk_dedup,
-        "substring_dedup": _q_substring_dedup,
-        "kuzu_export": _q_kuzu_export,
-        "pagerank_global": _q_pagerank_global,
-        "nodelink_roundtrip": _q_nodelink_roundtrip,
-        "communities": _q_communities,
-        "ttl_bootstrap": _q_ttl_bootstrap,
-        "entity_linking": _q_entity_linking,
-        "er_resume": _q_er_resume,
-        "analyze_full": _q_analyze_full,
-        "window_agg": _q_window_agg,
+        # ---- gate-window rotation: the driver checks only the
+        # FIRST 50 entries per round.  r01/r02 verified the
+        # original head; this round rotates the previously
+        # driver-unchecked queries (plus the new forced-plan
+        # variants) into the window.  All entries stay present.
         "asof_join": _q_asof_join,
         "json_extract": _q_json_extract,
         "det_sample": _q_det_sample,
@@ -1685,10 +1683,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "embedding_cov": _q_embedding_cov,
         "pca_project": _q_pca_project,
+        "chunk_dedup_joinplan": _q_chunk_dedup_joinplan,
+        "substring_dedup_joinplan": _q_substring_dedup_joinplan,
+        "tfidf_topk_distributed": _q_tfidf_topk_distributed,
+        "unigram_logprob_distributed": _q_unigram_logprob_distributed,
+        "j1_node_upsert": _q_j1_node_upsert,
+        "dedup_exact": _q_dedup_exact,
+        "knn_brute": _q_knn_brute,
+        "er_spans": _q_er_spans,
+        "er_clusters": _q_er_clusters,
+        "dedup_minhash": _q_dedup_minhash,
+        "chunk_dedup": _q_chunk_dedup,
+        # ---- below here: previously driver-verified (r01/r02)
+        "j2_edge_dedup": _q_j2_edge_dedup,
+        "j3_anti_join": _q_j3_anti_join,
+        "o1_topk": _q_o1_topk,
+        "a2_count_agg": _q_a2_count_agg,
+        "m12_filter": _q_m12_filter,
+        "join_groupby": _q_join_groupby,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "quality_punct": _q_quality,
+        "m6_label_remap": _q_m6_label_remap,
+        "m9_iri_slug": _q_m9_iri_slug,
+        "a8_quantile_stripe": _q_a8_stripe,
+        "a9_rms": _q_a9_rms,
+        "o2_group_max": _q_o2_group_max,
+        "er_phrases": _q_er_phrases,
+        "gor_affinity": _q_gor_affinity,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_semantic": _q_dedup_semantic,
+        "knn_lsh": _q_knn_lsh,
+        "knn_pq": _q_knn_pq,
+        "media_features": _q_media_features,
+        "lang_id": _q_lang_id,
+        "a3_distinct_count": _q_a3_distinct_count,
+        "union_agg": _q_union,
+        "infer_relations": _q_infer_relations,
+        "rdf_export": _q_rdf_export,
+        "wordcloud": _q_wordcloud,
+        "knn_ivf": _q_knn_ivf,
+        "knn_ivf_oracle": _q_knn_ivf_oracle,
+        "knn_join": _q_knn_join,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_oracle": _q_dedup_jaccard_oracle,
+        "substring_dedup": _q_substring_dedup,
+        "kuzu_export": _q_kuzu_export,
+        "pagerank_global": _q_pagerank_global,
+        "nodelink_roundtrip": _q_nodelink_roundtrip,
+        "communities": _q_communities,
+        "ttl_bootstrap": _q_ttl_bootstrap,
+        "entity_linking": _q_entity_linking,
+        "er_resume": _q_er_resume,
+        "analyze_full": _q_analyze_full,
+        "window_agg": _q_window_agg,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sqls()
+    # forced-alternate-physical-plan queries are output-identical to
+    # their default-plan siblings, so they share the oracle verbatim
+    for alias, base in (("chunk_dedup_joinplan", "chunk_dedup"),
+                        ("substring_dedup_joinplan", "substring_dedup"),
+                        ("tfidf_topk_distributed", "tfidf_topk"),
+                        ("unigram_logprob_distributed",
+                         "unigram_logprob")):
+        sqls[alias] = sqls[base]
+    return sqls
+
+
+def _oracle_sqls() -> dict[str, str]:
     return {
         "j1_node_upsert": """
             SELECT lang, source, count(*) AS n_docs,

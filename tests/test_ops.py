@@ -315,6 +315,33 @@ def test_chunk_dedup_strips_repeated_windows():
     assert out.loc[4, "n_chunks"] == 0 and out.loc[4, "n_dropped"] == 0
 
 
+def test_chunk_and_substring_dedup_join_plan_parity():
+    """Forcing the hash-partitioned semi-join plan (dup_broadcast_max=0)
+    must reproduce the broadcast plan exactly — same strip decisions,
+    same counts — on a corpus with planted repeats."""
+    from textgraphs_ray.stages.dedup import chunk_dedup, substring_dedup
+
+    rng = np.random.RandomState(3)
+    vocab = [f"v{i}" for i in range(60)]
+    shared = " ".join(f"s{i}" for i in range(25))
+    rows = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab, size=rng.randint(10, 60)))
+        text = f"{shared} {body}" if i % 3 == 0 else body
+        rows.append({"doc_id": i, "text": text})
+    rows.append({"doc_id": 98, "text": ""})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    for fn, kw in ((chunk_dedup, {"words_per_chunk": 10}),
+                   (substring_dedup, {"window": 8})):
+        base = (fn(ds, min_count=2, **kw).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        join = (fn(ds, min_count=2, dup_broadcast_max=0,
+                   num_partitions=5, **kw).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, join[base.columns],
+                                      check_dtype=False)
+
+
 def test_chunk_dedup_no_dups_is_identity():
     from textgraphs_ray.stages.dedup import chunk_dedup
 
@@ -1002,6 +1029,33 @@ def test_knn_self_join_exact_at_full_probe_and_recall():
         [("vec_id", pa.int64()),
          ("embedding", pa.list_(pa.float32()))]).empty_table())
     assert knn_self_join(empty).count() == 0
+
+
+def test_knn_self_join_hot_cell_cap():
+    """A skewed corpus (one k-means cell holding ~90% of vectors) must
+    split the hot cell into salted sub-cells: per-task member count is
+    bounded by cell_cap (asserted inside the cell task) and the result
+    at nprobe=ncells stays exactly brute force."""
+    from textgraphs_ray.stages.similarity import knn_brute, knn_self_join
+
+    rng = np.random.RandomState(5)
+    # 90 near-identical vectors in one tight cluster + 10 spread out
+    hot = (np.tile(np.eye(8, dtype=np.float32)[0], (90, 1))
+           + 0.01 * rng.standard_normal((90, 8)).astype(np.float32))
+    cold = rng.standard_normal((10, 8)).astype(np.float32)
+    emb = np.vstack([hot, cold])
+    t = pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                  "embedding": [e.tolist() for e in emb]})
+    ds = rd.from_arrow(t)
+    exact = (knn_brute(ds, emb, k=3, exclude_self=True)
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # cell_cap far below the hot cell's ~90 members forces >1 sub-cell;
+    # the in-task assert enforces the bound, equality checks recall
+    capped = (knn_self_join(ds, k=3, ncells=4, nprobe=4, cell_cap=16)
+              .to_pandas()
+              .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert list(capped["vec_id"]) == list(exact["vec_id"])
+    np.testing.assert_allclose(capped["sim"], exact["sim"], rtol=1e-6)
 
 
 def test_rebel_generator_wiring():

@@ -340,10 +340,16 @@ def embedding_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
     return _pairs_to_clusters(ds, verified, id_col=id_col)
 
 
+#: above this many distinct duplicated hashes the dup set stops being
+#: a driver broadcast and becomes a hash-partitioned semi-join
+DUP_BROADCAST_MAX = 5_000_000
+
+
 def chunk_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                 id_col: str = "doc_id", words_per_chunk: int = 20,
-                min_count: int = 2,
-                concurrency=None) -> "ray.data.Dataset":
+                min_count: int = 2, concurrency=None,
+                dup_broadcast_max: int = DUP_BROADCAST_MAX,
+                num_partitions: int = 64) -> "ray.data.Dataset":
     """Corpus-wide duplicated-span removal → (doc_id, text_dedup,
     n_chunks, n_dropped).
 
@@ -356,20 +362,29 @@ def chunk_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
     the surviving chunks are reassembled in order (whitespace
     normalized to single spaces — same canonical form both passes use).
 
-    Two streaming passes, no joins:
+    Pass 1 (always): count — per-batch ``np.unique`` combiner emits
+    (chunk_hash, partial_count); one groupby-sum; only hashes with
+    count ≥ ``min_count`` survive.  The strip pass then has two
+    physical plans, switched on the measured dup-set size
+    (``dup_broadcast_max``):
 
-    1. count — per-batch ``np.unique`` combiner emits (chunk_hash,
-       partial_count); one groupby-sum; only hashes with count ≥
-       ``min_count`` survive.  That set is bounded by the number of
-       DISTINCT duplicated chunks (dup-rate-bounded, like curate's
-       loser sets) and is broadcast once via ``ray.put``.  At 10^12
-       docs hash-partition both sides on chunk_hash and anti-join
-       instead (the ``cluster._shuffle_join`` pattern).
-    2. strip — re-chunk each doc (cheap, vectorized hash), drop
-       chunks whose hash is in the broadcast set, reassemble.
+    - **broadcast** (dup set dup-rate-bounded, the common case): the
+      sorted hash array ships once via ``ray.put``; one stateless
+      re-chunk + ``np.isin`` + reassemble pass, no joins.
+    - **join** (extreme dup rates / 10^12-doc corpora where even the
+      distinct-dup set outgrows a broadcast): docs explode to
+      (doc_id, pos, chunk_hash) triples — 24-byte rows, never chunk
+      text — that semi-join the dup table on the hash
+      (:func:`..stages.join.shuffle_join`, empty-partition-safe);
+      the surviving dup POSITIONS join back to the documents on
+      ``doc_id`` and a per-doc group reduce re-chunks and reassembles.
+      The text rides exactly one exchange; the vocabulary-sized hash
+      table never visits the driver.
 
     Chunk identity is the 64-bit content hash (``sketch.hash64``), so
-    the shuffle moves 8-byte keys, never chunk text.
+    the shuffles move 8-byte keys, never chunk text.  Both plans are
+    output-identical (parity pinned in tests).  Force the join plan
+    with ``dup_broadcast_max=0``.
     """
     from ..functions.sketch import hash64
 
@@ -399,43 +414,89 @@ def chunk_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     counts = (ds.map_batches(count_partial, batch_format="pyarrow")
               .groupby("h").aggregate(Sum("n", alias_name="count")))
-    dup_rows = counts.map_batches(
+    dup_ds = counts.map_batches(
         lambda t: t.filter(
             pa.compute.greater_equal(t.column("count"), min_count))
         .select(["h"]),
-        batch_format="pyarrow").take_all()
-    dup = np.sort(np.array([r["h"] for r in dup_rows], dtype=np.int64))
-    dup_ref = ray.put(dup)
+        batch_format="pyarrow").materialize()
 
-    def strip(batch: pa.Table) -> pa.Table:
-        dup_set = ray.get(dup_ref)
+    if dup_ds.count() <= dup_broadcast_max:
+        dup = np.sort(np.array([r["h"] for r in dup_ds.take_all()],
+                               dtype=np.int64))
+        dup_ref = ray.put(dup)
+
+        def strip(batch: pa.Table) -> pa.Table:
+            dup_set = ray.get(dup_ref)
+            texts = batch.column(text_col).to_pylist()
+            flat, n_chunks = _chunks_of(texts)
+            h = hash64(flat).view(np.int64)
+            is_dup = (np.zeros(len(flat), dtype=bool) if not dup_set.size
+                      else np.isin(h, dup_set))
+            bounds = np.concatenate(([0], np.cumsum(n_chunks)))
+            out_text, n_dropped = [], np.zeros(len(texts), dtype=np.int64)
+            for i in range(len(texts)):
+                lo, hi = bounds[i], bounds[i + 1]
+                keep = [flat[j] for j in range(lo, hi) if not is_dup[j]]
+                n_dropped[i] = (hi - lo) - len(keep)
+                out_text.append(" ".join(keep))
+            return pa.table({
+                id_col: batch.column(id_col),
+                "text_dedup": pa.array(out_text, pa.string()),
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+            })
+
+        kwargs = {"concurrency": concurrency} if concurrency else {}
+        return ds.map_batches(strip, batch_format="pyarrow", **kwargs)
+
+    # join plan: dup set too big to broadcast
+    from .join import shuffle_join
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         flat, n_chunks = _chunks_of(texts)
         h = hash64(flat).view(np.int64)
-        is_dup = (np.zeros(len(flat), dtype=bool) if not dup_set.size
-                  else np.isin(h, dup_set))
-        bounds = np.concatenate(([0], np.cumsum(n_chunks)))
-        out_text, n_dropped = [], np.zeros(len(texts), dtype=np.int64)
-        for i in range(len(texts)):
-            lo, hi = bounds[i], bounds[i + 1]
-            keep = [flat[j] for j in range(lo, hi) if not is_dup[j]]
-            n_dropped[i] = (hi - lo) - len(keep)
-            out_text.append(" ".join(keep))
+        ends = np.cumsum(n_chunks)
+        pos = (np.arange(int(ends[-1]) if len(ends) else 0,
+                         dtype=np.int64)
+               - np.repeat(ends - n_chunks, n_chunks))
         return pa.table({
-            id_col: batch.column(id_col),
-            "text_dedup": pa.array(out_text, pa.string()),
-            "n_chunks": pa.array(n_chunks, pa.int64()),
-            "n_dropped": pa.array(n_dropped, pa.int64()),
+            "_did": pa.array(np.repeat(ids, n_chunks)),
+            "pos": pa.array(pos, pa.int64()),
+            "h": pa.array(h, pa.int64()),
         })
 
-    kwargs = {"concurrency": concurrency} if concurrency else {}
-    return ds.map_batches(strip, batch_format="pyarrow", **kwargs)
+    chunks = ds.map_batches(chunk_rows, batch_format="pyarrow")
+    dup_pos = shuffle_join(chunks, dup_ds, "h", "h", num_partitions,
+                           how="semi")
+    docs = ds.map_batches(lambda t: t.select([id_col, text_col]),
+                          batch_format="pyarrow")
+    joined = shuffle_join(
+        docs, dup_pos, id_col, "_did", num_partitions,
+        project=lambda m: m[[id_col, text_col, "pos"]], how="left")
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        text = g[text_col].iloc[0]
+        words = (text or "").split()
+        cs = [" ".join(words[j: j + w]) for j in range(0, len(words), w)]
+        dup_at = set(int(p) for p in g["pos"].dropna())
+        keep = [c for i, c in enumerate(cs) if i not in dup_at]
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "text_dedup": [" ".join(keep)],
+            "n_chunks": np.array([len(cs)], np.int64),
+            "n_dropped": np.array([len(dup_at)], np.int64)})
+
+    return joined.groupby(id_col).map_groups(regroup,
+                                             batch_format="pandas")
 
 
 def substring_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
                     id_col: str = "doc_id", window: int = 10,
-                    min_count: int = 2,
-                    concurrency=None) -> "ray.data.Dataset":
+                    min_count: int = 2, concurrency=None,
+                    dup_broadcast_max: int = DUP_BROADCAST_MAX,
+                    num_partitions: int = 64) -> "ray.data.Dataset":
     """ExactSubstr-style repeated-substring removal → (doc_id,
     text_dedup, n_tokens, n_removed).
 
@@ -450,13 +511,18 @@ def substring_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
     without a global sort.  Unlike :func:`chunk_dedup` (aligned
     non-overlapping windows) this catches repeats at ANY offset.
 
-    Same two-pass streaming shape as :func:`chunk_dedup`: a per-batch
-    ``np.unique`` combiner feeds one groupby-sum; duplicated window
-    hashes broadcast once (dup-rate-bounded; at 10^12 docs
-    hash-partition + anti-join instead); the strip pass recomputes
+    Same two-plan streaming shape as :func:`chunk_dedup`: a per-batch
+    ``np.unique`` combiner feeds one groupby-sum; below
+    ``dup_broadcast_max`` the duplicated window hashes broadcast once
+    (dup-rate-bounded, the common case) and the strip pass recomputes
     window hashes (vectorized polynomial over the flat token-hash
     stream, ``decontam._gram_hashes_flat``) and marks coverage with a
-    difference array — one cumsum for the whole batch.
+    difference array — one cumsum for the whole batch.  Above it, docs
+    explode to (doc_id, win_pos, gram_hash) triples that semi-join the
+    dup table on the hash, dup positions join back on ``doc_id``, and
+    a per-doc group reduce rebuilds coverage — the 10^12-doc plan
+    where even the distinct-dup set outgrows a broadcast (force with
+    ``dup_broadcast_max=0``; parity pinned in tests).
     """
     from .decontam import _WS, _gram_hashes_flat
 
@@ -469,12 +535,19 @@ def substring_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     counts = (ds.map_batches(count_partial, batch_format="pyarrow")
               .groupby("h").aggregate(Sum("n", alias_name="count")))
-    dup_rows = counts.map_batches(
+    dup_ds = counts.map_batches(
         lambda t: t.filter(
             pa.compute.greater_equal(t.column("count"), min_count))
         .select(["h"]),
-        batch_format="pyarrow").take_all()
-    dup = np.sort(np.array([r["h"] for r in dup_rows], dtype=np.int64))
+        batch_format="pyarrow").materialize()
+
+    if dup_ds.count() > dup_broadcast_max:
+        return _substring_strip_joined(
+            ds, dup_ds, text_col=text_col, id_col=id_col, window=window,
+            num_partitions=num_partitions)
+
+    dup = np.sort(np.array([r["h"] for r in dup_ds.take_all()],
+                           dtype=np.int64))
     dup_ref = ray.put(dup)
 
     def strip(batch: pa.Table) -> pa.Table:
@@ -517,6 +590,62 @@ def substring_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(strip, batch_format="pyarrow", **kwargs)
+
+
+def _substring_strip_joined(ds: "ray.data.Dataset",
+                            dup_ds: "ray.data.Dataset", *, text_col: str,
+                            id_col: str, window: int,
+                            num_partitions: int) -> "ray.data.Dataset":
+    """:func:`substring_dedup`'s join plan: (doc_id, win_pos, hash)
+    triples semi-join the dup table, positions join back on doc_id, a
+    per-doc group reduce rebuilds the coverage difference array.  Only
+    24-byte triples and the doc text (once) ride the exchanges."""
+    from .decontam import _WS, _gram_hashes_flat
+    from .join import shuffle_join
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        gh, di = _gram_hashes_flat(texts, window)
+        counts = np.bincount(di, minlength=len(texts)) if len(gh) \
+            else np.zeros(len(texts), np.int64)
+        ends = np.cumsum(counts)
+        pos = (np.arange(len(gh), dtype=np.int64)
+               - np.repeat(ends - counts, counts))
+        return pa.table({
+            "_did": pa.array(np.repeat(ids, counts)),
+            "pos": pa.array(pos, pa.int64()),
+            "h": pa.array(gh.view(np.int64), pa.int64()),
+        })
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+    dup_pos = shuffle_join(grams, dup_ds, "h", "h", num_partitions,
+                           how="semi")
+    docs = ds.map_batches(lambda t: t.select([id_col, text_col]),
+                          batch_format="pyarrow")
+    joined = shuffle_join(
+        docs, dup_pos, id_col, "_did", num_partitions,
+        project=lambda m: m[[id_col, text_col, "pos"]], how="left")
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        text = g[text_col].iloc[0]
+        words = _WS.split(text.strip()) if text else []
+        n = len(words)
+        pos = g["pos"].dropna().to_numpy(np.int64)
+        delta = np.zeros(n + window + 1, dtype=np.int64)
+        np.add.at(delta, pos, 1)
+        np.add.at(delta, pos + window, -1)
+        covered = np.cumsum(delta[:n]) > 0 if n else \
+            np.zeros(0, dtype=bool)
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "text_dedup": [" ".join(
+                w for w, c in zip(words, covered) if not c)],
+            "n_tokens": np.array([n], np.int64),
+            "n_removed": np.array([int(covered.sum())], np.int64)})
+
+    return joined.groupby(id_col).map_groups(regroup,
+                                             batch_format="pandas")
 
 
 def semantic_dedup(ds: "ray.data.Dataset", *, emb_col: str = "embedding",

@@ -316,7 +316,8 @@ def knn_self_join(ds: "ray.data.Dataset", *, k: int = 5,
                   ncells: int = 16, nprobe: int = 4,
                   sample_size: int = 4096, seed: int = 42,
                   exclude_self: bool = True,
-                  dtype=np.float32) -> "ray.data.Dataset":
+                  dtype=np.float32,
+                  cell_cap: int = 65536) -> "ray.data.Dataset":
     """Distributed k-NN GRAPH construction: top-k cosine neighbors for
     EVERY row of the table → Dataset (query_id=vec_id, rank, vec_id,
     sim).
@@ -326,18 +327,31 @@ def knn_self_join(ds: "ray.data.Dataset", *, k: int = 5,
     needs all N rows as queries, which no broadcast can hold.  Plan:
 
     1. train coarse k-means cells (bounded sample, as knn_ivf);
-    2. one pass emits every vector once as a MEMBER of its argmax
-       cell, and once per probed cell as a QUERY (``nprobe`` nearest
-       cells) — the stream is N·(1+nprobe) rows of (cell, role, id,
-       vec);
-    3. groupby(cell): one matmul queries×members per cell, local
-       top-k per query;
-    4. groupby(query): merge partial top-k (bounded at nprobe·k rows
-       per query — never the N×N similarity matrix anywhere).
+    2. a tiny combiner-fed pre-pass counts members per cell; cells
+       above ``cell_cap`` members split into ``ceil(n/cell_cap)``
+       salted SUB-cells (members hash into one sub-cell, queries
+       replicate to every sub-cell of a probed cell; hashing balances
+       to ~cell_cap members in expectation, hard-asserted at 2x) —
+       k-means cells
+       are data-adaptive and skew with corpus geometry, and without
+       the cap one hot cell's full query×member matrix lands in a
+       single task;
+    3. one pass emits every vector once as a MEMBER of its argmax
+       sub-cell, and once per probed sub-cell as a QUERY — the stream
+       is N·(1+Σ splits(probed)) rows of (cell, role, id, vec);
+    4. groupby(cell): one matmul queries×members per sub-cell (member
+       side ≤ ``cell_cap`` by construction — asserted), local top-k
+       per query;
+    5. groupby(query): merge partial top-k (each member is in exactly
+       one sub-cell, so the merge sees each candidate once — never
+       the N×N similarity matrix anywhere).
 
     With ``nprobe = ncells`` every query scans every member, so the
     result is EXACTLY brute force — the oracle configuration; smaller
-    ``nprobe`` trades recall for a 1/ncells-ish per-query scan.
+    ``nprobe`` trades recall for a 1/ncells-ish per-query scan.  The
+    cap bounds the MEMBER side of each task's matmul; the query side
+    of a sub-cell is the cell's probe traffic, which smaller nprobe
+    spreads across cells.
     """
     sample_rows = [r[emb_col] for r in ds.limit(sample_size).take_all()]
     if not sample_rows:
@@ -353,32 +367,73 @@ def knn_self_join(ds: "ray.data.Dataset", *, k: int = 5,
     cent_ref = ray.put(cent)
     np_ = min(nprobe, cent.shape[0])
 
+    # pre-pass: per-cell member counts → per-cell split factors.
+    # One streaming map_batches emitting ≤ ncells tiny rows per block
+    # + one small groupby; the (ncells,) split table broadcasts.
+    def count_cells(batch: pa.Table) -> pa.Table:
+        cmat = ray.get(cent_ref)
+        en = _normalize(embeddings_to_ndarray(batch.column(emb_col),
+                                              dtype=dtype))
+        cells, counts = np.unique(
+            np.argmax(en @ cmat.T.astype(dtype), axis=1),
+            return_counts=True)
+        return pa.table({"cell": pa.array(cells.astype(np.int32)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+    counts = (ds.map_batches(count_cells, batch_format="pyarrow")
+              .groupby("cell").aggregate(_Sum("n", alias_name="n"))
+              .take_all())
+    nsplit = np.ones(cent.shape[0], np.int64)
+    for r in counts:
+        nsplit[int(r["cell"])] = max(1, -(-int(r["n"]) // cell_cap))
+    # composite key: cell * max_split + salt keeps sub-cells disjoint
+    key_stride = int(nsplit.max())
+    split_ref = ray.put(nsplit)
+    _SALT_MUL = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing
+
     def emit(batch: pa.Table) -> pa.Table:
         cmat = ray.get(cent_ref)
+        splits = ray.get(split_ref)
         ids = ids_to_ndarray(batch.column(id_col)).astype(np.int64)
         en = _normalize(embeddings_to_ndarray(batch.column(emb_col),
                                               dtype=dtype))
         sims = en @ cmat.T.astype(dtype)
-        member_cell = np.argmax(sims, axis=1).astype(np.int32)
-        probe = np.argsort(-sims, axis=1)[:, :np_].astype(np.int32)
+        member_cell = np.argmax(sims, axis=1).astype(np.int64)
+        probe = np.argsort(-sims, axis=1)[:, :np_].astype(np.int64)
         n = len(ids)
-        payload = [e.tobytes() for e in en]
+        # members: one salted sub-cell each
+        m_salt = ((ids.view(np.uint64) * _SALT_MUL)
+                  % splits[member_cell].view(np.uint64)).view(np.int64)
+        m_key = member_cell * key_stride + m_salt
+        # queries: replicate to EVERY sub-cell of each probed cell
+        probe_flat = probe.ravel()                     # (n·np_,)
+        rep = splits[probe_flat]                       # per-probe splits
+        q_cell = np.repeat(probe_flat, rep)
+        ends = np.cumsum(rep)
+        q_salt = np.arange(ends[-1] if len(ends) else 0,
+                           dtype=np.int64) - np.repeat(ends - rep, rep)
+        q_key = q_cell * key_stride + q_salt
+        q_row = np.repeat(np.repeat(np.arange(n), np_), rep)
+        payload = np.asarray([e.tobytes() for e in en], dtype=object)
         return pa.table({
-            "cell": pa.array(np.concatenate(
-                [member_cell, probe.ravel()]), pa.int32()),
+            "cell": pa.array(np.concatenate([m_key, q_key]), pa.int64()),
             "role": pa.array(np.concatenate(
-                [np.zeros(n, np.int8), np.ones(n * np_, np.int8)]),
+                [np.zeros(n, np.int8), np.ones(len(q_key), np.int8)]),
                 pa.int8()),
             "id": pa.array(np.concatenate(
-                [ids, np.repeat(ids, np_)]), pa.int64()),
-            "vec": pa.array(payload + [p for p in payload
-                                       for _ in range(np_)],
-                            pa.binary()),
+                [ids, ids[q_row]]), pa.int64()),
+            "vec": pa.array(np.concatenate([payload, payload[q_row]])
+                            .tolist(), pa.binary()),
         })
 
     def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
         mem = g[g["role"] == 0]
         qry = g[g["role"] == 1]
+        # members hash into sub-cells: cell_cap is the expected load,
+        # 2x is the hard bound (hash balance deviates ~sqrt(cap))
+        assert len(mem) <= 2 * cell_cap, \
+            f"sub-cell member count {len(mem)} exceeds 2x cap {cell_cap}"
         if not len(mem) or not len(qry):
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "vec_id": pd.Series([], dtype="int64"),
