@@ -155,6 +155,16 @@ def propagate_labels(nodes_ds: "ray.data.Dataset",
     join + groupby-min + pointer-jump loop runs fully distributed —
     that is the 10^12-row path; pass ``driver_threshold=0`` to force it.
     """
+    # Pin the edge stream ONCE before counting: edges_ds is usually a
+    # LAZY pair pipeline (banding → shuffle → verify), and both closure
+    # paths read it again after count() — driver union-find via
+    # iter_batches, the distributed loop via the adjacency map.
+    # Without pinning, the entire upstream pair generation executes
+    # twice (measured: 2× ~3 s at bench scale — the whole
+    # dedup_minhash regression).  The edge list is dup-rate-bounded
+    # (ids only, payloads never reach closure), so the pin is cheap at
+    # any scale and spills like any other blocks.
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
         return nodes_ds.map_batches(
