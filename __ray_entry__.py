@@ -848,6 +848,37 @@ def _q_communities(sf_dir: str):
     return cluster_communities(edges)
 
 
+def _q_graph_layout(sf_dir: str):
+    """Deterministic spring layout + NodeStyle styling of a small
+    lemma graph (stages/render.py; reference vis.py:94-164) — the data
+    side of the HTML renderer: (key, kind, shape, color, x, y) with
+    x/y in [0, 1].  The HTML/SVG emission itself is byte-reproducible
+    and covered by tests/test_render.py."""
+    import pandas as pd
+
+    from textgraphs_ray.compat import NODE_STYLES
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.stages.graph import extract_raw_edges
+    from textgraphs_ray.stages.render import spring_layout
+
+    docs, _, _ = generate(60)
+    edges = (rd.from_arrow(docs)
+             .map_batches(extract_raw_edges, batch_format="pyarrow")
+             .to_pandas().head(300))
+    keys = pd.unique(pd.concat([edges["src_key"], edges["dst_key"]]))
+    styles = {s.label: s for s in NODE_STYLES}
+    kinds = [k.split(":", 1)[0] if ":" in k else "lem" for k in keys]
+    nodes = pd.DataFrame({
+        "key": keys, "kind": kinds,
+        "shape": [styles.get(k, styles["lem"]).shape for k in kinds],
+        "color": [styles.get(k, styles["lem"]).color for k in kinds],
+    })
+    out = spring_layout(nodes, edges, seed=42)
+    out["x"] = out["x"].round(6)
+    out["y"] = out["y"].round(6)
+    return out
+
+
 _BOOT_TTL = """
 @prefix skos: <http://www.w3.org/2004/02/skos/core#> .
 @prefix ex: <https://example.org/ent/> .
@@ -1687,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_joinplan": _q_substring_dedup_joinplan,
         "tfidf_topk_distributed": _q_tfidf_topk_distributed,
         "unigram_logprob_distributed": _q_unigram_logprob_distributed,
+        "graph_layout": _q_graph_layout,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
         "knn_brute": _q_knn_brute,

@@ -341,23 +341,14 @@ class RenderPyVis:
         return self.tg._edges.to_pandas()
 
     def render_lemma_graph(self, html_path: str | None = None):
-        """Build the PyVis network when pyvis is available; always
-        returns (nodes_df, edges_df)."""
+        """Render the lemma graph (reference ``vis.py:94-164``): build
+        the styled node/edge tables and, when ``html_path`` is given,
+        write an HTML rendering — the real pyvis network when pyvis is
+        importable, else the engine's self-contained SVG emitter
+        (``stages/render.py``).  Always returns (nodes_df, edges_df)."""
         nodes, edges = self.styled_nodes(), self.styled_edges()
-        try:  # pragma: no cover - pyvis absent in this container
-            from pyvis.network import Network
+        if html_path:
+            from .stages.render import write_lemma_graph_html
 
-            net = Network(height="1200px")
-            for _, r in nodes.iterrows():
-                net.add_node(r["key"], label=r["text"], shape=r["shape"],
-                             color=r["color"], size=r["size"])
-            for _, r in edges.iterrows():
-                if r["src_key"] in set(nodes["key"]) and \
-                        r["dst_key"] in set(nodes["key"]):
-                    net.add_edge(r["src_key"], r["dst_key"],
-                                 title=r.get("rel", ""))
-            if html_path:
-                net.write_html(html_path)
-        except ImportError:
-            pass
+            write_lemma_graph_html(nodes, edges, html_path)
         return nodes, edges
