@@ -150,8 +150,12 @@ def interleave_sources(ds: "ray.data.Dataset", *, weights: dict,
     out = ds.groupby(source_col).map_groups(rank_group,
                                             batch_format="pandas")
     if stop == "first_exhausted":
+        # second pass over the input just to size the cutoff — project
+        # to the grouping column first so only one column pays the
+        # re-read + shuffle (the payload never moves)
         counts = {r[source_col]: r["count()"] for r in
-                  ds.groupby(source_col).count().take_all()}
+                  ds.select_columns([source_col])
+                  .groupby(source_col).count().take_all()}
         rounds = min(counts.get(s, 0) // weights[s] for s in srcs)
         cutoff = rounds * W
 

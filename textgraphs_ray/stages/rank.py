@@ -268,6 +268,15 @@ def pagerank_distributed(nodes_ds: "ray.data.Dataset",
 
     from .cluster import _shuffle_join
 
+    # Pin both inputs once: they are consumed repeatedly below (nodes:
+    # count + 1-2 label passes; edges: count + take_all on the driver
+    # path, or the out-degree groupby + one contrib join PER ITERATION
+    # on the distributed path).  Lazy inputs would re-execute their
+    # upstream each time (the propagate_labels double-execution trap,
+    # CLAUDE.md); both tables are keys(+rank) only and spill like any
+    # blocks.
+    nodes_ds = nodes_ds.materialize()
+    edges_ds = edges_ds.materialize()
     n_total = nodes_ds.count()
     if n_total == 0:
         return nodes_ds.map_batches(

@@ -559,11 +559,14 @@ def knn_pq(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
     (:func:`_merge_topk`).  Recall < 1 by construction; asserted
     against brute force in tests (tests/test_pq.py)."""
     qn = _normalize(np.asarray(queries, dtype=np.float32))
-    if qn.size == 0 or ds.count() == 0:
+    if qn.size == 0:
         return _empty_topk()
-    sample = np.asarray(
-        [r[emb_col] for r in ds.limit(sample_size).take_all()],
-        dtype=np.float32)
+    # the training sample doubles as the emptiness probe — a count()
+    # here would execute the whole upstream once just to check for 0
+    sample_rows = [r[emb_col] for r in ds.limit(sample_size).take_all()]
+    if not sample_rows:
+        return _empty_topk()
+    sample = np.asarray(sample_rows, dtype=np.float32)
     books = pq_train(sample, m_sub=m_sub, n_centroids=n_centroids,
                      seed=seed)
     m, ncent, dsub = books.shape
