@@ -254,6 +254,21 @@ def _q_unigram_logprob_distributed(sf_dir: str):
     return unigram_logprob(ds, broadcast_vocab_max=0, num_partitions=16)
 
 
+def _q_interleave_bucketed(sf_dir: str):
+    """`interleave` with the bucketed distributed-rank plan FORCED
+    (plan="bucket", rank_buckets=16): per-source rank = digest-prefix
+    bucket offset (one small count table) + local rank inside a
+    (source, bucket) group, so no worker ever holds a whole source —
+    the 10^12-row path where one source is 70% of the corpus.  Same
+    oracle as `interleave` (plans are output-identical)."""
+    from textgraphs_ray.stages.pack import interleave_sources
+
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+    return interleave_sources(
+        docs, weights={"src0": 3, "src1": 2, "src2": 1},
+        stop="first_exhausted", plan="bucket", rank_buckets=16)
+
+
 def _q_salted_agg(sf_dir: str):
     """Hot-key-safe aggregation: the same event_type rollup as
     a2_count_agg but through the salted two-stage path
@@ -1718,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_joinplan": _q_substring_dedup_joinplan,
         "tfidf_topk_distributed": _q_tfidf_topk_distributed,
         "unigram_logprob_distributed": _q_unigram_logprob_distributed,
+        "interleave_bucketed": _q_interleave_bucketed,
         "graph_layout": _q_graph_layout,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
@@ -1781,7 +1797,8 @@ def oracle_sql() -> dict[str, str]:
                         ("substring_dedup_joinplan", "substring_dedup"),
                         ("tfidf_topk_distributed", "tfidf_topk"),
                         ("unigram_logprob_distributed",
-                         "unigram_logprob")):
+                         "unigram_logprob"),
+                        ("interleave_bucketed", "interleave")):
         sqls[alias] = sqls[base]
     return sqls
 

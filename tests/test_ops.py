@@ -941,6 +941,39 @@ def test_interleave_sources_ratio_and_determinism():
     assert len(full) == 40
 
 
+def test_interleave_bucket_plan_output_identical():
+    """plan="bucket" (digest-prefix distributed rank) must be
+    OUTPUT-IDENTICAL to the default whole-group plan on every stop
+    mode and under skew (one source dominating), including a bucket
+    count small enough that buckets actually split sources."""
+    from textgraphs_ray.stages.pack import interleave_sources
+
+    rows = ([{"doc_id": f"w{i}", "source": "web"} for i in range(80)]
+            + [{"doc_id": f"b{i}", "source": "book"} for i in range(9)]
+            + [{"doc_id": f"x{i}", "source": "junk"} for i in range(5)])
+    t = pa.Table.from_pylist(rows)
+    for stop in ("first_exhausted", "all_exhausted"):
+        want = (interleave_sources(
+            rd.from_arrow(t), weights={"web": 3, "book": 1}, stop=stop)
+            .to_pandas().sort_values("pos").reset_index(drop=True))
+        got = (interleave_sources(
+            rd.from_arrow(t).repartition(5),
+            weights={"web": 3, "book": 1}, stop=stop,
+            plan="bucket", rank_buckets=8)
+            .to_pandas().sort_values("pos").reset_index(drop=True))
+        assert list(got.columns) == list(want.columns) or \
+            set(got.columns) == set(want.columns)
+        got = got[want.columns.tolist()]
+        assert got.equals(want), f"bucket plan diverged at stop={stop}"
+
+    # empty input: both plans emit nothing
+    empty = pa.Table.from_pylist([], schema=t.schema)
+    out = interleave_sources(rd.from_arrow(empty), weights={"web": 1},
+                             stop="first_exhausted", plan="bucket",
+                             rank_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
 def test_substring_dedup_removes_shared_spans_any_offset():
     from textgraphs_ray.stages.dedup import substring_dedup
 

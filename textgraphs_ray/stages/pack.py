@@ -102,7 +102,9 @@ def shard_assign(ds: "ray.data.Dataset", *, n_shards: int = 16,
 def interleave_sources(ds: "ray.data.Dataset", *, weights: dict,
                        source_col: str = "source",
                        id_col: str = "doc_id",
-                       stop: str = "all_exhausted") -> "ray.data.Dataset":
+                       stop: str = "all_exhausted",
+                       plan: str = "group",
+                       rank_buckets: int = 256) -> "ray.data.Dataset":
     """Deterministic weighted interleave of per-source streams into one
     global training order → rows + ``pos`` (0-based position in the
     interleaved stream).
@@ -119,10 +121,20 @@ def interleave_sources(ds: "ray.data.Dataset", *, weights: dict,
     HuggingFace-interleave convention); ``"all_exhausted"`` keeps all
     rows (later rounds thin out as sources drain).
 
-    Physical plan: one groupby(``source_col``) ranks each source's rows
-    by digest in a single vectorized reducer (a group must fit a
-    worker — at 10^12 rows rank via sort + per-partition offsets
-    instead); position arithmetic is then a pure per-row map:
+    Physical plan (``plan``, both output-identical):
+
+    * ``"group"`` (default): one groupby(``source_col``) ranks each
+      source's rows by digest in a single vectorized reducer — one
+      shuffle, but a whole source must fit one worker.  Right whenever
+      sources are bounded (≲10^8 rows each).
+    * ``"bucket"``: digest-prefix bucketing — rank = per-(source,
+      bucket) local rank + a prefix-sum offset from one SMALL
+      (n_sources × ``rank_buckets`` rows) count table.  Every ranking
+      group is ~1/``rank_buckets`` of a source, so a 70%-of-corpus
+      source never lands on one worker; raise ``rank_buckets`` with
+      corpus size.  The 10^12-row plan.
+
+    Position arithmetic is then a pure per-row map:
     ``pos = (r // w) * W + offset(s) + r % w`` with ``W = Σ weights``,
     ``offset(s)`` the weight-prefix-sum of sources before ``s``.  SQL
     replays the exact order with one window rank + the same formula.
@@ -133,6 +145,14 @@ def interleave_sources(ds: "ray.data.Dataset", *, weights: dict,
     for s in srcs:
         offs[s] = acc
         acc += weights[s]
+
+    if plan == "bucket":
+        return _interleave_bucketed(
+            ds, weights=weights, srcs=srcs, W=W, offs=offs,
+            source_col=source_col, id_col=id_col, stop=stop,
+            rank_buckets=rank_buckets)
+    if plan != "group":
+        raise ValueError(f"unknown interleave plan: {plan!r}")
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         s = g[source_col].iloc[0]
@@ -157,6 +177,84 @@ def interleave_sources(ds: "ray.data.Dataset", *, weights: dict,
                   ds.select_columns([source_col])
                   .groupby(source_col).count().take_all()}
         rounds = min(counts.get(s, 0) // weights[s] for s in srcs)
+        cutoff = rounds * W
+
+        def trunc(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.less(t.column("pos"), cutoff))
+
+        out = out.map_batches(trunc, batch_format="pyarrow")
+    return out
+
+
+def _interleave_bucketed(ds: "ray.data.Dataset", *, weights: dict,
+                         srcs: list, W: int, offs: dict,
+                         source_col: str, id_col: str, stop: str,
+                         rank_buckets: int) -> "ray.data.Dataset":
+    """Bucketed-rank physical plan for :func:`interleave_sources`.
+
+    The bucket is a monotone function of the digest's first 4 hex
+    chars, so bucket order IS digest order: every row in bucket b
+    sorts strictly before every row in bucket b+1, and the global
+    rank of a row within its source is (rows of that source in
+    earlier buckets) + (local rank inside its (source, bucket)
+    group).  The earlier-bucket counts come from one combiner-backed
+    groupby whose result is n_sources × rank_buckets rows — driver
+    prefix sums, broadcast once.  No group ever holds more than
+    ~1/rank_buckets of a source.
+    """
+    import ray
+
+    known = set(srcs)
+
+    def augment(t: pa.Table) -> pa.Table:
+        src = t.column(source_col).to_pylist()
+        keep = np.array([s in known for s in src], dtype=bool)
+        t = t.filter(pa.array(keep))
+        ids = t.column(id_col).to_pylist()
+        pri = [hashlib.md5(str(k).encode()).hexdigest() for k in ids]
+        bkt = np.array([int(p[:4], 16) * rank_buckets // 65536
+                        for p in pri], dtype=np.int64)
+        t = t.append_column("_pri", pa.array(pri, pa.string()))
+        return t.append_column("_bkt", pa.array(bkt, pa.int64()))
+
+    # consumed twice below (count table + ranking shuffle) — pin once
+    # (consume-once doctrine, CLAUDE.md); blocks spill like any others
+    aug = ds.map_batches(augment, batch_format="pyarrow").materialize()
+
+    count_rows = (aug.select_columns([source_col, "_bkt"])
+                  .groupby([source_col, "_bkt"]).count().take_all())
+    per_bucket: dict = {}
+    totals: dict = {}
+    for r in count_rows:
+        per_bucket[(r[source_col], r["_bkt"])] = r["count()"]
+        totals[r[source_col]] = totals.get(r[source_col], 0) + r["count()"]
+    bucket_offs = {}
+    for s in srcs:
+        acc = 0
+        for b in range(rank_buckets):
+            n = per_bucket.get((s, b), 0)
+            if n:
+                bucket_offs[(s, b)] = acc
+            acc += n
+    off_ref = ray.put(bucket_offs)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[source_col].iloc[0]
+        b = int(g["_bkt"].iloc[0])
+        g = g.sort_values(["_pri", id_col], kind="stable").copy()
+        base = ray.get(off_ref)[(s, b)]
+        r = base + np.arange(len(g), dtype=np.int64)
+        w = weights[s]
+        g["pos"] = (r // w) * W + offs[s] + r % w
+        return g.drop(columns=["_pri", "_bkt"])
+
+    out = aug.groupby([source_col, "_bkt"]).map_groups(
+        rank_bucket, batch_format="pandas")
+
+    if stop == "first_exhausted":
+        # cutoff comes for free from the count table — no third pass
+        rounds = min(totals.get(s, 0) // weights[s] for s in srcs)
         cutoff = rounds * W
 
         def trunc(t: pa.Table) -> pa.Table:
