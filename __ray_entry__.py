@@ -1183,6 +1183,21 @@ def _q_curate_oracle(sf_dir: str):
     return res["docs"].select_columns(["doc_id"])
 
 
+def _q_curate_join(sf_dir: str):
+    """`curate_oracle` with the anti-join loser plan FORCED
+    (loser_plan="join"): dedup-loser ids stay a Dataset and survivors
+    come from a hash-partitioned ANTI join — the losers never visit the
+    driver (the 10^12-doc / extreme-dup-rate path).  Same oracle as
+    `curate_oracle` (plans are output-identical)."""
+    from textgraphs_ray.pipelines.curate import curate_corpus
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    res = curate_corpus(docs, min_quality=0.0, langs=("en", "und"),
+                        jaccard_threshold=2.0, concurrency=2,
+                        loser_plan="join", num_partitions=16)
+    return res["docs"].select_columns(["doc_id"])
+
+
 def _q_hist_quantile(sf_dir: str):
     """Grouped histogram-sketch quantiles (functions/histq.py): fixed
     1024-bin mergeable state per group — the 10^12-row scale path for
@@ -1734,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk_distributed": _q_tfidf_topk_distributed,
         "unigram_logprob_distributed": _q_unigram_logprob_distributed,
         "interleave_bucketed": _q_interleave_bucketed,
+        "curate_join": _q_curate_join,
         "graph_layout": _q_graph_layout,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
@@ -1798,7 +1814,8 @@ def oracle_sql() -> dict[str, str]:
                         ("tfidf_topk_distributed", "tfidf_topk"),
                         ("unigram_logprob_distributed",
                          "unigram_logprob"),
-                        ("interleave_bucketed", "interleave")):
+                        ("interleave_bucketed", "interleave"),
+                        ("curate_join", "curate_oracle")):
         sqls[alias] = sqls[base]
     return sqls
 

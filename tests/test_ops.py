@@ -444,6 +444,28 @@ def test_curate_corpus(dup_docs):
         - stats["exact_dup_losers"] - stats["near_dup_losers"]
 
 
+def test_curate_loser_plans_output_identical(dup_docs):
+    """loser_plan="join" (hash-partitioned anti join, losers never on
+    the driver) must match the broadcast plan: same survivors, same
+    per-stage stats — with near-dedup active AND disabled (threshold
+    2.0, where exact⊆near does not hold)."""
+    from textgraphs_ray.pipelines.curate import curate_corpus
+
+    for thr in (0.6, 2.0):
+        res_b = curate_corpus(rd.from_arrow(dup_docs), min_quality=0.0,
+                              langs=("en", "und"), jaccard_threshold=thr,
+                              concurrency=1)
+        res_j = curate_corpus(rd.from_arrow(dup_docs), min_quality=0.0,
+                              langs=("en", "und"), jaccard_threshold=thr,
+                              concurrency=1, loser_plan="join",
+                              num_partitions=4)
+        ids_b = sorted(str(r["doc_id"]) for r in res_b["docs"].iter_rows())
+        ids_j = sorted(str(r["doc_id"]) for r in res_j["docs"].iter_rows())
+        assert ids_b == ids_j, f"survivors diverged at thr={thr}"
+        assert res_b["stats"] == res_j["stats"], f"stats diverged at {thr}"
+        assert res_j["docs"].schema().names == res_b["docs"].schema().names
+
+
 def test_knn_merge_paths_agree():
     """The distributed groupby merge (large Q) and the driver merge
     (small Q) must produce identical top-k tables."""

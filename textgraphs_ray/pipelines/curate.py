@@ -8,9 +8,13 @@ engine's operator families:
 Every stage is a streaming ``map_batches``/groupby over the documents
 Dataset; the keep/drop decisions are represented as SMALL id sets
 (losers only — the overwhelming majority of rows pass) broadcast via
-``ray.put``.  At 10^12 docs the loser sets become hash-partitioned
-anti-joins on doc_id; the broadcast form is correct whenever losers fit
-one object (≲10^8 ids), which holds for dedup rates under ~10%.
+``ray.put``.  At 10^12 docs pass ``loser_plan="join"``: the loser ids
+stay a Dataset and survivors come from a hash-partitioned anti-join on
+doc_id (:func:`_drop_losers_join`); the default broadcast form is
+correct whenever losers fit one object (≲10^8 ids), which holds for
+dedup rates under ~10%.  Both plans are output-identical
+(parity-tested; ``curate_join`` forces the join plan against the
+``curate_oracle`` SQL).
 
 Stats are first-class: the returned dict reports per-stage row counts
 so a curation run is auditable (what was dropped and why).
@@ -28,12 +32,15 @@ from ..stages.dedup import exact_dedup, minhash_dedup
 from ..stages.text import LangId, QualityScorer
 
 
-def _loser_ids_exact(ds, id_col: str, text_col: str) -> set:
-    """Exact-dup losers: every id except each fingerprint's keeper.
+def _exact_loser_ds(ds, id_col: str, text_col: str) -> "ray.data.Dataset":
+    """Exact-dup losers as a DATASET (``loser`` column, id type): every
+    id except each fingerprint's keeper.
 
     The duplicated-fingerprint table is collected ONCE (it has one row
     per duplicated hash — small whenever the dup rate is bounded); the
-    loser scan itself is a distributed ``map_batches``."""
+    loser scan itself is a distributed ``map_batches``, and the loser
+    ROWS (dup_rate × N — the part that scales with the corpus) never
+    visit the driver on the ``loser_plan="join"`` path."""
     fp = exact_dedup(ds, text_col=text_col, id_col=id_col)
     dup_rows = fp.map_batches(
         lambda t: t.filter(pc.greater(t.column("n_dups"), 1)),
@@ -56,14 +63,20 @@ def _loser_ids_exact(ds, id_col: str, text_col: str) -> set:
                and i not in ks]
         return pa.table({"loser": pa.array(out, batch.schema.field(id_col).type)})
 
-    loser_ds = ds.map_batches(losers, batch_format="pyarrow")
-    return {r["loser"] for r in loser_ds.iter_rows()}
+    return ds.map_batches(losers, batch_format="pyarrow")
 
 
-def _loser_ids_near(ds, id_col: str, text_col: str,
-                    jaccard_threshold: float, concurrency) -> set:
-    """Near-dup losers: every member of a multi-doc cluster except the
-    min id (cluster ids are strings — ids compared as strings).
+def _loser_ids_exact(ds, id_col: str, text_col: str) -> set:
+    return {r["loser"]
+            for r in _exact_loser_ds(ds, id_col, text_col).iter_rows()}
+
+
+def _near_loser_ds(ds, id_col: str, text_col: str,
+                   jaccard_threshold: float,
+                   concurrency) -> "ray.data.Dataset":
+    """Near-dup losers as a DATASET (``loser`` column, string): every
+    member of a multi-doc cluster except the min id (cluster ids are
+    strings — ids compared as strings).
 
     Keeper selection is DISTRIBUTED: a groupby(cluster_id) aggregate
     picks min-id keeper + cluster size; only multi-doc clusters (≤ the
@@ -100,8 +113,15 @@ def _loser_ids_near(ds, id_col: str, text_col: str,
                            pc.not_equal(t.column("key"), keeper))
         return pa.table({"loser": t.filter(is_loser).column("key")})
 
-    loser_ds = clusters.map_batches(losers, batch_format="pyarrow")
-    return {r["loser"] for r in loser_ds.iter_rows()}
+    return clusters.map_batches(losers, batch_format="pyarrow")
+
+
+def _loser_ids_near(ds, id_col: str, text_col: str,
+                    jaccard_threshold: float, concurrency) -> set:
+    return {r["loser"]
+            for r in _near_loser_ds(ds, id_col, text_col,
+                                    jaccard_threshold,
+                                    concurrency).iter_rows()}
 
 
 def curate_corpus(docs_ds: "ray.data.Dataset", *,
@@ -111,7 +131,9 @@ def curate_corpus(docs_ds: "ray.data.Dataset", *,
                   max_word_dup_ratio: float | None = None,
                   max_compress_ratio: float | None = None,
                   sample_hex_prefix: str | None = None,
-                  concurrency=(1, 4)) -> dict:
+                  concurrency=(1, 4),
+                  loser_plan: str = "broadcast",
+                  num_partitions: int = 32) -> dict:
     """→ {"docs": curated Dataset, "stats": per-stage row counts}.
 
     Optional extra filters (None = off): ``max_word_dup_ratio`` drops
@@ -119,6 +141,17 @@ def curate_corpus(docs_ds: "ray.data.Dataset", *,
     documents whose zlib ratio exceeds the bound (noise / non-text).
     ``sample_hex_prefix``: keep only docs whose md5(doc_id) starts with
     this hex prefix (deterministic content-hash sampling; None = all).
+
+    ``loser_plan`` picks the physical plan for the dedup-loser drop
+    (both output-identical):
+
+    * ``"broadcast"`` (default): loser id SETS collected to the driver
+      and ``ray.put`` once — right whenever losers fit one object
+      (≲10^8 ids; dup rates under ~10%).
+    * ``"join"``: loser ids stay a Dataset; survivors come from a
+      hash-partitioned ANTI join on the id (``stages/join.py
+      shuffle_join``) — the loser rows never visit the driver.  The
+      10^12-doc / extreme-dup-rate path the module doc promises.
     """
     stats: dict = {"input": docs_ds.count()}
 
@@ -160,6 +193,16 @@ def curate_corpus(docs_ds: "ray.data.Dataset", *,
                               batch_format="pyarrow").materialize()
     stats["after_quality_lang"] = kept.count()
 
+    if loser_plan == "join":
+        curated = _drop_losers_join(kept, stats, id_col=id_col,
+                                    text_col=text_col,
+                                    jaccard_threshold=jaccard_threshold,
+                                    concurrency=concurrency,
+                                    num_partitions=num_partitions)
+        return _finish(curated, stats, id_col, sample_hex_prefix)
+    if loser_plan != "broadcast":
+        raise ValueError(f"unknown loser_plan: {loser_plan!r}")
+
     exact_losers = _loser_ids_exact(kept, id_col, text_col)
     stats["exact_dup_losers"] = len(exact_losers)
     near_losers = _loser_ids_near(kept, id_col, text_col,
@@ -184,7 +227,13 @@ def curate_corpus(docs_ds: "ray.data.Dataset", *,
         return t.filter(pc.invert(pc.or_(in_ex, in_nr)))
 
     curated = kept.map_batches(drop_losers, batch_format="pyarrow")
+    return _finish(curated, stats, id_col, sample_hex_prefix)
 
+
+def _finish(curated: "ray.data.Dataset", stats: dict, id_col: str,
+            sample_hex_prefix: str | None) -> dict:
+    """Shared tail of both loser plans: optional deterministic
+    hex-prefix sample, pin, output count."""
     if sample_hex_prefix is not None:
         import hashlib
 
@@ -199,3 +248,50 @@ def curate_corpus(docs_ds: "ray.data.Dataset", *,
     curated = curated.materialize()
     stats["output"] = curated.count()
     return {"docs": curated, "stats": stats}
+
+
+def _drop_losers_join(kept: "ray.data.Dataset", stats: dict, *,
+                      id_col: str, text_col: str,
+                      jaccard_threshold: float, concurrency,
+                      num_partitions: int) -> "ray.data.Dataset":
+    """``loser_plan="join"``: drop dedup losers via a hash-partitioned
+    ANTI join instead of a driver-collected broadcast set.
+
+    The loser Datasets are pinned once (each is consumed twice: stats
+    count + the join — consume-once doctrine, CLAUDE.md); they are
+    dup_rate × N rows but never leave the cluster.  Stats stay additive
+    exactly as in the broadcast plan: ``near_dup_losers`` counts near
+    losers NOT already exact losers (a real anti join, not a subset
+    assumption — with near-dedup disabled the exact⊆near containment
+    does not hold)."""
+    from ..stages.join import shuffle_join
+
+    def as_str(t: pa.Table) -> pa.Table:
+        return pa.table({"loser": pc.cast(t.column("loser"), pa.string())})
+
+    exact_ds = (_exact_loser_ds(kept, id_col, text_col)
+                .map_batches(as_str, batch_format="pyarrow")
+                .materialize())
+    near_all = _near_loser_ds(kept, id_col, text_col,
+                              jaccard_threshold, concurrency)
+    near_ds = shuffle_join(near_all, exact_ds, "loser", "loser",
+                           num_partitions, how="anti").materialize()
+    stats["exact_dup_losers"] = exact_ds.count()
+    stats["near_dup_losers"] = near_ds.count()
+
+    losers = exact_ds.union(near_ds)
+    kschema = pa.schema(list(zip(kept.schema().names,
+                                 kept.schema().types)))
+
+    def add_sid(t: pa.Table) -> pa.Table:
+        return t.append_column("_sid", pc.cast(t.column(id_col),
+                                               pa.string()))
+
+    keyed = kept.map_batches(add_sid, batch_format="pyarrow")
+    survivors = shuffle_join(keyed, losers, "_sid", "loser",
+                             num_partitions, how="anti")
+    # pandas→arrow round-trips in the merge type empty string columns
+    # as null; select away the key helper and cast back to kept's schema
+    return survivors.map_batches(
+        lambda t: t.select(kschema.names).cast(kschema),
+        batch_format="pyarrow")
