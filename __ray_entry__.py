@@ -438,6 +438,23 @@ def _q_knn_lsh(sf_dir: str):
     return out
 
 
+def _q_knn_lsh_oracle(sf_dir: str):
+    """Forced-plan oracle variant of ``knn_lsh``: ``planes=0`` puts
+    every vector in the one all-inclusive bucket, so the bucketed scan
+    degenerates to an exhaustive scan output-identical to
+    :func:`knn_brute` — same SQL oracle, exercising the LSH probe
+    machinery end-to-end (signature → probe set → masked rerank →
+    merge) under a full hash-verifiable contract."""
+    from textgraphs_ray.stages.similarity import knn_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, duck_queries_mat(sf_dir), k=5, planes=0,
+                  exclude_self=True)
+    out["sim"] = out["sim"].round(4)
+    return out[["query_id", "rank", "vec_id", "sim"]]
+
+
 def _q_knn_pq(sf_dir: str):
     """Product-quantization ANN (stages/similarity.py `knn_pq`):
     vectors compressed to m_sub uint8 codes (32× at D=64), queries
@@ -799,6 +816,112 @@ def _q_pagerank_global(sf_dir: str):
         lambda t: t.set_column(t.schema.get_field_index("rank"), "rank",
                                pc.round(t.column("rank"), 8)),
         batch_format="pyarrow")
+
+
+_PAGERANK_SQL_ITERS = 10
+
+
+def _q_pagerank_oracle(sf_dir: str, driver_threshold: int = 2_000_000):
+    """Hash-verifiable GLOBAL PageRank: customer→order bipartite graph
+    from the orders table (every order node is dangling, so the
+    dangling-mass redistribution term is exercised each iteration),
+    fixed 10 iterations, networkx semantics (stages/rank.py
+    pagerank_distributed).  The oracle is the SAME power iteration
+    unrolled as 10 SQL CTE steps — DuckDB and the Ray kernel agree to
+    well under the 6dp rounding."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.rank import pagerank_distributed
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        pre = pa.array(["c"] * t.num_rows)
+        pre_o = pa.array(["o"] * t.num_rows)
+        return pa.table({
+            "key_a": pc.binary_join_element_wise(
+                pre, pc.cast(t.column("o_custkey"), pa.string()), ""),
+            "key_b": pc.binary_join_element_wise(
+                pre_o, pc.cast(t.column("o_orderkey"), pa.string()), ""),
+        })
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow")
+
+    def both_keys(t: pa.Table) -> pa.Table:
+        # per-batch dedup combiner ahead of the global distinct
+        both = pa.concat_tables([pa.table({"key": t.column("key_a")}),
+                                 pa.table({"key": t.column("key_b")})])
+        return both.group_by("key").aggregate([]).select(["key"])
+
+    nodes = (edges.map_batches(both_keys, batch_format="pyarrow")
+             .groupby("key").aggregate(Count(alias_name="_n")))
+    nodes = nodes.map_batches(lambda t: t.select(["key"]),
+                              batch_format="pyarrow")
+
+    out = pagerank_distributed(nodes, edges, iters=_PAGERANK_SQL_ITERS,
+                               driver_threshold=driver_threshold)
+    return out.map_batches(
+        lambda t: pa.table({"key": t.column("key"),
+                            "pr": pc.round(t.column("rank"), 6)}),
+        batch_format="pyarrow")
+
+
+def _q_pagerank_oracle_distributed(sf_dir: str):
+    """Forced-plan sibling of ``pagerank_oracle``: ``driver_threshold=0``
+    routes through the Dataset power-iteration loop (shuffle-join
+    contrib pass + groupby(dst) per round) instead of the driver
+    kernel.  Output-identical; shares the unrolled-SQL oracle — this
+    puts the DISTRIBUTED iteration itself under the value-hash gate."""
+    return _q_pagerank_oracle(sf_dir, driver_threshold=0)
+
+
+def _pagerank_oracle_sql(iters: int = _PAGERANK_SQL_ITERS) -> str:
+    """Unrolled power iteration: it0 = uniform 1/N; per step i,
+    d{i} = dangling mass of it{i-1}, it{i} = teleport + alpha *
+    (in-mass + d/N).  Mirrors rank.py pagerank_power exactly."""
+    # AS MATERIALIZED is load-bearing: each step references its
+    # predecessor 3× — inlined CTEs would re-compute the whole chain
+    # exponentially (measured: 10 inlined steps never finish)
+    head = """
+        WITH edges AS MATERIALIZED (
+            SELECT 'c' || CAST(o_custkey AS VARCHAR) AS key_a,
+                   'o' || CAST(o_orderkey AS VARCHAR) AS key_b
+            FROM orders
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT key FROM (
+                SELECT key_a AS key FROM edges
+                UNION ALL SELECT key_b FROM edges)
+        ), nn AS MATERIALIZED (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS MATERIALIZED (
+            SELECT key_a AS key, count(*) AS od FROM edges GROUP BY key_a
+        ), it0 AS MATERIALIZED (
+            SELECT nodes.key, (SELECT 1.0 / n FROM nn) AS pr,
+                   coalesce(deg.od, 0) AS od
+            FROM nodes LEFT JOIN deg USING (key)
+        )"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(f"""
+        , d{i} AS MATERIALIZED (
+            SELECT coalesce(sum(CASE WHEN od = 0 THEN pr END), 0) AS d
+            FROM it{p}
+        ), it{i} AS MATERIALIZED (
+            SELECT s.key,
+                   (1 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * (coalesce(m.mass, 0)
+                             + (SELECT d FROM d{i}) / (SELECT n FROM nn))
+                       AS pr,
+                   s.od
+            FROM it{p} s LEFT JOIN (
+                SELECT e.key_b AS key, sum(p.pr / p.od) AS mass
+                FROM edges e JOIN it{p} p ON p.key = e.key_a
+                WHERE p.od > 0 GROUP BY e.key_b) m USING (key)
+        )""")
+    return (head + "".join(steps)
+            + f"\n        SELECT key, round(pr, 6) AS pr FROM it{iters}")
 
 
 def _q_kuzu_export(sf_dir: str):
@@ -1750,6 +1873,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_distributed": _q_unigram_logprob_distributed,
         "interleave_bucketed": _q_interleave_bucketed,
         "curate_join": _q_curate_join,
+        "knn_lsh_oracle": _q_knn_lsh_oracle,
+        "pagerank_oracle": _q_pagerank_oracle,
+        "pagerank_oracle_distributed": _q_pagerank_oracle_distributed,
         "graph_layout": _q_graph_layout,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
@@ -1815,8 +1941,11 @@ def oracle_sql() -> dict[str, str]:
                         ("unigram_logprob_distributed",
                          "unigram_logprob"),
                         ("interleave_bucketed", "interleave"),
-                        ("curate_join", "curate_oracle")):
+                        ("curate_join", "curate_oracle"),
+                        ("knn_lsh_oracle", "knn_brute")):
         sqls[alias] = sqls[base]
+    sqls["pagerank_oracle"] = _pagerank_oracle_sql()
+    sqls["pagerank_oracle_distributed"] = sqls["pagerank_oracle"]
     return sqls
 
 

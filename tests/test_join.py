@@ -59,6 +59,33 @@ class TestShuffleJoin:
         got = shuffle_join(_ds(left), _ds(right), "k", "k", 5).to_pandas()
         assert sorted(got["a"]) == [0, 2, 4, 6, 8]
 
+    def test_empty_schemaless_right(self):
+        """A fully-filtered Dataset has schema() None — the curate_join
+        regression: anti passes left through, semi/inner go empty."""
+        import pytest
+
+        left = [{"k": f"s{i}", "a": i} for i in range(6)]
+        empty = _ds([{"k": "x", "b": 1}]).filter(lambda r: False)
+        assert empty.schema() is None
+        anti = shuffle_join(_ds(left), empty, "k", "k", 4,
+                            how="anti").to_pandas()
+        assert sorted(anti["a"]) == list(range(6))
+        for how in ("semi", "inner"):
+            got = shuffle_join(_ds(left), empty, "k", "k", 4, how=how)
+            assert got.count() == 0
+            # Dataset-level schema keeps left's columns (Ray's
+            # to_pandas() drops columns for ANY empty dataset)
+            assert sorted(got.schema().names) == ["a", "k"]
+        with pytest.raises(ValueError, match="schema"):
+            shuffle_join(_ds(left), empty, "k", "k", 4, how="left")
+
+    def test_empty_schemaless_left(self):
+        left = _ds([{"k": "x", "a": 1}]).filter(lambda r: False)
+        right = [{"k": f"s{i}", "b": i} for i in range(4)]
+        for how in ("inner", "anti", "semi", "left"):
+            got = shuffle_join(left, _ds(right), "k", "k", 4, how=how)
+            assert got.count() == 0
+
 
 class TestBroadcastJoin:
     def _build(self):

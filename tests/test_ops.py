@@ -121,6 +121,23 @@ def test_knn_lsh_recall():
     assert hits / 25 > 0.4
 
 
+def test_knn_lsh_zero_planes_is_brute():
+    """planes=0 ⇒ one all-inclusive bucket ⇒ output-identical to
+    knn_brute (the knn_lsh_oracle forced-plan contract)."""
+    from textgraphs_ray.stages.similarity import knn_brute, knn_lsh
+
+    rng = np.random.RandomState(7)
+    emb = rng.standard_normal((120, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(120), pa.int64()),
+                  "embedding": [e.tolist() for e in emb]})
+    q = emb[:4]
+    exact = knn_brute(rd.from_arrow(t), q, k=5, exclude_self=True)
+    full = knn_lsh(rd.from_arrow(t), q, k=5, planes=0, exclude_self=True)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), full.reset_index(drop=True),
+        check_exact=False, atol=1e-6)
+
+
 def test_text_analysis_stages():
     from textgraphs_ray.stages.text import (Fingerprinter, LangId,
                                             QualityScorer, TokenCounter)

@@ -52,8 +52,29 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(
             f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
-    lnames = list(left.schema().names)
-    rnames = list(right.schema().names)
+    lschema = left.schema()
+    if lschema is None:          # empty left ⇒ empty join, any `how`
+        return left
+    rschema = right.schema()
+    if rschema is None:
+        # Empty right side (a fully-filtered Dataset has no schema).
+        # anti: nothing to subtract — left passes through; semi/inner:
+        # no key can match — empty output with left's columns.  "left"
+        # would need right's column NAMES for the null padding, which
+        # an empty schema-less Dataset cannot provide.
+        if how == "anti":
+            return left
+        if how in ("semi", "inner"):
+            # limit(0) would drop every block and with it the columns;
+            # emit ONE empty Arrow block carrying left's schema
+            empty = pa.schema(list(zip(lschema.names,
+                                       lschema.types))).empty_table()
+            return ray.data.from_arrow(empty)
+        raise ValueError(
+            "shuffle_join(how='left') needs a right side with a schema; "
+            "got an empty schema-less Dataset")
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
     allnames = lnames + [c for c in rnames if c not in lnames]
 
     def widen(names: list, key: str, side: int):

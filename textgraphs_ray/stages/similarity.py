@@ -122,12 +122,18 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
 
 def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
             emb_col: str = "embedding", id_col: str = "vec_id",
-            planes: int = 8, seed: int = 42) -> pd.DataFrame:
+            planes: int = 8, seed: int = 42,
+            exclude_self: bool = False) -> pd.DataFrame:
     """Approximate top-k: hyperplane-bucketed scan with multi-probe.
 
     Each batch computes bucket signatures for its vectors and scores
     only those whose signature is within Hamming ≤ 1 of a query
     signature — per-batch work shrinks with bucket selectivity.
+
+    ``planes=0`` degenerates to a single all-inclusive bucket — an
+    exhaustive scan output-identical to :func:`knn_brute` (the
+    ``knn_lsh_oracle`` forced-plan entry uses this to share the brute
+    SQL oracle; parity pytest-asserted).
     """
     queries = np.asarray(queries, dtype=np.float32)
     rng = np.random.RandomState(seed)
@@ -158,7 +164,7 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
                 continue
             sims = en[mask] @ q[qi]
             sub_ids = ids[mask]
-            kk = min(k, len(sims))
+            kk = min(k + (1 if exclude_self else 0), len(sims))
             idx = np.argpartition(-sims, kk - 1)[:kk]
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx].tolist())
@@ -170,7 +176,8 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         })
 
     parts = ds.map_batches(score, batch_format="pyarrow")
-    return _merge_topk(parts, k, num_queries=qn.shape[0])
+    return _merge_topk(parts, k, num_queries=qn.shape[0],
+                       exclude_self=exclude_self)
 
 
 def kmeans_distributed(ds: "ray.data.Dataset", ncells: int, *,

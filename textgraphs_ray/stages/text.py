@@ -15,6 +15,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # Small closed-class profiles per language (public stopword knowledge).
 _LANG_PROFILES: dict[str, set[str]] = {
@@ -291,46 +292,51 @@ def chunk_windows(ds: "ray.data.Dataset", *, size: int = 500,
 
     A row-expanding stateless ``map_batches`` (output rows ≠ input
     rows, no shuffle): the chunk count per document is computed
-    vectorized, then one pandas ``str.slice`` per chunk POSITION (a
-    handful of iterations — bounded by the longest doc in the batch,
-    not the row count) slices every row at that position at once.
-    Character (codepoint) semantics match SQL ``substr``/``len``, so
-    the oracle replays chunk boundaries exactly via
-    ``generate_series``.  Empty documents yield zero chunks.
+    vectorized, then one Arrow ``utf8_slice_codeunits`` per chunk
+    POSITION (a handful of iterations — bounded by the longest doc in
+    the batch, not the row count) slices every row at that position at
+    once in C++ (a pandas ``str.slice`` here is an object-dtype Python
+    loop).  Character (codepoint) semantics match SQL
+    ``substr``/``len`` — verified: ``utf8_slice_codeunits`` /
+    ``utf8_length`` count codepoints, not bytes — so the oracle
+    replays chunk boundaries exactly via ``generate_series``.  Empty
+    documents yield zero chunks.
     """
-    import pandas as pd
-
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
 
-    def expand(t: pa.Table) -> pd.DataFrame:
-        df = t.select([id_col, text_col]).to_pandas()
-        texts = df[text_col].fillna("")
-        lens = texts.str.len().to_numpy(np.int64)
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        texts = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        lens = pc.utf8_length(texts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         # sliding-window count: 1 chunk when len<=size, else
         # ceil((len-size)/stride)+1; 0 for empty docs
         n_chunks = np.where(
             lens == 0, 0,
             np.maximum(1, -(-(lens - size) // stride) + 1)).astype(np.int64)
-        out_frames = []
+        tables = []
         for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
-            m = n_chunks > j
-            piece = texts[m].str.slice(j * stride, j * stride + size)
-            frame = pd.DataFrame({
-                id_col: df.loc[m, id_col].to_numpy(),
-                "chunk_id": np.int64(j),
-                "chunk_len": piece.str.len().to_numpy(np.int64),
-            })
+            mask = pa.array(n_chunks > j)
+            piece = pc.utf8_slice_codeunits(
+                texts.filter(mask), start=j * stride,
+                stop=j * stride + size)
+            cols = {
+                id_col: ids.filter(mask),
+                "chunk_id": pa.array(
+                    np.full(len(piece), j, np.int64)),
+                "chunk_len": pc.cast(pc.utf8_length(piece), pa.int64()),
+            }
             if keep_text:
-                frame["chunk_text"] = piece.to_numpy()
-            out_frames.append(frame)
-        if not out_frames:
-            cols = {id_col: pd.Series([], dtype=df[id_col].dtype),
-                    "chunk_id": pd.Series([], dtype="int64"),
-                    "chunk_len": pd.Series([], dtype="int64")}
+                cols["chunk_text"] = piece
+            tables.append(pa.table(cols))
+        if not tables:
+            cols = {id_col: pa.array([], t.schema.field(id_col).type),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_len": pa.array([], pa.int64())}
             if keep_text:
-                cols["chunk_text"] = pd.Series([], dtype=object)
-            return pd.DataFrame(cols)
-        return pd.concat(out_frames, ignore_index=True)
+                cols["chunk_text"] = pa.array([], pa.string())
+            return pa.table(cols)
+        return pa.concat_tables(tables)
 
     return ds.map_batches(expand, batch_format="pyarrow")
