@@ -924,6 +924,37 @@ def _pagerank_oracle_sql(iters: int = _PAGERANK_SQL_ITERS) -> str:
             + f"\n        SELECT key, round(pr, 6) AS pr FROM it{iters}")
 
 
+def _q_similarity_join(sf_dir: str, broadcast_vocab_max: int = 1_000_000):
+    """Exact cross-corpus set-similarity JOIN (stages/simjoin.py
+    set_similarity_join): even-id docs vs odd-id docs, pairs with
+    3-gram-shingle Jaccard ≥ 0.3.  Prefix filtering (AllPairs/PPJoin)
+    has recall 1, so ANY threshold is hash-verifiable — unlike the
+    banded-LSH dedup family, which only oracle-checks at 1.0."""
+    from textgraphs_ray.stages.simjoin import set_similarity_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def split(parity: int):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow")
+
+    out = set_similarity_join(split(0), split(1), tau=0.3, n=3,
+                              broadcast_vocab_max=broadcast_vocab_max)
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("jaccard"),
+                               "jaccard", pc.round(t.column("jaccard"), 6)),
+        batch_format="pyarrow")
+
+
+def _q_similarity_join_joinplan(sf_dir: str):
+    """Forced-plan sibling: ``broadcast_vocab_max=0`` routes the
+    rarity order through the hash-partitioned shingle join instead of
+    the driver broadcast.  Output-identical; shares the oracle."""
+    return _q_similarity_join(sf_dir, broadcast_vocab_max=0)
+
+
 def _q_kuzu_export(sf_dir: str):
     """S7: graph-DB CSV export projection (nodes.csv/edges.csv rows)."""
     from textgraphs_ray.corpus import generate
@@ -1876,6 +1907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_oracle": _q_knn_lsh_oracle,
         "pagerank_oracle": _q_pagerank_oracle,
         "pagerank_oracle_distributed": _q_pagerank_oracle_distributed,
+        "similarity_join": _q_similarity_join,
+        "similarity_join_joinplan": _q_similarity_join_joinplan,
         "graph_layout": _q_graph_layout,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
@@ -1942,7 +1975,8 @@ def oracle_sql() -> dict[str, str]:
                          "unigram_logprob"),
                         ("interleave_bucketed", "interleave"),
                         ("curate_join", "curate_oracle"),
-                        ("knn_lsh_oracle", "knn_brute")):
+                        ("knn_lsh_oracle", "knn_brute"),
+                        ("similarity_join_joinplan", "similarity_join")):
         sqls[alias] = sqls[base]
     sqls["pagerank_oracle"] = _pagerank_oracle_sql()
     sqls["pagerank_oracle_distributed"] = sqls["pagerank_oracle"]
@@ -2634,6 +2668,30 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT key, min(key) OVER (PARTITION BY f) AS cluster_id
             FROM fp
+        """,
+        "similarity_join": """
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS w
+              FROM documents
+            ), grams AS (
+              -- word-3-gram shingles: list slice w[i:i+2] is 1-based
+              -- INCLUSIVE (3 tokens); docs under 3 tokens emit none
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            ), sets AS (
+              SELECT doc_id, list_distinct(list(g)) AS toks
+              FROM grams GROUP BY doc_id
+            ), ta AS (SELECT * FROM sets WHERE doc_id % 2 = 0),
+            tb AS (SELECT * FROM sets WHERE doc_id % 2 = 1),
+            j AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / (len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks))) AS jac
+              FROM ta a CROSS JOIN tb b)
+            SELECT a_id, b_id, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.3
         """,
         "curate_oracle": """
             WITH toks AS (
