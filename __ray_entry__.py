@@ -924,6 +924,70 @@ def _pagerank_oracle_sql(iters: int = _PAGERANK_SQL_ITERS) -> str:
             + f"\n        SELECT key, round(pr, 6) AS pr FROM it{iters}")
 
 
+def _q_connected_components(sf_dir: str,
+                            driver_threshold: int = 2_000_000):
+    """Hash-verified transitive closure (stages/cluster.py
+    propagate_labels — the ER chain's heart, otherwise covered only by
+    rows + property tests): connected components of a two-relation
+    graph — customer→group-of-5 edges (from customer) and
+    customer→order edges (from orders).  Components are bounded
+    (~5 customers + their orders, diameter 4) at ANY scale factor, so
+    the recursive-CTE oracle's reachability set stays
+    sum(component²) ≈ 80·N rows, never the giant-component blowup a
+    denser graph (e.g. order–part) produces.  cluster_id = min key of
+    the component on both sides (min-label roots; ASCII lexicographic
+    in Python and SQL alike)."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.cluster import propagate_labels
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+
+    def _skey(col, prefix: str) -> pa.Array:
+        pre = pa.array([prefix] * len(col))
+        return pc.binary_join_element_wise(
+            pre, pc.cast(col, pa.string()), "")
+
+    def cust_edges(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey")
+        grp = pc.divide(ck, 5)  # integer floor-div on int64, keys ≥ 0
+        return pa.table({"key_a": _skey(ck, "c"),
+                         "key_b": _skey(grp, "g")})
+
+    def order_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"key_a": _skey(t.column("o_custkey"), "c"),
+                         "key_b": _skey(t.column("o_orderkey"), "o")})
+
+    edges = (cust.map_batches(cust_edges, batch_format="pyarrow")
+             .union(orders.map_batches(order_edges,
+                                       batch_format="pyarrow")))
+
+    def both_keys(t: pa.Table) -> pa.Table:
+        # per-batch dedup combiner ahead of the global distinct
+        both = pa.concat_tables([pa.table({"key": t.column("key_a")}),
+                                 pa.table({"key": t.column("key_b")})])
+        return both.group_by("key").aggregate([]).select(["key"])
+
+    nodes = (edges.map_batches(both_keys, batch_format="pyarrow")
+             .groupby("key").aggregate(Count(alias_name="_n")))
+    nodes = nodes.map_batches(lambda t: t.select(["key"]),
+                              batch_format="pyarrow")
+    return propagate_labels(nodes, edges,
+                            driver_threshold=driver_threshold)
+
+
+def _q_connected_components_distributed(sf_dir: str):
+    """Forced-plan sibling: ``driver_threshold=0`` routes through the
+    distributed join + groupby-min + pointer-jump loop instead of the
+    driver union-find.  Output-identical; shares the recursive-CTE
+    oracle — this puts the DISTRIBUTED closure loop itself under the
+    value-hash gate."""
+    return _q_connected_components(sf_dir, driver_threshold=0)
+
+
 def _q_similarity_join(sf_dir: str, broadcast_vocab_max: int = 1_000_000):
     """Exact cross-corpus set-similarity JOIN (stages/simjoin.py
     set_similarity_join): even-id docs vs odd-id docs, pairs with
@@ -1859,9 +1923,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
-        "asof_join": _q_asof_join,
-        "json_extract": _q_json_extract,
-        "det_sample": _q_det_sample,
         "decontaminate": _q_decontaminate,
         "importance_sample": _q_importance_sample,
         "pack_greedy": _q_pack_greedy,
@@ -1909,6 +1970,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_oracle_distributed": _q_pagerank_oracle_distributed,
         "similarity_join": _q_similarity_join,
         "similarity_join_joinplan": _q_similarity_join_joinplan,
+        "connected_components": _q_connected_components,
+        "connected_components_distributed":
+            _q_connected_components_distributed,
         "graph_layout": _q_graph_layout,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
@@ -1961,6 +2025,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_resume": _q_er_resume,
         "analyze_full": _q_analyze_full,
         "window_agg": _q_window_agg,
+        # driver-checked in r01/r02 — rotated to the back so the
+        # 50-query gate window reaches never-checked entries
+        "asof_join": _q_asof_join,
+        "json_extract": _q_json_extract,
+        "det_sample": _q_det_sample,
     }
 
 
@@ -1976,7 +2045,9 @@ def oracle_sql() -> dict[str, str]:
                         ("interleave_bucketed", "interleave"),
                         ("curate_join", "curate_oracle"),
                         ("knn_lsh_oracle", "knn_brute"),
-                        ("similarity_join_joinplan", "similarity_join")):
+                        ("similarity_join_joinplan", "similarity_join"),
+                        ("connected_components_distributed",
+                         "connected_components")):
         sqls[alias] = sqls[base]
     sqls["pagerank_oracle"] = _pagerank_oracle_sql()
     sqls["pagerank_oracle_distributed"] = sqls["pagerank_oracle"]
@@ -2668,6 +2739,27 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT key, min(key) OVER (PARTITION BY f) AS cluster_id
             FROM fp
+        """,
+        "connected_components": """
+            WITH RECURSIVE edges AS (
+              SELECT 'c' || CAST(c_custkey AS VARCHAR) AS a,
+                     'g' || CAST(c_custkey // 5 AS VARCHAR) AS b
+              FROM customer
+              UNION ALL
+              SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                     'o' || CAST(o_orderkey AS VARCHAR)
+              FROM orders
+            ), sym AS (
+              SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ), nodes AS (
+              SELECT DISTINCT a AS key FROM sym
+            ), reach(src, dst) AS (
+              SELECT key, key FROM nodes
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+            )
+            SELECT src AS key, min(dst) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "similarity_join": """
             WITH tok AS (
