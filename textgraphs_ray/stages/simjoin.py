@@ -162,15 +162,19 @@ def set_similarity_join(left: "ray.data.Dataset",
     """
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
-    tagged = _tagged(left, id_col=id_col, text_col=text_col, n=n,
-                     side=0).union(
-        _tagged(right, id_col=id_col, text_col=text_col, n=n, side=1))
     lschema = left.schema()
     if lschema is None or right.schema() is None:
         return ray.data.from_arrow(pa.schema(
             [("a_id", pa.int64()), ("b_id", pa.int64()),
              ("jaccard", pa.float64())]).empty_table())
     id_type = dict(zip(lschema.names, lschema.types))[id_col]
+    # pin ONCE: tagged feeds both the df aggregate and the prefix
+    # emission — an unpinned lazy stream would re-run the shingling
+    # pass per consumer (repo invariant; see the r2 minhash regression)
+    tagged = _tagged(left, id_col=id_col, text_col=text_col, n=n,
+                     side=0).union(
+        _tagged(right, id_col=id_col, text_col=text_col, n=n,
+                side=1)).materialize()
     vocab = _shingle_frequencies(tagged).materialize()
 
     if vocab.count() <= broadcast_vocab_max:
