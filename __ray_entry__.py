@@ -254,6 +254,50 @@ def _q_unigram_logprob_distributed(sf_dir: str):
     return unigram_logprob(ds, broadcast_vocab_max=0, num_partitions=16)
 
 
+def _nb_split(sf_dir: str):
+    """(train, score) halves of documents by md5(doc_id) parity — the
+    same leakage-safe md5 convention as `split_assign`."""
+    from textgraphs_ray.stages.pack import md5_shard
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def half(keep: int):
+        def f(t: pa.Table) -> pa.Table:
+            sh = md5_shard(t.column("doc_id").to_pylist(), 2)
+            return t.filter(pa.array(sh == keep))
+        return f
+
+    return (ds.map_batches(half(0), batch_format="pyarrow"),
+            ds.map_batches(half(1), batch_format="pyarrow"))
+
+
+def _q_nb_lang(sf_dir: str):
+    """Distributed multinomial Naive Bayes (stages/classify.py): train
+    on the even-md5 half of documents (label = lang), predict the odd
+    half — training is ONE combiner-first groupby over (label, term)
+    counts, scoring a broadcast dict pass; the DuckDB oracle replays
+    the exact Laplace-smoothed argmax."""
+    from textgraphs_ray.stages.classify import nb_classify, nb_train
+
+    train, score = _nb_split(sf_dir)
+    model = nb_train(train, label_col="lang")
+    return nb_classify(score, model)
+
+
+def _q_nb_lang_joinplan(sf_dir: str):
+    """`nb_lang` with the join plan FORCED (broadcast_vocab_max=0):
+    doc-term rows LEFT hash-partition-join the sparse (label, term)
+    count table — the model never visits the driver (the 100-TB
+    raw-vocab path).  Same oracle as `nb_lang` (plans are
+    output-identical; parity pinned in tests/test_classify.py)."""
+    from textgraphs_ray.stages.classify import nb_classify, nb_train
+
+    train, score = _nb_split(sf_dir)
+    model = nb_train(train, label_col="lang")
+    return nb_classify(score, model, broadcast_vocab_max=0,
+                       num_partitions=16)
+
+
 def _q_interleave_bucketed(sf_dir: str):
     """`interleave` with the bucketed distributed-rank plan FORCED
     (plan="bucket", rank_buckets=16): per-source rank = digest-prefix
@@ -1971,6 +2015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join": _q_similarity_join,
         "similarity_join_joinplan": _q_similarity_join_joinplan,
         "connected_components": _q_connected_components,
+        "nb_lang": _q_nb_lang,
+        "nb_lang_joinplan": _q_nb_lang_joinplan,
         "connected_components_distributed":
             _q_connected_components_distributed,
         "graph_layout": _q_graph_layout,
@@ -2046,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
                         ("curate_join", "curate_oracle"),
                         ("knn_lsh_oracle", "knn_brute"),
                         ("similarity_join_joinplan", "similarity_join"),
+                        ("nb_lang_joinplan", "nb_lang"),
                         ("connected_components_distributed",
                          "connected_components")):
         sqls[alias] = sqls[base]
@@ -2366,6 +2413,56 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
                   / 4294967296.0
                   < LEAST(n_chars, 400) / 400.0
+        """,
+        "nb_lang": """
+            WITH split AS (
+              SELECT doc_id, lang, lower(text) AS t,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                     % 2 AS sh
+              FROM documents
+            ), tr_tok AS (
+              SELECT lang, unnest(regexp_extract_all(t, '[a-z]+')) AS w
+              FROM split WHERE sh = 0
+            ), label_tok AS (
+              SELECT lang, count(*) AS n_tok FROM tr_tok GROUP BY lang
+            ), label_doc AS (
+              SELECT lang, count(*) AS n_doc FROM split WHERE sh = 0
+              GROUP BY lang
+            ), vocab AS (
+              SELECT count(DISTINCT w) AS v FROM tr_tok
+            ), total AS (
+              SELECT count(*) AS n FROM split WHERE sh = 0
+            ), term_c AS (
+              SELECT lang, w, count(*) AS c FROM tr_tok GROUP BY lang, w
+            ), sc_tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(t, '[a-z]+')) AS w
+              FROM split WHERE sh = 1
+            ), sc_tf AS (
+              SELECT doc_id, w, count(*) AS tf FROM sc_tok
+              GROUP BY doc_id, w
+            ), sc_len AS (
+              SELECT doc_id, count(*) AS nd FROM sc_tok GROUP BY doc_id
+            ), contrib AS (
+              SELECT s.doc_id, t.lang, sum(s.tf * ln(t.c + 1)) AS con
+              FROM sc_tf s JOIN term_c t ON s.w = t.w
+              GROUP BY s.doc_id, t.lang
+            ), scores AS (
+              SELECT d.doc_id, lt.lang,
+                     ln(ld.n_doc * 1.0 / (SELECT n FROM total))
+                     - d.nd * ln(lt.n_tok + (SELECT v FROM vocab))
+                     + coalesce(c.con, 0.0) AS score
+              FROM sc_len d
+              CROSS JOIN label_tok lt
+              JOIN label_doc ld ON ld.lang = lt.lang
+              LEFT JOIN contrib c
+                ON c.doc_id = d.doc_id AND c.lang = lt.lang
+            )
+            SELECT doc_id, lang AS pred FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(score, 9) DESC, lang ASC) AS rn
+              FROM scores) WHERE rn = 1
         """,
         "pack_greedy": """
             WITH RECURSIVE d AS (
