@@ -298,6 +298,18 @@ def _q_nb_lang_joinplan(sf_dir: str):
                        num_partitions=16)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Temperature-scaled (α = 0.5) mixture sampling over sources —
+    the XLM-R/mT5 mixture-rebalancing step (stages/sampling.py
+    mixture_sample): per-source keep rates from one tiny groupby, then
+    the driver-free md5-variate scan; the oracle replays rates and
+    selection exactly."""
+    from textgraphs_ray.stages.sampling import mixture_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+    return mixture_sample(ds, alpha=0.5, target_frac=0.5)
+
+
 def _q_interleave_bucketed(sf_dir: str):
     """`interleave` with the bucketed distributed-rank plan FORCED
     (plan="bucket", rank_buckets=16): per-source rank = digest-prefix
@@ -2017,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,
         "nb_lang": _q_nb_lang,
         "nb_lang_joinplan": _q_nb_lang_joinplan,
+        "mixture_sample": _q_mixture_sample,
         "connected_components_distributed":
             _q_connected_components_distributed,
         "graph_layout": _q_graph_layout,
@@ -2413,6 +2426,23 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
                   / 4294967296.0
                   < LEAST(n_chars, 400) / 400.0
+        """,
+        "mixture_sample": """
+            WITH n AS (
+              SELECT source, count(*) AS ns FROM documents GROUP BY source
+            ), tot AS (
+              SELECT sum(power(ns, 0.5)) AS z, sum(ns) * 1.0 AS n_total
+              FROM n
+            ), rates AS (
+              SELECT source,
+                     LEAST(1.0, 0.5 * (SELECT n_total FROM tot)
+                           * power(ns, -0.5) / (SELECT z FROM tot)) AS r
+              FROM n
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates USING (source)
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+                  / 4294967296.0 < r
         """,
         "nb_lang": """
             WITH split AS (

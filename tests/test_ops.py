@@ -1171,3 +1171,26 @@ def test_rebel_generator_wiring():
     out2 = RebelGenerator(generator=unknown_rel)(
         pa.table({"doc_id": ["d2"], "text": ["ab"]}))
     assert out2.to_pylist()[0]["iri"] == "mrebel:made_up_rel"
+
+
+def test_mixture_sample_rates():
+    """α-sampling: skewed sources rebalance toward n_s^α; clamped rates
+    keep every row of tiny sources; selection is deterministic."""
+    from textgraphs_ray.stages.sampling import mixture_sample
+
+    rows = ([{"doc_id": i, "source": "big"} for i in range(400)]
+            + [{"doc_id": 1000 + i, "source": "small"} for i in range(16)])
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = mixture_sample(ds, alpha=0.5, target_frac=0.5,
+                         source_col="source", id_col="doc_id").to_pandas()
+    # rates: z = 20 + 4 = 24; r_big = .5*416/sqrt(400)/24 = 0.4333…,
+    # r_small = .5*416*16^-.5/24 = 2.1667 → clamps to 1.0
+    assert (out[out["source"] == "small"].shape[0] == 16)
+    frac_big = (out["source"] == "big").sum() / 400
+    assert 0.3 < frac_big < 0.55  # md5 variate ≈ uniform
+    again = mixture_sample(ds, alpha=0.5, target_frac=0.5,
+                           source_col="source",
+                           id_col="doc_id").to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))

@@ -131,3 +131,43 @@ def stratified_sample(ds: "ray.data.Dataset", *, group_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(reduce_grp, batch_format="pandas"))
+
+
+def mixture_sample(ds: "ray.data.Dataset", *, alpha: float = 0.5,
+                   target_frac: float = 0.5,
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Temperature-scaled mixture sampling: keep each row of source
+    ``s`` with probability ``r_s = min(1, target_frac · N · n_s^(α−1)
+    / Σ_t n_t^α)`` — the α-sampling mixture-rebalancing step of
+    multilingual / multi-domain pretraining (XLM-R / mT5 style:
+    expected kept mass per source ∝ n_s^α, total ≈ ``target_frac·N``).
+    α = 1 is uniform ``target_frac`` sampling; α < 1 upweights small
+    sources.  Rates that clamp at 1 shift the realized total below the
+    target (the standard caveat; at α ≤ 1 only sources smaller than
+    the mean clamp).
+
+    One tiny groupby (|sources| rows) computes the counts; the keep
+    decision is the same driver-free ``md5_frac(id) < r_s`` scan as
+    :func:`importance_sample`, so the selection is byte-stable across
+    reruns / block layouts / cluster sizes and SQL-replayable
+    (``LEAST(1.0, …)`` + the md5 variate in the oracle)."""
+    counts = {r[source_col]: r["count()"] for r in
+              ds.select_columns([source_col])
+              .groupby(source_col).count().take_all()}
+    n_total = float(sum(counts.values()))
+    if n_total == 0:
+        return ds
+    z = float(sum(n ** alpha for n in counts.values()))
+    rates = {s: min(1.0, target_frac * n_total * n ** (alpha - 1.0) / z)
+             for s, n in counts.items()}
+    rates_ref = ray.put(rates)
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        u = md5_frac(t.column(id_col).to_pylist())
+        thresh = np.array([r.get(s, 0.0) for s in
+                           t.column(source_col).to_pylist()])
+        return t.filter(pa.array(u < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
