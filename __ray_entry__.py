@@ -310,6 +310,17 @@ def _q_mixture_sample(sf_dir: str):
     return mixture_sample(ds, alpha=0.5, target_frac=0.5)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES, stages/sampling.py weighted_sample): top-25 docs by
+    ln(u)/n_chars with the deterministic md5 variate — block-local
+    top-k combiner, global sort over ≤ k rows per block."""
+    from textgraphs_ray.stages.sampling import weighted_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, k=25, weight_col="n_chars")
+
+
 def _q_interleave_bucketed(sf_dir: str):
     """`interleave` with the bucketed distributed-rank plan FORCED
     (plan="bucket", rank_buckets=16): per-source rank = digest-prefix
@@ -2030,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang": _q_nb_lang,
         "nb_lang_joinplan": _q_nb_lang_joinplan,
         "mixture_sample": _q_mixture_sample,
+        "weighted_sample": _q_weighted_sample,
         "connected_components_distributed":
             _q_connected_components_distributed,
         "graph_layout": _q_graph_layout,
@@ -2426,6 +2438,15 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
                   / 4294967296.0
                   < LEAST(n_chars, 400) / 400.0
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars, round(score, 6) AS score FROM (
+              SELECT doc_id, n_chars,
+                     ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                         ::UBIGINT + 1) / 4294967296.0)
+                     / n_chars AS score
+              FROM documents WHERE n_chars > 0)
+            ORDER BY score DESC, doc_id ASC LIMIT 25
         """,
         "mixture_sample": """
             WITH n AS (

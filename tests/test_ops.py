@@ -1194,3 +1194,22 @@ def test_mixture_sample_rates():
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_weighted_sample():
+    """A-ES: heavy-weight rows dominate the sample; k > N returns all
+    positive-weight rows; selection is deterministic."""
+    from textgraphs_ray.stages.sampling import weighted_sample
+
+    rows = ([{"doc_id": i, "w": 200} for i in range(100)]
+            + [{"doc_id": 1000 + i, "w": 2} for i in range(100)]
+            + [{"doc_id": 9999, "w": 0}])          # excluded
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = weighted_sample(ds, k=20, weight_col="w").to_pandas()
+    assert len(out) == 20
+    assert (out["doc_id"] < 1000).sum() >= 15      # heavy rows dominate
+    assert (out["score"] <= 0).all()
+    allrows = weighted_sample(ds, k=500, weight_col="w").to_pandas()
+    assert len(allrows) == 200                     # w=0 row excluded
+    again = weighted_sample(ds, k=20, weight_col="w").to_pandas()
+    pd.testing.assert_frame_equal(out, again)

@@ -171,3 +171,49 @@ def mixture_sample(ds: "ray.data.Dataset", *, alpha: float = 0.5,
         return t.filter(pa.array(u < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(ds: "ray.data.Dataset", *, k: int,
+                    weight_col: str, id_col: str = "doc_id"
+                    ) -> "ray.data.Dataset":
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis A-ES): each row gets key ``u^(1/w)`` — here its log form
+    ``score = ln(u) / w`` — and the k largest keys ARE a weighted
+    sample without replacement.  ``u = (md5_64(id)+1)/2^32 ∈ (0, 1]``
+    is the engine's deterministic md5 variate, so the selection is
+    byte-stable across reruns / block layouts / cluster sizes and
+    SQL-replayable (quality- or length-weighted corpus subsampling
+    with an exact oracle).
+
+    Distribution: one stateless scan computes scores and truncates to
+    the BLOCK-LOCAL top-k (``select_k_unstable``), then the global
+    sort sees ≤ k rows per block — never an all-to-all of the corpus
+    (same shape as the `o1_topk` combiner).  Rows with non-positive
+    weight are excluded (u^(1/w) is undefined there).
+
+    → the input columns of the k sampled rows + ``score`` (rounded
+    6dp), score desc / id asc.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        pos = w > 0
+        t = t.filter(pa.array(pos))
+        if t.num_rows == 0:
+            return t.append_column("score", pa.array([], pa.float64()))
+        u = md5_frac(t.column(id_col).to_pylist()) + 2.0 ** -32
+        score = np.log(u) / w[pos]
+        t = t.append_column("score", pa.array(score, pa.float64()))
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("score", "descending"), (id_col, "ascending")])
+        return t.take(idx)
+
+    top = (ds.map_batches(partial, batch_format="pyarrow")
+           .sort(["score", id_col], descending=[True, False]).limit(k))
+    return top.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pc.round(t.column("score"), 6)),
+        batch_format="pyarrow")
