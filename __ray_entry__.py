@@ -321,6 +321,61 @@ def _q_weighted_sample(sf_dir: str):
     return weighted_sample(ds, k=25, weight_col="n_chars")
 
 
+def _q_inverted_index(sf_dir: str):
+    """Posting-list build (stages/index.py inverted_index): one
+    combiner-fed shuffle on term → (term, df, cf, postings) with exact
+    df/cf and the first-16-doc-ids posting list — the cap is replayed
+    in SQL (row_number ≤ 16) so the whole index is hash-verified."""
+    from textgraphs_ray.stages.index import inverted_index
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=2, postings_cap=16)
+
+
+def _q_pmi_pairs(sf_dir: str):
+    """Document-level PMI collocations (stages/index.py pmi_pairs):
+    per-batch pair Counter combiner → one (w1, w2) groupby, broadcast
+    marginals, top-50 pairs by joint count with 6dp PMI."""
+    from textgraphs_ray.stages.index import pmi_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return pmi_pairs(ds, top_k=50, min_count=2)
+
+
+def _q_pmi_pairs_joinplan(sf_dir: str):
+    """`pmi_pairs` with the marginal-attach join plan FORCED
+    (broadcast_vocab_max=0): each pair slot hash-partition-joins the
+    (term, n) marginal table — the raw-web-vocab path.  Same oracle as
+    `pmi_pairs` (plans output-identical; parity pinned in
+    tests/test_index.py)."""
+    from textgraphs_ray.stages.index import pmi_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return pmi_pairs(ds, top_k=50, min_count=2, broadcast_vocab_max=0,
+                     num_partitions=8)
+
+
+def _q_bigram_logprob(sf_dir: str):
+    """Per-document mean ln P(w_i | w_{i-1}) under the corpus bigram
+    MLE (stages/index.py bigram_logprob) — the next n-gram order up
+    from `unigram_logprob`'s CCNet filter; broadcast model plan."""
+    from textgraphs_ray.stages.index import bigram_logprob
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return bigram_logprob(ds)
+
+
+def _q_bigram_logprob_joinplan(sf_dir: str):
+    """`bigram_logprob` with the composite-key join plan FORCED
+    (broadcast_vocab_max=0): doc-bigram rows hash-partition-join the
+    (bigram, logp) model — the model never visits the driver.  Same
+    oracle as `bigram_logprob` (parity pinned in tests/test_index.py)."""
+    from textgraphs_ray.stages.index import bigram_logprob
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return bigram_logprob(ds, broadcast_vocab_max=0, num_partitions=16)
+
+
 def _q_interleave_bucketed(sf_dir: str):
     """`interleave` with the bucketed distributed-rank plan FORCED
     (plan="bucket", rank_buckets=16): per-source rank = digest-prefix
@@ -2026,25 +2081,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "embedding_cov": _q_embedding_cov,
         "pca_project": _q_pca_project,
+        "inverted_index": _q_inverted_index,
+        "pmi_pairs": _q_pmi_pairs,
+        "bigram_logprob": _q_bigram_logprob,
+        "knn_lsh_oracle": _q_knn_lsh_oracle,
+        "pagerank_oracle": _q_pagerank_oracle,
+        "similarity_join": _q_similarity_join,
+        "connected_components": _q_connected_components,
+        "nb_lang": _q_nb_lang,
+        "mixture_sample": _q_mixture_sample,
+        "weighted_sample": _q_weighted_sample,
+        "connected_components_distributed":
+            _q_connected_components_distributed,
+        "graph_layout": _q_graph_layout,
+        # ---- forced-alternate-plan aliases: output-identical to
+        # their in-window siblings, parity ALSO pinned by pytest, so
+        # they yield the window to never-checked distinct operators
         "chunk_dedup_joinplan": _q_chunk_dedup_joinplan,
         "substring_dedup_joinplan": _q_substring_dedup_joinplan,
         "tfidf_topk_distributed": _q_tfidf_topk_distributed,
         "unigram_logprob_distributed": _q_unigram_logprob_distributed,
         "interleave_bucketed": _q_interleave_bucketed,
         "curate_join": _q_curate_join,
-        "knn_lsh_oracle": _q_knn_lsh_oracle,
-        "pagerank_oracle": _q_pagerank_oracle,
         "pagerank_oracle_distributed": _q_pagerank_oracle_distributed,
-        "similarity_join": _q_similarity_join,
         "similarity_join_joinplan": _q_similarity_join_joinplan,
-        "connected_components": _q_connected_components,
-        "nb_lang": _q_nb_lang,
         "nb_lang_joinplan": _q_nb_lang_joinplan,
-        "mixture_sample": _q_mixture_sample,
-        "weighted_sample": _q_weighted_sample,
-        "connected_components_distributed":
-            _q_connected_components_distributed,
-        "graph_layout": _q_graph_layout,
+        "pmi_pairs_joinplan": _q_pmi_pairs_joinplan,
+        "bigram_logprob_joinplan": _q_bigram_logprob_joinplan,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
         "knn_brute": _q_knn_brute,
@@ -2118,6 +2181,8 @@ def oracle_sql() -> dict[str, str]:
                         ("knn_lsh_oracle", "knn_brute"),
                         ("similarity_join_joinplan", "similarity_join"),
                         ("nb_lang_joinplan", "nb_lang"),
+                        ("pmi_pairs_joinplan", "pmi_pairs"),
+                        ("bigram_logprob_joinplan", "bigram_logprob"),
                         ("connected_components_distributed",
                          "connected_components")):
         sqls[alias] = sqls[base]
@@ -2664,6 +2729,80 @@ def _oracle_sqls() -> dict[str, str]:
                        '<EMAIL>', 'g'),
                      '[ \\t]+', ' ', 'g') AS text_clean
             FROM documents
+        """,
+        "inverted_index": """
+            WITH w AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM w GROUP BY term, doc_id
+            ), ranked AS (
+              SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn
+              FROM tf
+            ), stats AS (
+              SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+              FROM tf GROUP BY term
+            )
+            SELECT s.term, s.df, s.cf, p.postings
+            FROM stats s JOIN (
+              SELECT term,
+                     string_agg(CAST(doc_id AS VARCHAR), ','
+                                ORDER BY doc_id) AS postings
+              FROM ranked WHERE rn <= 16 GROUP BY term) p USING (term)
+            WHERE s.df >= 2
+        """,
+        "pmi_pairs": """
+            WITH raw AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS term
+              FROM documents
+            ), w AS (SELECT DISTINCT doc_id, term FROM raw),
+            pairs AS (
+              SELECT a.term AS w1, b.term AS w2, count(*) AS n_xy
+              FROM w a JOIN w b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2
+            ), marg AS (
+              SELECT term, count(*) AS n FROM w GROUP BY term
+            ), nn AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT p.w1, p.w2, p.n_xy,
+                     round(ln(p.n_xy * 1.0 * nn.n
+                              / (m1.n * m2.n)), 6) AS pmi,
+                     row_number() OVER (ORDER BY p.n_xy DESC,
+                                        p.w1, p.w2) AS rk
+              FROM pairs p
+              JOIN marg m1 ON m1.term = p.w1
+              JOIN marg m2 ON m2.term = p.w2
+              CROSS JOIN nn
+              WHERE p.n_xy >= 2
+            )
+            SELECT w1, w2, n_xy, pmi FROM scored WHERE rk <= 50
+        """,
+        "bigram_logprob": """
+            WITH d AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '') AS ws
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM d, LATERAL unnest(range(1, len(ws))) AS t(i)
+            ), c12 AS (
+              SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, sum(c) AS c FROM c12 GROUP BY 1
+            )
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(c12.c * 1.0 / c1.c)), 6) AS logprob
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            GROUP BY bg.doc_id
         """,
         "unigram_logprob": """
             WITH w AS (
