@@ -376,6 +376,209 @@ def _q_bigram_logprob_joinplan(sf_dir: str):
     return bigram_logprob(ds, broadcast_vocab_max=0, num_partitions=16)
 
 
+def _q_range_join(sf_dir: str):
+    """Interval join WITHOUT an equi-key (stages/join.py range_join):
+    for every 'error' event, how many 'click' events — by ANY user —
+    landed in the preceding 10 minutes.  Time-bucket blocking with
+    bucket = window: builds replicate to exactly the 2 buckets they
+    can match, probes answer via two vectorized searchsorted calls per
+    bucket group.  LEFT semantics (zero-click errors kept)."""
+    from textgraphs_ray.stages.join import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+    errors = ev.filter(expr="event_type == 'error'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    return range_join(errors, clicks, probe_ts="ts", build_ts="ts",
+                      window=600_000_000,  # 10 min in µs
+                      probe_cols=["event_id"], emit="count",
+                      out_col="n_clicks")
+
+
+def _q_group_zscore(sf_dir: str):
+    """Per-language z-score of document length (stages/stats.py
+    group_zscore): one combiner-fed groupby of exact integer (n, Σx,
+    Σx²) sufficient statistics, then a stateless broadcast scan —
+    mean/σ agree bit-for-bit with the SQL oracle because the sums are
+    exact integers on both engines."""
+    from textgraphs_ray.stages.stats import group_zscore
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return group_zscore(ds, value_col="n_chars", group_col="lang",
+                        id_col="doc_id")
+
+
+def _q_group_zscore_joinplan(sf_dir: str):
+    """`group_zscore` with the stats-attach join plan FORCED
+    (broadcast_groups_max=0) — the unbounded-group-cardinality path.
+    Same oracle as `group_zscore` (parity pinned in
+    tests/test_stats.py)."""
+    from textgraphs_ray.stages.stats import group_zscore
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return group_zscore(ds, value_col="n_chars", group_col="lang",
+                        id_col="doc_id", broadcast_groups_max=0,
+                        num_partitions=8)
+
+
+def _q_quantile_filter(sf_dir: str):
+    """Per-language bottom-quartile length drop (stages/stats.py
+    group_quantile_filter): each language's P25 threshold from the
+    grouped mergeable histogram sketch (deterministic floor-bin + rank
+    rule — SQL replays it exactly), broadcast once into a stateless
+    filter scan."""
+    from textgraphs_ray.stages.stats import group_quantile_filter
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return group_quantile_filter(ds, value_col="n_chars",
+                                 group_col="lang", q=0.25, lo=0.0,
+                                 hi=4096.0, nbins=256)
+
+
+def _q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) over documents — multi-level
+    totals from ONE shuffle: the finest (lang, source) groupby is
+    combiner-fed; the coarser levels re-aggregate the already-tiny
+    fine table (never the input), with 'ALL' placeholders standing in
+    for SQL's rollup NULLs."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pylist(),
+            "source": t.column("source").to_pylist(),
+            "n_chars": t.column("n_chars").to_numpy(
+                zero_copy_only=False)})
+        agg = (df.groupby(["lang", "source"], sort=False)["n_chars"]
+               .agg(n_docs="count", sum_chars="sum").reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    fine = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"))
+            .materialize())
+
+    def rekey(level: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                "lang": (t.column("lang") if level > 0
+                         else pa.array(["ALL"] * n)),
+                "source": pa.array(["ALL"] * n),
+                "n_docs": t.column("n_docs"),
+                "sum_chars": t.column("sum_chars")})
+        return fn
+
+    lang_lvl = (fine.map_batches(rekey(1), batch_format="pyarrow")
+                .groupby(["lang", "source"])
+                .aggregate(Sum("n_docs", alias_name="n_docs"),
+                           Sum("sum_chars", alias_name="sum_chars")))
+    total_lvl = (fine.map_batches(rekey(0), batch_format="pyarrow")
+                 .groupby(["lang", "source"])
+                 .aggregate(Sum("n_docs", alias_name="n_docs"),
+                            Sum("sum_chars", alias_name="sum_chars")))
+    return fine.union(lang_lvl).union(total_lvl)
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered conversion funnel view→click→purchase per user with a
+    24 h per-step window: greedy earliest chain — t1 = first view,
+    each next step the first matching event in (t_prev, t_prev + 24 h]
+    (deterministic semantics the SQL oracle replays step by step).
+    Per-user group + sorted searchsorted, the asof_join partitioning
+    pattern (one user's history fits one group)."""
+    W_US = 24 * 3600 * 1_000_000
+    STEPS = ("view", "click", "purchase")
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        et = g["event_type"].to_numpy()[order]
+        steps = 0
+        t_prev = None
+        for s in STEPS:
+            if t_prev is None:
+                cand = ts[et == s]
+            else:
+                m = (et == s) & (ts > t_prev) & (ts <= t_prev + W_US)
+                cand = ts[m]
+            if len(cand) == 0:
+                break
+            t_prev = int(cand.min())
+            steps += 1
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[:1].to_numpy(),
+            "steps_completed": np.array([steps], np.int64)})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+def _q_set_except(sf_dir: str):
+    """SQL EXCEPT as a distributed set operator (stages/join.py
+    distinct_set_op): users who hit an error on day 1 but did NOT sign
+    up on day 1 — per-batch drop_duplicates combiner, one groupby
+    ORing per-side presence flags, stateless keep scan."""
+    from textgraphs_ray.stages.join import distinct_set_op
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+    day1 = np.datetime64("2024-01-02", "us").astype("datetime64[us]")
+
+    def half(etype: str):
+        def f(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            m = pa.array((t.column("event_type").to_numpy(
+                zero_copy_only=False) == etype) & (ts < day1))
+            return t.filter(m)
+        return f
+
+    errs = ev.map_batches(half("error"), batch_format="pyarrow")
+    signups = ev.map_batches(half("signup"), batch_format="pyarrow")
+    return distinct_set_op(errs, signups, ["user_id"], op="except")
+
+
+def _q_set_intersect(sf_dir: str):
+    """SQL INTERSECT via the same machinery as `set_except`: users
+    with BOTH an error and a signup on day 1."""
+    from textgraphs_ray.stages.join import distinct_set_op
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+    day1 = np.datetime64("2024-01-02", "us").astype("datetime64[us]")
+
+    def half(etype: str):
+        def f(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            m = pa.array((t.column("event_type").to_numpy(
+                zero_copy_only=False) == etype) & (ts < day1))
+            return t.filter(m)
+        return f
+
+    errs = ev.map_batches(half("error"), batch_format="pyarrow")
+    signups = ev.map_batches(half("signup"), batch_format="pyarrow")
+    return distinct_set_op(errs, signups, ["user_id"], op="intersect")
+
+
+def _q_percent_rank(sf_dir: str):
+    """Global percent_rank over document length (stages/stats.py
+    percent_rank): the distinct-value DISTRIBUTION (not the data)
+    aggregates once and broadcasts as a (value → min-rank) table —
+    rank and n are exact ints on both engines so the rounded quotient
+    is bit-parity with SQL's percent_rank() window."""
+    from textgraphs_ray.stages.stats import percent_rank
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return percent_rank(ds, value_col="n_chars", id_col="doc_id")
+
+
 def _q_interleave_bucketed(sf_dir: str):
     """`interleave` with the bucketed distributed-rank plan FORCED
     (plan="bucket", rank_buckets=16): per-source rank = digest-prefix
@@ -2084,6 +2287,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "pmi_pairs": _q_pmi_pairs,
         "bigram_logprob": _q_bigram_logprob,
+        "range_join": _q_range_join,
+        "group_zscore": _q_group_zscore,
+        "quantile_filter": _q_quantile_filter,
+        "rollup_agg": _q_rollup_agg,
+        "funnel": _q_funnel,
+        "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
+        "percent_rank": _q_percent_rank,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
         "pagerank_oracle": _q_pagerank_oracle,
         "similarity_join": _q_similarity_join,
@@ -2108,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_joinplan": _q_nb_lang_joinplan,
         "pmi_pairs_joinplan": _q_pmi_pairs_joinplan,
         "bigram_logprob_joinplan": _q_bigram_logprob_joinplan,
+        "group_zscore_joinplan": _q_group_zscore_joinplan,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
         "knn_brute": _q_knn_brute,
@@ -2183,6 +2395,7 @@ def oracle_sql() -> dict[str, str]:
                         ("nb_lang_joinplan", "nb_lang"),
                         ("pmi_pairs_joinplan", "pmi_pairs"),
                         ("bigram_logprob_joinplan", "bigram_logprob"),
+                        ("group_zscore_joinplan", "group_zscore"),
                         ("connected_components_distributed",
                          "connected_components")):
         sqls[alias] = sqls[base]
@@ -2729,6 +2942,114 @@ def _oracle_sqls() -> dict[str, str]:
                        '<EMAIL>', 'g'),
                      '[ \\t]+', ' ', 'g') AS text_clean
             FROM documents
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+                AND e.ts <= s1.t + INTERVAL 24 HOUR
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                AND e.ts <= s2.t + INTERVAL 24 HOUR
+              GROUP BY e.user_id
+            ), u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CASE WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2
+                        WHEN s1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS steps_completed
+            FROM u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "set_except": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-02'
+        """,
+        "set_intersect": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-02'
+        """,
+        "percent_rank": """
+            SELECT doc_id, n_chars,
+                   round(percent_rank() OVER (ORDER BY n_chars), 6)
+                       AS pr
+            FROM documents
+        """,
+        "range_join": """
+            SELECT e.event_id,
+                   count(c.event_id)::BIGINT AS n_clicks
+            FROM events e LEFT JOIN events c
+              ON c.event_type = 'click'
+             AND c.ts > e.ts - INTERVAL 10 MINUTE
+             AND c.ts <= e.ts
+            WHERE e.event_type = 'error'
+            GROUP BY e.event_id
+        """,
+        "group_zscore": """
+            WITH s AS (
+              SELECT lang, count(*) AS n, sum(n_chars) AS s1,
+                     sum(n_chars * n_chars) AS s2
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   round(CASE WHEN s.s2 * 1.0 / s.n
+                                   - (s.s1 * 1.0 / s.n)
+                                     * (s.s1 * 1.0 / s.n) <= 0
+                              THEN 0.0
+                              ELSE (d.n_chars - s.s1 * 1.0 / s.n)
+                                   / sqrt(s.s2 * 1.0 / s.n
+                                          - (s.s1 * 1.0 / s.n)
+                                            * (s.s1 * 1.0 / s.n))
+                         END, 6) AS z
+            FROM documents d JOIN s USING (lang)
+        """,
+        "quantile_filter": """
+            WITH b AS (
+              SELECT lang,
+                     least(greatest(CAST(floor(
+                         (n_chars - 0.0) / (4096.0 - 0.0) * 256)
+                         AS BIGINT), 0), 255) AS bin
+              FROM documents
+            ), c AS (
+              SELECT lang, bin, count(*) AS n FROM b GROUP BY 1, 2
+            ), cum AS (
+              SELECT lang, bin,
+                     sum(n) OVER (PARTITION BY lang
+                                  ORDER BY bin) AS cumn,
+                     sum(n) OVER (PARTITION BY lang) AS total
+              FROM c
+            ), pick AS (
+              SELECT lang,
+                     min(CASE WHEN cumn >= greatest(
+                                  ceil(0.25 * total), 1)
+                              THEN bin END) AS qb
+              FROM cum GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN pick USING (lang)
+            WHERE d.n_chars >= 0.0 + qb * ((4096.0 - 0.0) / 256)
+        """,
+        "rollup_agg": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "inverted_index": """
             WITH w AS (

@@ -1,0 +1,91 @@
+"""Per-group z-score and quantile filter (stages/stats.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textgraphs_ray.stages.stats import (group_quantile_filter,
+                                         group_quantile_thresholds,
+                                         group_zscore)
+
+
+def _mk(groups, values):
+    return rd.from_arrow(pa.table({
+        "id": pa.array(range(len(values)), pa.int64()),
+        "g": pa.array(groups, pa.string()),
+        "x": pa.array(values, pa.int64()),
+    }))
+
+
+def test_zscore_matches_population_formula():
+    groups = ["a"] * 5 + ["b"] * 4
+    vals = [10, 20, 30, 40, 50, 7, 7, 9, 13]
+    got = {r["id"]: r["z"]
+           for r in group_zscore(_mk(groups, vals), value_col="x",
+                                 group_col="g",
+                                 id_col="id").take_all()}
+    for gname in ("a", "b"):
+        xs = [v for g, v in zip(groups, vals) if g == gname]
+        mean = sum(xs) / len(xs)
+        sd = math.sqrt(sum(v * v for v in xs) / len(xs) - mean * mean)
+        for i, (g, v) in enumerate(zip(groups, vals)):
+            if g == gname:
+                assert got[i] == pytest.approx(
+                    round((v - mean) / sd, 6), abs=1e-9)
+
+
+def test_zscore_constant_group_is_zero():
+    got = group_zscore(_mk(["c"] * 3, [5, 5, 5]), value_col="x",
+                       group_col="g", id_col="id").take_all()
+    assert [r["z"] for r in got] == [0.0, 0.0, 0.0]
+
+
+def test_zscore_plan_parity():
+    rng = np.random.default_rng(3)
+    groups = rng.choice(["a", "b", "c"], 200).tolist()
+    vals = rng.integers(0, 1000, 200).tolist()
+    ds = _mk(groups, vals)
+    base = {r["id"]: r["z"]
+            for r in group_zscore(ds, value_col="x", group_col="g",
+                                  id_col="id").take_all()}
+    forced = {r["id"]: r["z"]
+              for r in group_zscore(ds, value_col="x", group_col="g",
+                                    id_col="id",
+                                    broadcast_groups_max=0,
+                                    num_partitions=4).take_all()}
+    assert forced == base
+
+
+def test_quantile_threshold_rule():
+    # one group, values 0..99, q=0.1, bins aligned to integers:
+    # threshold = lower edge of the bin holding rank ceil(0.1*100)=10
+    # → value 9 (bin width 1, lo=0, hi=100, nbins=100)
+    ds = _mk(["a"] * 100, list(range(100)))
+    thr = group_quantile_thresholds(ds, value_col="x", group_col="g",
+                                    q=0.1, lo=0.0, hi=100.0,
+                                    nbins=100).take_all()
+    assert thr[0]["threshold"] == 9.0
+
+    kept = group_quantile_filter(ds, value_col="x", group_col="g",
+                                 q=0.1, lo=0.0, hi=100.0,
+                                 nbins=100).take_all()
+    assert sorted(r["x"] for r in kept) == list(range(9, 100))
+
+
+def test_quantile_filter_per_group_thresholds_differ():
+    groups = ["lo"] * 50 + ["hi"] * 50
+    vals = list(range(50)) + list(range(1000, 1050))
+    kept = group_quantile_filter(_mk(groups, vals), value_col="x",
+                                 group_col="g", q=0.5, lo=0.0,
+                                 hi=2048.0, nbins=2048).take_all()
+    lo_kept = sorted(r["x"] for r in kept if r["g"] == "lo")
+    hi_kept = sorted(r["x"] for r in kept if r["g"] == "hi")
+    # each group drops ITS OWN bottom half — the 'lo' group keeps
+    # values ≥ its median even though all are below the global one
+    assert lo_kept == list(range(24, 50))
+    assert hi_kept == list(range(1024, 1050))

@@ -226,3 +226,164 @@ def bloom_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         lambda t: t.cast(lschema) if t.schema != lschema else t,
         batch_format="pyarrow")
     return definite.union(verified)
+
+
+def range_join(probe: "ray.data.Dataset", build: "ray.data.Dataset", *,
+               probe_ts: str, build_ts: str, window: int,
+               probe_cols: list[str], build_cols: list[str] | None = None,
+               emit: str = "count",
+               out_col: str = "n_matches") -> "ray.data.Dataset":
+    """Interval join WITHOUT an equi-key: for every probe row, the
+    build rows whose timestamp falls in ``(probe_ts − window,
+    probe_ts]`` — the one join shape neither ``shuffle_join`` (needs a
+    key) nor ``asof_join`` (needs a per-entity partition) covers.
+
+    Blocking is time-bucketing with bucket width = ``window``: a probe
+    at ``t`` lands in bucket ``t // window``; a build row at ``s`` is
+    replicated to buckets ``s // window`` and ``s // window + 1`` — the
+    only two buckets whose probes it can match, so every candidate is
+    seen EXACTLY once (no post-join dedup) and the exchange fans out a
+    bounded 2×.  Inside each bucket group the build timestamps sort
+    once and every probe answers via two vectorized ``searchsorted``
+    probes.  Per-task memory is bounded by one window's traffic — at
+    web scale pick ``window`` (or sub-bucket a hot window by a salt on
+    the build side, merging counts per probe afterwards) so a bucket
+    fits a worker.
+
+    ``probe_ts`` / ``build_ts`` must be int64-castable (Arrow
+    timestamps are, microseconds); ``window`` is in those units.
+    ``emit="count"`` → probe_cols + ``out_col`` (LEFT semantics: every
+    probe row appears, zero when nothing matches).  ``emit="pairs"`` →
+    probe_cols + build_cols, one row per match (inner semantics).
+    """
+    if emit not in ("count", "pairs"):
+        raise ValueError(f"emit must be 'count' or 'pairs', got {emit!r}")
+    if emit == "pairs" and not build_cols:
+        raise ValueError("emit='pairs' requires build_cols")
+    build_cols = build_cols or []
+    w = int(window)
+    p_carry = list(probe_cols)
+    b_carry = list(build_cols)
+    # resolve carried-column Arrow types NOW — the tag UDFs run on
+    # workers and must not touch the captured Dataset handles
+    pschema = probe.schema()
+    bschema = build.schema()
+    p_all = dict(zip(pschema.names, pschema.types))
+    b_all = dict(zip(bschema.names, bschema.types))
+    p_types = {c: p_all[c] for c in p_carry}
+    b_types = {c: b_all[c] for c in b_carry}
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        ts = t.column(probe_ts).cast(pa.int64())
+        cols = {"_bkt": pc.divide(ts, w), "_role": pa.array(
+            np.zeros(len(t), np.int8)), "_ts": ts}
+        for c in p_carry:
+            cols[f"p_{c}"] = t.column(c)
+        for c in b_carry:
+            cols[f"b_{c}"] = pa.nulls(len(t), b_types[c])
+        return pa.table(cols)
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        ts = t.column(build_ts).cast(pa.int64())
+        bkt = pc.divide(ts, w)
+        parts = []
+        for shift in (0, 1):
+            cols = {"_bkt": pc.add(bkt, shift), "_role": pa.array(
+                np.ones(len(t), np.int8)), "_ts": ts}
+            for c in p_carry:
+                cols[f"p_{c}"] = pa.nulls(len(t), p_types[c])
+            for c in b_carry:
+                cols[f"b_{c}"] = t.column(c)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    tagged = (probe.map_batches(tag_probe, batch_format="pyarrow")
+              .union(build.map_batches(tag_build, batch_format="pyarrow")))
+
+    # build columns colliding with probe names get the pandas "_2"
+    # suffix in pairs output
+    bname = {c: (f"{c}_2" if c in p_carry else c) for c in b_carry}
+    if emit == "count":
+        out_schema = pa.schema([(c, p_types[c]) for c in p_carry]
+                               + [(out_col, pa.int64())])
+    else:
+        out_schema = pa.schema([(c, p_types[c]) for c in p_carry]
+                               + [(bname[c], b_types[c])
+                                  for c in b_carry])
+
+    def _col(vals, typ: pa.DataType) -> pa.Array:
+        # the union pads the other side's columns with nulls, which
+        # demotes int64 to float64 in the pandas group view — cast
+        # back to the declared probe/build type (values are null-free
+        # inside their own role, so the cast is exact)
+        arr = pa.array(vals)
+        return arr if arr.type == typ else arr.cast(typ)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        pr = g[g["_role"] == 0]
+        bl = g[g["_role"] == 1]
+        bts = np.sort(bl["_ts"].to_numpy(np.int64))
+        pts = pr["_ts"].to_numpy(np.int64)
+        hi = np.searchsorted(bts, pts, side="right")
+        lo = np.searchsorted(bts, pts - w, side="right")
+        if emit == "count":
+            cols = [_col(pr[f"p_{c}"].to_numpy(), p_types[c])
+                    for c in p_carry]
+            cols.append(pa.array((hi - lo).astype(np.int64)))
+            return pa.Table.from_arrays(cols, schema=out_schema)
+        # pairs: build rows re-ordered to the sorted-ts permutation
+        order = np.argsort(bl["_ts"].to_numpy(np.int64), kind="stable")
+        counts = hi - lo
+        if counts.sum() == 0 or len(pr) == 0:
+            return out_schema.empty_table()
+        bidx = np.concatenate(
+            [np.arange(l, h) for l, h in zip(lo, hi) if h > l])
+        cols = [_col(np.repeat(pr[f"p_{c}"].to_numpy(), counts),
+                     p_types[c]) for c in p_carry]
+        for c in b_carry:
+            cols.append(_col(bl[f"b_{c}"].to_numpy()[order][bidx],
+                             b_types[c]))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return tagged.groupby("_bkt").map_groups(per_bucket,
+                                             batch_format="pandas")
+
+
+def distinct_set_op(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                    cols: list[str], *,
+                    op: str = "intersect") -> "ray.data.Dataset":
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) over the
+    projection to ``cols`` — the §2.7 set-operator family beyond
+    ``union``.
+
+    Per-batch ``drop_duplicates`` is the combiner (at most one row per
+    distinct key leaves any block per side), then ONE groupby over
+    ``cols`` ORs the per-side presence flags and a stateless scan
+    keeps rows present in both (``intersect``) or only in the left
+    (``except``).  No driver materialization; the exchange carries
+    only distinct keys + two int flags.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    from ray.data.aggregate import Max
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            df = t.select(cols).to_pandas().drop_duplicates()
+            df["_l"] = np.int64(1 - side)
+            df["_r"] = np.int64(side)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return fn
+
+    both = (left.map_batches(tag(0), batch_format="pyarrow")
+            .union(right.map_batches(tag(1), batch_format="pyarrow")))
+    agg = both.groupby(cols).aggregate(Max("_l", alias_name="_l"),
+                                       Max("_r", alias_name="_r"))
+    want_r = 1 if op == "intersect" else 0
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("_l"), 1),
+                    pc.equal(t.column("_r"), want_r))
+        return t.filter(m).select(cols)
+
+    return agg.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,214 @@
+"""Per-group feature normalization and threshold filtering.
+
+Two curation-pipeline primitives over a grouped numeric column:
+
+- :func:`group_zscore` — z-score a column within its group (the
+  feature-normalization step before mixing quality signals across
+  languages/sources: a "short" English doc and a "short" code file sit
+  at very different raw lengths).  ONE combiner-fed groupby produces
+  per-group ``(n, Σx, Σx²)`` sufficient statistics — constant bytes
+  per group — then a stateless broadcast scan standardizes every row.
+  For integer columns the sums are EXACT on both engines (int64 here,
+  HUGEINT in DuckDB), so mean/σ agree bit-for-bit and the 6dp-rounded
+  z-scores hash-match the SQL oracle.  Group keys are bounded
+  (languages, sources) by contract — the stats table is broadcast; for
+  unbounded keys route it through ``shuffle_join`` on the group column
+  (``broadcast_groups_max``).
+
+- :func:`group_quantile_filter` — keep rows at-or-above their group's
+  q-quantile of a value column (per-language length/quality floors —
+  the Gopher/CCNet "drop the bottom decile per language" rule).  The
+  per-group quantile rides the mergeable histogram sketch
+  (:func:`..functions.histq.hist_quantile_agg` — deterministic
+  floor-bin + rank rule, so the threshold AND the filtered output are
+  SQL-reproducible exactly), and the tiny (group → threshold) table
+  broadcasts into one stateless filter scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.histq import hist_quantile_agg
+from .join import shuffle_join
+
+#: above this many distinct groups the stats table stops being a
+#: driver broadcast and attaches via a hash-partitioned join
+BROADCAST_GROUPS_MAX = 100_000
+
+
+def _group_sums(ds: "ray.data.Dataset", *, value_col: str,
+                group_col: str) -> "ray.data.Dataset":
+    """→ (group, n, s1, s2) sufficient statistics, combiner-first."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "x": t.column(value_col).to_numpy(zero_copy_only=False)})
+        agg = df.groupby("g", sort=False)["x"].agg(
+            n="count", s1="sum", s2=lambda s: (s * s).sum())
+        return pa.table({
+            group_col: pa.array(agg.index),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "s1": pa.array(agg["s1"].to_numpy(np.int64)),
+            "s2": pa.array(agg["s2"].to_numpy(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s1", alias_name="s1"),
+                       Sum("s2", alias_name="s2")))
+
+
+def group_zscore(ds: "ray.data.Dataset", *, value_col: str,
+                 group_col: str, id_col: str, out_col: str = "z",
+                 broadcast_groups_max: int = BROADCAST_GROUPS_MAX,
+                 num_partitions: int = 32) -> "ray.data.Dataset":
+    """→ (id, group, value, z): population z-score of ``value_col``
+    within each ``group_col`` group, 6dp.  σ = 0 groups (constant
+    value) emit z = 0.0.  Integer value columns are exactly
+    reproducible in SQL — see module doc.
+    """
+    stats = _group_sums(ds, value_col=value_col,
+                        group_col=group_col).materialize()
+
+    def z_of(x: np.ndarray, n: np.ndarray, s1: np.ndarray,
+             s2: np.ndarray) -> np.ndarray:
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(var <= 0, 0.0, (x - mean) / np.sqrt(var))
+        return np.round(z, 6)
+
+    if stats.count() <= broadcast_groups_max:
+        rows = stats.take_all()
+        lut = {r[group_col]: (float(r["n"]), float(r["s1"]),
+                              float(r["s2"])) for r in rows}
+        ref = ray.put(lut)
+
+        def score(t: pa.Table) -> pd.DataFrame:
+            m = ray.get(ref)
+            g = t.column(group_col).to_pylist()
+            x = t.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            n = np.array([m[k][0] for k in g])
+            s1 = np.array([m[k][1] for k in g])
+            s2 = np.array([m[k][2] for k in g])
+            return pd.DataFrame({
+                id_col: t.column(id_col).to_pandas(),
+                group_col: g,
+                value_col: t.column(value_col).to_pandas(),
+                out_col: z_of(x, n, s1, s2)})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # join plan: unbounded group cardinality — attach stats by key
+    joined = shuffle_join(
+        ds, stats, group_col, group_col, num_partitions,
+        project=lambda m: pd.DataFrame({
+            id_col: m[id_col], group_col: m[group_col],
+            value_col: m[value_col],
+            out_col: z_of(m[value_col].to_numpy(np.float64),
+                          m["n"].to_numpy(np.float64),
+                          m["s1"].to_numpy(np.float64),
+                          m["s2"].to_numpy(np.float64))}))
+    return joined
+
+
+def group_quantile_thresholds(ds: "ray.data.Dataset", *, value_col: str,
+                              group_col: str, q: float, lo: float,
+                              hi: float,
+                              nbins: int = 1024) -> "ray.data.Dataset":
+    """→ (group, threshold): each group's histogram-sketch q-quantile
+    of ``value_col`` (lower bin edge — the deterministic
+    ``functions/histq.py`` rule, error ≤ one bin width, exact in SQL).
+    """
+    return (ds.groupby(group_col)
+            .aggregate(hist_quantile_agg(value_col, q=q, lo=lo, hi=hi,
+                                         nbins=nbins,
+                                         alias_name="threshold")))
+
+
+def group_quantile_filter(ds: "ray.data.Dataset", *, value_col: str,
+                          group_col: str, q: float, lo: float, hi: float,
+                          nbins: int = 1024) -> "ray.data.Dataset":
+    """Keep rows with ``value_col >= `` their group's q-quantile
+    threshold (per-group bottom-tail drop).  The (group → threshold)
+    table is sketch-sized by construction and broadcasts once; the
+    filter itself is one stateless vectorized scan — no second
+    shuffle.
+    """
+    thr = group_quantile_thresholds(ds, value_col=value_col,
+                                    group_col=group_col, q=q, lo=lo,
+                                    hi=hi, nbins=nbins).take_all()
+    lut = {r[group_col]: float(r["threshold"]) for r in thr}
+    ref = ray.put(lut)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        g = t.column(group_col).to_pylist()
+        x = t.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        thr_v = np.array([m.get(k, -np.inf) for k in g])
+        return t.filter(pa.array(x >= thr_v))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def percent_rank(ds: "ray.data.Dataset", *, value_col: str, id_col: str,
+                 out_col: str = "pr",
+                 max_distinct: int = 1_000_000) -> "ray.data.Dataset":
+    """→ (id, value, pr): SQL ``percent_rank() OVER (ORDER BY value)``
+    — ``(rank − 1) / (n − 1)`` with ties sharing the min rank, 6dp.
+
+    The value DISTRIBUTION, not the data, is what moves: per-batch
+    distinct-value counts (``np.unique`` combiner) → one groupby-sum →
+    a (value → rank) table bounded by value cardinality
+    (``max_distinct`` guard — integer lengths, quantized scores), then
+    prefix-summed once and broadcast into a stateless scan.  rank and
+    n are exact integers on both engines, so the rounded quotient is
+    bit-parity with the SQL oracle.  For unbounded-cardinality doubles
+    use the bucketed two-phase rank (``stages/pack.py`` bucket-offset
+    pattern) instead.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t.column(value_col).to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({value_col: pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    dist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(value_col).aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    if len(dist) > max_distinct:
+        raise ValueError(
+            f"{len(dist)} distinct values exceed max_distinct="
+            f"{max_distinct}; use a bucketed two-phase rank")
+    dist.sort(key=lambda r: r[value_col])
+    n = sum(r["c"] for r in dist)
+    rank = {}
+    before = 0
+    for r in dist:
+        rank[r[value_col]] = before + 1
+        before += r["c"]
+    ref = ray.put((rank, n))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        rk, total = ray.get(ref)
+        v = t.column(value_col).to_pylist()
+        r = np.array([rk[x] for x in v], np.float64)
+        pr = (np.zeros(len(v)) if total <= 1
+              else np.round((r - 1.0) / (total - 1.0), 6))
+        return pd.DataFrame({
+            id_col: t.column(id_col).to_pandas(),
+            value_col: t.column(value_col).to_pandas(),
+            out_col: pr})
+
+    return ds.map_batches(score, batch_format="pyarrow")
