@@ -169,6 +169,35 @@ def _q_join_groupby(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_join_groupby_salted(sf_dir: str):
+    """`join_groupby` with the skew-salted join plan FORCED
+    (stages/join.py salted_join, salts=4): orders spread round-robin
+    over 4 sub-keys per custkey, the customer side replicates 4× — a
+    hot customer's merge work lands on 4 tasks instead of 1 (the
+    hot-key plan for web-scale joins).  Same oracle as `join_groupby`
+    (salting never changes join output; parity pinned in
+    tests/test_join.py)."""
+    from ray.data.aggregate import Count, Sum
+
+    from textgraphs_ray.stages.join import salted_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    j = salted_join(
+        orders, cust, "o_custkey", "c_custkey", 8, salts=4,
+        project=lambda m: m[["c_mktsegment", "o_totalprice"]])
+    out = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"))
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue",
+            pc.round(t.column("revenue"), 2)),
+        batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup: content-hash partition + per-group keeper (J1 on
     md5 fingerprints; collisions planted via 24-char prefix)."""
@@ -577,6 +606,41 @@ def _q_percent_rank(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
     return percent_rank(ds, value_col="n_chars", id_col="doc_id")
+
+
+def _q_bpe_learn(sf_dir: str):
+    """BPE merge learning (stages/bpe.py bpe_learn): the tokenizer-
+    training step — corpus reduces ONCE to (word, count), the merge
+    loop runs over the vocab table; 12 merges, weighted pair counts,
+    lexicographic tie-break.  Brute-force parity + both-plans parity
+    pinned in tests/test_bpe.py; the first merge is hash-verified by
+    `bpe_first_merge`."""
+    from textgraphs_ray.stages.bpe import bpe_learn
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return bpe_learn(ds, n_merges=12)
+
+
+def _q_bpe_first_merge(sf_dir: str):
+    """The FIRST BPE merge under the value-hash gate: weighted
+    adjacent-char pair counts over the word-frequency table, argmax by
+    (count desc, pair asc) — exactly replayable in SQL with
+    LATERAL-unnested character positions."""
+    from textgraphs_ray.stages.bpe import bpe_learn
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return bpe_learn(ds, n_merges=1)
+
+
+def _q_bpe_token_count(sf_dir: str):
+    """Per-document token counts under the learned 12-merge BPE
+    (stages/bpe.py bpe_encode): merge list broadcasts once, rank-
+    greedy encode memoized per distinct word within a batch — the
+    'how many tokens is my corpus' accounting pass."""
+    from textgraphs_ray.stages.bpe import bpe_encode, bpe_learn
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return bpe_encode(ds, bpe_learn(ds, n_merges=12))
 
 
 def _q_interleave_bucketed(sf_dir: str):
@@ -2295,6 +2359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_except": _q_set_except,
         "set_intersect": _q_set_intersect,
         "percent_rank": _q_percent_rank,
+        "bpe_first_merge": _q_bpe_first_merge,
+        "bpe_learn": _q_bpe_learn,
+        "bpe_token_count": _q_bpe_token_count,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
         "pagerank_oracle": _q_pagerank_oracle,
         "similarity_join": _q_similarity_join,
@@ -2320,6 +2387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs_joinplan": _q_pmi_pairs_joinplan,
         "bigram_logprob_joinplan": _q_bigram_logprob_joinplan,
         "group_zscore_joinplan": _q_group_zscore_joinplan,
+        "join_groupby_salted": _q_join_groupby_salted,
         "j1_node_upsert": _q_j1_node_upsert,
         "dedup_exact": _q_dedup_exact,
         "knn_brute": _q_knn_brute,
@@ -2396,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
                         ("pmi_pairs_joinplan", "pmi_pairs"),
                         ("bigram_logprob_joinplan", "bigram_logprob"),
                         ("group_zscore_joinplan", "group_zscore"),
+                        ("join_groupby_salted", "join_groupby"),
                         ("connected_components_distributed",
                          "connected_components")):
         sqls[alias] = sqls[base]
@@ -2942,6 +3011,28 @@ def _oracle_sqls() -> dict[str, str]:
                        '<EMAIL>', 'g'),
                      '[ \\t]+', ' ', 'g') AS text_clean
             FROM documents
+        """,
+        "bpe_first_merge": """
+            WITH w AS (
+              SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS term
+              FROM documents
+            ), tc AS (
+              SELECT term, count(*) AS n FROM w GROUP BY term
+            ), pos AS (
+              SELECT term, n, i
+              FROM tc, LATERAL unnest(range(1, length(term))) AS t(i)
+            ), pairs AS (
+              SELECT substr(term, i, 1) AS lhs,
+                     substr(term, i + 1, 1) AS rhs,
+                     sum(n)::BIGINT AS count
+              FROM pos GROUP BY 1, 2
+            )
+            SELECT 0::BIGINT AS step, lhs, rhs,
+                   lhs || rhs AS merged, count
+            FROM pairs WHERE count >= 2
+            ORDER BY count DESC, lhs, rhs LIMIT 1
         """,
         "funnel": """
             WITH s1 AS (

@@ -159,3 +159,51 @@ class TestReviewRegressions:
         with pytest.raises(ValueError, match="nope"):
             broadcast_join(_ds([{"k": 1}]), build, on="k",
                            columns=["nope"])
+
+
+def test_salted_join_parity_on_skewed_keys():
+    """salted_join ≡ shuffle_join on data where one key is 90% of the
+    left side, for every `how` — salting only re-partitions work."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.join import salted_join, shuffle_join
+
+    rng = np.random.default_rng(11)
+    keys = np.where(rng.random(500) < 0.9, 7,
+                    rng.integers(0, 20, 500)).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys),
+        "v": pa.array(np.arange(500, dtype=np.int64))}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([5, 7, 9, 13], pa.int64()),
+        "w": pa.array([50, 70, 90, 130], pa.int64())}))
+
+    def rows(ds, cols):
+        return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+    for how, cols in (("inner", ["k", "v", "w"]),
+                      ("left", ["k", "v"]),
+                      ("semi", ["k", "v"]),
+                      ("anti", ["k", "v"])):
+        base = shuffle_join(left, right, "k", "rk", 4, how=how)
+        salted = salted_join(left, right, "k", "rk", 4, salts=3,
+                             how=how)
+        assert rows(salted, cols) == rows(base, cols), how
+
+
+def test_salted_join_same_name_key_drops_right_copy():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.join import salted_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                                   "v": pa.array([10, 11, 20],
+                                                 pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "w": pa.array([100], pa.int64())}))
+    out = salted_join(left, right, "k", "k", 2, salts=2).take_all()
+    assert sorted(r["v"] for r in out) == [10, 11]
+    assert all(set(r) == {"k", "v", "w"} for r in out)

@@ -387,3 +387,55 @@ def distinct_set_op(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return t.filter(m).select(cols)
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def salted_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                left_on: str, right_on: str, num_partitions: int, *,
+                salts: int = 8, project=None,
+                how: str = "inner") -> "ray.data.Dataset":
+    """:func:`shuffle_join` for SKEWED keys: a hot key (one user is
+    70% of events, one token is 7% of a web corpus) lands its whole
+    group on ONE reduce task in any plain hash-partition join.  Here
+    the left side's rows spread round-robin over ``salts`` sub-keys
+    (any assignment yields the identical join output — salting only
+    re-partitions the work), the right side replicates each row to all
+    ``salts`` sub-keys (bounded ``salts``× fan-out), and the join runs
+    on the composite key — so the hot key's work lands on ``salts``
+    tasks instead of one.
+
+    Same output contract as :func:`shuffle_join` (``project`` /
+    ``how="inner"|"left"|"semi"|"anti"``); when the key columns share
+    a name the right copy is dropped before the merge (it always
+    equals the left's on matched rows), so output columns match the
+    unsalted plan exactly — parity is pinned in tests/test_join.py.
+    """
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+
+    def tag_left(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["_sk"] = (df[left_on].astype(str) + "\x1f"
+                     + pd.Series(np.arange(len(df)) % salts,
+                                 index=df.index).astype(str))
+        return df
+
+    def tag_right(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        reps = []
+        for s in range(salts):
+            d = df.copy()
+            d["_sk"] = d[right_on].astype(str) + "\x1f" + str(s)
+            reps.append(d)
+        out = pd.concat(reps, ignore_index=True)
+        if right_on == left_on:
+            out = out.drop(columns=[right_on])
+        return out
+
+    def proj2(m: pd.DataFrame) -> pd.DataFrame:
+        m = m.drop(columns=["_sk"])
+        return project(m) if project is not None else m
+
+    return shuffle_join(
+        left.map_batches(tag_left, batch_format="pyarrow"),
+        right.map_batches(tag_right, batch_format="pyarrow"),
+        "_sk", "_sk", num_partitions, project=proj2, how=how)
