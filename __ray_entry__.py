@@ -643,6 +643,25 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_encode(ds, bpe_learn(ds, n_merges=12))
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-min sketch point frequencies (functions/cms.py): a
+    (depth × width) counter matrix — constant KBs of state for any
+    number of distinct items — folds per block and merges by vector
+    add; estimates = min over depth rows.  Rows-only by design (no
+    structural exact contract — see module doc); bounds and layout
+    invariance are pytest-pinned in tests/test_cms.py."""
+    from textgraphs_ray.functions.cms import cms_agg, cms_estimate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    sk = ev.aggregate(cms_agg("event_type", width=2048, depth=4,
+                              alias_name="s"))["s"]
+    items = sorted(ev.unique("event_type"))
+    est = cms_estimate(sk, items, width=2048, depth=4)
+    return pd.DataFrame({"event_type": items,
+                         "est": est.astype(np.int64)})
+
+
 def _q_interleave_bucketed(sf_dir: str):
     """`interleave` with the bucketed distributed-rank plan FORCED
     (plan="bucket", rank_buckets=16): per-source rank = digest-prefix
@@ -2362,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_first_merge": _q_bpe_first_merge,
         "bpe_learn": _q_bpe_learn,
         "bpe_token_count": _q_bpe_token_count,
+        "cms_counts": _q_cms_counts,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
         "pagerank_oracle": _q_pagerank_oracle,
         "similarity_join": _q_similarity_join,
