@@ -643,6 +643,32 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_encode(ds, bpe_learn(ds, n_merges=12))
 
 
+def _q_triangles(sf_dir: str):
+    """Per-node triangle counts over the same-minute co-activity
+    graph (stages/triangle.py): bucketed edge construction → min-node
+    wedge generation (each triangle born exactly once at its smallest
+    corner) → semi-join closure against the edge set → corner-explode
+    groupby.  Hash-verified against a DuckDB 3-way self-join."""
+    from textgraphs_ray.stages.triangle import (cooccurrence_edges,
+                                                triangle_counts)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    buckets = ev.map_batches(minute, batch_format="pyarrow")
+    edges = cooccurrence_edges(buckets, entity_col="user_id",
+                               bucket_col="mn")
+    out = triangle_counts(edges, num_partitions=16)
+    return out.map_batches(
+        lambda t: t.rename_columns(["user_id", "n_triangles"]),
+        batch_format="pyarrow")
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-min sketch point frequencies (functions/cms.py): a
     (depth × width) counter matrix — constant KBs of state for any
@@ -2382,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn": _q_bpe_learn,
         "bpe_token_count": _q_bpe_token_count,
         "cms_counts": _q_cms_counts,
+        "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
         "pagerank_oracle": _q_pagerank_oracle,
         "similarity_join": _q_similarity_join,
@@ -3031,6 +3058,27 @@ def _oracle_sqls() -> dict[str, str]:
                        '<EMAIL>', 'g'),
                      '[ \\t]+', ' ', 'g') AS text_clean
             FROM documents
+        """,
+        "triangles": """
+            WITH m AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), E AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM m a JOIN m b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+            ), T AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM E e1
+              JOIN E e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN E e3 ON e3.u = e1.v AND e3.v = e2.v
+            ), corners AS (
+              SELECT a AS user_id FROM T
+              UNION ALL SELECT b FROM T
+              UNION ALL SELECT c FROM T
+            )
+            SELECT user_id, count(*)::BIGINT AS n_triangles
+            FROM corners GROUP BY user_id
         """,
         "bpe_first_merge": """
             WITH w AS (

@@ -1,0 +1,63 @@
+"""Triangle counting (stages/triangle.py)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from textgraphs_ray.stages.triangle import (cooccurrence_edges,
+                                            triangle_counts)
+
+
+def _edges_ds(pairs):
+    return rd.from_arrow(pa.table({
+        "u": pa.array([p[0] for p in pairs], pa.int64()),
+        "v": pa.array([p[1] for p in pairs], pa.int64())}))
+
+
+def _brute(pairs):
+    es = set(pairs)
+    nodes = sorted({x for p in pairs for x in p})
+    cnt = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for n in (a, b, c):
+                cnt[n] += 1
+    return {n: c for n, c in cnt.items() if c > 0}
+
+
+def test_planted_triangles():
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) + a pendant edge
+    pairs = [(a, b) for a, b in combinations(range(4), 2)] + [(3, 9)]
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(_edges_ds(pairs)).take_all()}
+    assert got == _brute(pairs) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_random_graph_matches_brute_force():
+    rng = np.random.default_rng(13)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 30, (200, 2)) if p[0] != p[1]})
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(_edges_ds(pairs),
+                                    num_partitions=5).take_all()}
+    assert got == _brute(pairs)
+
+
+def test_triangle_free_graph_is_empty():
+    # a path graph has no triangles
+    pairs = [(i, i + 1) for i in range(10)]
+    assert triangle_counts(_edges_ds(pairs)).take_all() == []
+
+
+def test_cooccurrence_edges_dedup_and_order():
+    ds = rd.from_arrow(pa.table({
+        "bkt": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ent": pa.array([5, 3, 5, 3, 5], pa.int64())}))
+    got = sorted((r["u"], r["v"]) for r in
+                 cooccurrence_edges(ds, entity_col="ent",
+                                    bucket_col="bkt").take_all())
+    assert got == [(3, 5)]  # deduped across buckets, u < v
