@@ -2358,27 +2358,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
         "decontaminate": _q_decontaminate,
+        "triangles": _q_triangles,
+        "knn_lsh_oracle": _q_knn_lsh_oracle,
+        "pagerank_oracle": _q_pagerank_oracle,
+        "similarity_join": _q_similarity_join,
+        "connected_components": _q_connected_components,
+        "nb_lang": _q_nb_lang,
+        "mixture_sample": _q_mixture_sample,
+        "weighted_sample": _q_weighted_sample,
         "importance_sample": _q_importance_sample,
         "pack_greedy": _q_pack_greedy,
         "shard_stats": _q_shard_stats,
-        "partitioned_sink": _q_partitioned_sink,
-        "media_frames": _q_media_frames,
-        "median_agg": _q_median_agg,
-        "er_incremental": _q_er_incremental,
-        "sessionize": _q_sessionize,
         "multi_join": _q_multi_join,
         "rolling_avg": _q_rolling_avg,
         "topk_group": _q_topk_group,
         "pivot": _q_pivot,
         "p90_agg": _q_p90_agg,
-        "curate": _q_curate,
         "curate_oracle": _q_curate_oracle,
-        "hll_distinct": _q_hll_distinct,
         "hist_quantile": _q_hist_quantile,
         "stratified_sample": _q_stratified_sample,
         "interleave": _q_interleave,
         "bottomk_sample": _q_bottomk_sample,
-        "media_dedup": _q_media_dedup,
         "repetition": _q_repetition,
         "tfidf_topk": _q_tfidf_topk,
         "unigram_logprob": _q_unigram_logprob,
@@ -2408,17 +2408,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn": _q_bpe_learn,
         "bpe_token_count": _q_bpe_token_count,
         "cms_counts": _q_cms_counts,
-        "triangles": _q_triangles,
-        "knn_lsh_oracle": _q_knn_lsh_oracle,
-        "pagerank_oracle": _q_pagerank_oracle,
-        "similarity_join": _q_similarity_join,
-        "connected_components": _q_connected_components,
-        "nb_lang": _q_nb_lang,
-        "mixture_sample": _q_mixture_sample,
-        "weighted_sample": _q_weighted_sample,
         "connected_components_distributed":
             _q_connected_components_distributed,
         "graph_layout": _q_graph_layout,
+        # ---- r01/r02-driver-checked or rows-only: rotated out of
+        # the 50-query window in favor of never-checked oracle ops
+        "partitioned_sink": _q_partitioned_sink,
+        "media_frames": _q_media_frames,
+        "median_agg": _q_median_agg,
+        "er_incremental": _q_er_incremental,
+        "sessionize": _q_sessionize,
+        "curate": _q_curate,
+        "media_dedup": _q_media_dedup,
+        "hll_distinct": _q_hll_distinct,
         # ---- forced-alternate-plan aliases: output-identical to
         # their in-window siblings, parity ALSO pinned by pytest, so
         # they yield the window to never-checked distinct operators
