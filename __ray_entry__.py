@@ -669,6 +669,89 @@ def _q_triangles(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows every 15
+    min — each event replicates to exactly size/hop = 4 windows
+    (vectorized position arithmetic in the batch, bounded 4× fan-out),
+    then ONE groupby; the streaming-sliding-window pattern at any
+    scale, completing the window family next to tumbling `window_agg`
+    and `sessionize`."""
+    from ray.data.aggregate import Count, Sum
+
+    SIZE_S, HOP_S = 3600, 900
+    HOP_US = HOP_S * 1_000_000
+    K = SIZE_S // HOP_S
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        base = pc.multiply(pc.divide(us, HOP_US), HOP_S)
+        parts = []
+        for k in range(K):
+            parts.append(pa.table({
+                "win_start": pc.subtract(base, k * HOP_S),
+                "event_type": t.column("event_type"),
+                "value": t.column("value")}))
+        return pa.concat_tables(parts)
+
+    out = (ds.map_batches(win, batch_format="pyarrow")
+           .groupby(["win_start", "event_type"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value")))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"),
+                               "sum_value",
+                               pc.round(t.column("sum_value"), 4)),
+        batch_format="pyarrow")
+
+
+def _q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient over the same-minute co-activity
+    graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for every node in ≥1
+    triangle — triangle counts from stages/triangle.py, degrees from
+    one corner-exploded groupby over the edge set, attached via
+    shuffle_join (never a broadcast of the degree table)."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.join import shuffle_join
+    from textgraphs_ray.stages.triangle import (cooccurrence_edges,
+                                                triangle_counts)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    edges = cooccurrence_edges(ev.map_batches(minute,
+                                              batch_format="pyarrow"),
+                               entity_col="user_id", bucket_col="mn")
+    edges = edges.materialize()  # consumed twice: triangles + degrees
+    tri = triangle_counts(edges, num_partitions=16)
+
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("u").combine_chunks(),
+             t.column("v").combine_chunks()])})
+
+    deg = (edges.map_batches(corners, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg")))
+
+    def finish(m: pd.DataFrame) -> pd.DataFrame:
+        t = m["n_triangles"].to_numpy(np.float64)
+        d = m["deg"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "user_id": m["node"],
+            "n_triangles": m["n_triangles"].astype(np.int64),
+            "lcc": np.round(2.0 * t / (d * (d - 1.0)), 6)})
+
+    return shuffle_join(tri, deg, "node", "node", 8, project=finish)
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-min sketch point frequencies (functions/cms.py): a
     (depth × width) counter matrix — constant KBs of state for any
@@ -2408,6 +2491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn": _q_bpe_learn,
         "bpe_token_count": _q_bpe_token_count,
         "cms_counts": _q_cms_counts,
+        "hopping_window": _q_hopping_window,
+        "clustering_coeff": _q_clustering_coeff,
         "connected_components_distributed":
             _q_connected_components_distributed,
         "graph_layout": _q_graph_layout,
@@ -3060,6 +3145,48 @@ def _oracle_sqls() -> dict[str, str]:
                        '<EMAIL>', 'g'),
                      '[ \\t]+', ' ', 'g') AS text_clean
             FROM documents
+        """,
+        "clustering_coeff": """
+            WITH m AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), E AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM m a JOIN m b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+            ), T AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM E e1
+              JOIN E e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN E e3 ON e3.u = e1.v AND e3.v = e2.v
+            ), corners AS (
+              SELECT a AS user_id FROM T
+              UNION ALL SELECT b FROM T
+              UNION ALL SELECT c FROM T
+            ), tri AS (
+              SELECT user_id, count(*) AS n_triangles
+              FROM corners GROUP BY user_id
+            ), dc AS (
+              SELECT u AS node FROM E UNION ALL SELECT v FROM E
+            ), deg AS (
+              SELECT node, count(*) AS d FROM dc GROUP BY node
+            )
+            SELECT tri.user_id, tri.n_triangles,
+                   round(2.0 * tri.n_triangles
+                         / (deg.d * (deg.d - 1.0)), 6) AS lcc
+            FROM tri JOIN deg ON deg.node = tri.user_id
+        """,
+        "hopping_window": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS us, event_type, value FROM events
+            ), x AS (
+              SELECT (us // 900000000) * 900 - k * 900 AS win_start,
+                     event_type, value
+              FROM e, LATERAL unnest(range(0, 4)) AS t(k)
+            )
+            SELECT win_start, event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM x GROUP BY 1, 2
         """,
         "triangles": """
             WITH m AS (
