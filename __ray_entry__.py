@@ -664,9 +664,14 @@ def _q_triangles(sf_dir: str):
     edges = cooccurrence_edges(buckets, entity_col="user_id",
                                bucket_col="mn")
     out = triangle_counts(edges, num_partitions=16)
-    return out.map_batches(
-        lambda t: t.rename_columns(["user_id", "n_triangles"]),
-        batch_format="pyarrow")
+    # finish as a typed DataFrame (bm25_topk precedent): the per-node
+    # count table is node-bounded, and Ray's to_pandas drops column
+    # names on a zero-row Dataset (the triangle-free sf0.001 graph)
+    df = out.to_pandas().rename(columns={"node": "user_id"})
+    if df.empty:
+        df = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                           "n_triangles": pd.Series([], dtype="int64")})
+    return df
 
 
 def _q_hopping_window(sf_dir: str):
@@ -749,7 +754,15 @@ def _q_clustering_coeff(sf_dir: str):
             "n_triangles": m["n_triangles"].astype(np.int64),
             "lcc": np.round(2.0 * t / (d * (d - 1.0)), 6)})
 
-    return shuffle_join(tri, deg, "node", "node", 8, project=finish)
+    out = shuffle_join(tri, deg, "node", "node", 8, project=finish)
+    # typed-DataFrame finish: schema survives the zero-triangle case
+    # (sf0.001 graph) — see _q_triangles
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                           "n_triangles": pd.Series([], dtype="int64"),
+                           "lcc": pd.Series([], dtype="float64")})
+    return df[["user_id", "n_triangles", "lcc"]]
 
 
 def _q_cms_counts(sf_dir: str):

@@ -100,5 +100,11 @@ def triangle_counts(edges: "ray.data.Dataset", *, u: str = "u",
         return pa.table({"node": pa.array(
             np.concatenate([a, b, c]).astype(np.int64))})
 
-    return (closed.map_batches(corners, batch_format="pyarrow")
-            .groupby("node").aggregate(Count(alias_name="n_triangles")))
+    out = (closed.map_batches(corners, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="n_triangles")))
+    # a triangle-free graph leaves every stage empty and the Dataset
+    # schema-less — union ONE typed empty block so downstream schema
+    # contracts (and the driver's schema compare) survive zero rows
+    empty = pa.schema([("node", pa.int64()),
+                       ("n_triangles", pa.int64())]).empty_table()
+    return out.union(ray.data.from_arrow(empty))
