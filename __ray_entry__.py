@@ -2443,6 +2443,20 @@ def _q_er_resume(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_skyline(sf_dir: str):
+    """Pareto frontier of parts — cheapest-for-their-size
+    (stages/skyline.py): per-block local skyline combiner (vectorized
+    sort + prefix-min for 2 objectives), then one merge task over the
+    tiny block frontiers.  Exact-duplicate objective rows are all kept,
+    matching the SQL NOT-EXISTS dominance semantics bit-for-bit."""
+    from textgraphs_ray.stages.skyline import skyline
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size",
+                                  "p_retailprice"])
+    return skyline(ds, min_cols=["p_retailprice"], max_cols=["p_size"])
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2453,6 +2467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "skyline": _q_skyline,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2622,6 +2637,16 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "skyline": """
+            SELECT p.p_partkey, p.p_size, p.p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+        """,
         "j1_node_upsert": """
             SELECT lang, source, count(*) AS n_docs,
                    min(doc_id) AS first_doc
