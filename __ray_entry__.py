@@ -2457,6 +2457,18 @@ def _q_skyline(sf_dir: str):
     return skyline(ds, min_cols=["p_retailprice"], max_cols=["p_size"])
 
 
+def _q_ntile(sf_dir: str):
+    """Equi-depth length octiles of documents (stages/stats.py ntile)
+    — SQL `ntile(8) OVER (ORDER BY n_chars, doc_id)` without a global
+    sort: broadcast distinct-value prefix counts rank unique-valued
+    rows statelessly; only tied values ride a bounded groupby that
+    sorts ids within each value group."""
+    from textgraphs_ray.stages.stats import ntile
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return ntile(ds, value_col="n_chars", id_col="doc_id", k=8)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2468,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
         "skyline": _q_skyline,
+        "ntile": _q_ntile,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2646,6 +2659,11 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "ntile": """
+            SELECT doc_id, n_chars,
+                   ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+            FROM documents
         """,
         "j1_node_upsert": """
             SELECT lang, source, count(*) AS n_docs,

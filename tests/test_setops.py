@@ -66,3 +66,37 @@ def test_percent_rank_single_row_and_guard():
     with pytest.raises(ValueError):
         percent_rank(many, value_col="v", id_col="id",
                      max_distinct=5).take_all()
+
+
+# ---- ntile (stages/stats.py) ----------------------------------------
+
+from textgraphs_ray.stages.stats import ntile  # noqa: E402
+
+
+def _sql_ntile(vals, k):
+    """Reference ntile over rows sorted by (value, id)."""
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    n = len(vals)
+    base, rem = divmod(n, k)
+    out = {}
+    r = 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= rem else 0)
+        for _ in range(size):
+            if r < n:
+                out[order[r]] = b
+                r += 1
+    return out
+
+
+@pytest.mark.parametrize("k,n", [(4, 23), (8, 8), (3, 2), (5, 100)])
+def test_ntile_matches_sql_semantics(ray_session, k, n):
+    import numpy as np
+    rng = np.random.default_rng(n)
+    vals = rng.integers(0, 6, n).tolist()   # heavy ties
+    ds = _ds([(i, v) for i, v in enumerate(vals)],
+             cols=("id", "v")).repartition(4)
+    got = {r["id"]: r["bucket"]
+           for r in ntile(ds, value_col="v", id_col="id",
+                          k=k).take_all()}
+    assert got == _sql_ntile(vals, k)

@@ -162,6 +162,89 @@ def group_quantile_filter(ds: "ray.data.Dataset", *, value_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def ntile(ds: "ray.data.Dataset", *, value_col: str, id_col: str,
+          k: int, out_col: str = "bucket",
+          max_distinct: int = 1_000_000) -> "ray.data.Dataset":
+    """→ (id, value, bucket): SQL ``ntile(k) OVER (ORDER BY value,
+    id)`` — equi-depth bucketing with the first ``n % k`` buckets one
+    row larger, exactly SQL's split.
+
+    Global row numbers without a global sort: per-batch distinct-value
+    counts (combiner) → one tiny groupby → broadcast (value → rows
+    before it) prefix table.  Rows whose value is UNIQUE get their row
+    number from the broadcast alone in a stateless scan — no shuffle
+    touches them.  Only TIED values (cnt > 1) ride a
+    ``groupby(value)`` whose groups sort their ids locally to break
+    the tie — the shuffle is bounded by the tied-row count, not n.
+    Value cardinality is guarded by ``max_distinct`` (integer lengths,
+    quantized scores); unbounded doubles should use the bucketed
+    two-phase rank (``stages/pack.py`` pattern) instead.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t.column(value_col).to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({value_col: pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    dist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(value_col).aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    if len(dist) > max_distinct:
+        raise ValueError(
+            f"{len(dist)} distinct values exceed max_distinct="
+            f"{max_distinct}; use a bucketed two-phase rank")
+    dist.sort(key=lambda r: r[value_col])
+    n = sum(r["c"] for r in dist)
+    start, cnt = {}, {}
+    before = 0
+    for r in dist:
+        start[r[value_col]] = before
+        cnt[r[value_col]] = r["c"]
+        before += r["c"]
+    ref = ray.put((start, cnt))
+
+    base, rem = divmod(n, k)
+
+    def bucket_of(rn: np.ndarray) -> np.ndarray:
+        # SQL ntile: first `rem` buckets hold base+1 rows
+        pivot = rem * (base + 1)
+        big = (rn - 1) // (base + 1) + 1
+        small = rem + (rn - 1 - pivot) // max(base, 1) + 1
+        return np.where(rn <= pivot, big, small).astype(np.int64)
+
+    def unique_rows(t: pa.Table) -> pd.DataFrame:
+        st, ct = ray.get(ref)
+        v = t.column(value_col).to_pylist()
+        mask = np.array([ct[x] == 1 for x in v], dtype=bool)
+        rn = np.array([st[x] + 1 for x in v], np.int64)[mask]
+        return pd.DataFrame({
+            id_col: t.column(id_col).to_pandas()[mask],
+            value_col: t.column(value_col).to_pandas()[mask],
+            out_col: bucket_of(rn)})
+
+    def tied_rows(t: pa.Table) -> pa.Table:
+        _, ct = ray.get(ref)
+        v = t.column(value_col).to_pylist()
+        mask = pa.array([ct[x] > 1 for x in v])
+        return t.filter(mask)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        st, _ = ray.get(ref)
+        g = g.sort_values(id_col, kind="stable")
+        rn = (st[g[value_col].iloc[0]]
+              + np.arange(1, len(g) + 1, dtype=np.int64))
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            value_col: g[value_col].to_numpy(),
+            out_col: bucket_of(rn)})
+
+    uniq = ds.map_batches(unique_rows, batch_format="pyarrow")
+    tied = (ds.map_batches(tied_rows, batch_format="pyarrow")
+            .groupby(value_col)
+            .map_groups(rank_group, batch_format="pandas"))
+    return uniq.union(tied)
+
+
 def percent_rank(ds: "ray.data.Dataset", *, value_col: str, id_col: str,
                  out_col: str = "pr",
                  max_distinct: int = 1_000_000) -> "ray.data.Dataset":
