@@ -2469,6 +2469,18 @@ def _q_ntile(sf_dir: str):
     return ntile(ds, value_col="n_chars", id_col="doc_id", k=8)
 
 
+def _q_source_divergence(sf_dir: str):
+    """Distribution-shift monitor (stages/stats.py class_divergence):
+    per-source language-mix entropy + Jensen-Shannon divergence vs the
+    corpus distribution.  One combiner-fed groupby does all the
+    data-sized work; the arithmetic runs over the tiny
+    sources × languages table, summing JSD over the union support."""
+    from textgraphs_ray.stages.stats import class_divergence
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "lang"])
+    return class_divergence(ds, group_col="source", class_col="lang")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2481,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variants) into the window.  All entries stay present.
         "skyline": _q_skyline,
         "ntile": _q_ntile,
+        "source_divergence": _q_source_divergence,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2659,6 +2672,35 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "source_divergence": """
+            WITH c AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY source, lang
+            ), s AS (
+              SELECT source, sum(n) AS ns FROM c GROUP BY source
+            ), g AS (
+              SELECT lang, sum(n) AS ng FROM c GROUP BY lang
+            ), tot AS (SELECT sum(n) AS nt FROM c),
+            pq AS (
+              SELECT s.source, s.ns,
+                     coalesce(c.n, 0) * 1.0 / s.ns AS p,
+                     g.ng * 1.0 / tot.nt AS q
+              FROM s CROSS JOIN g CROSS JOIN tot
+                   LEFT JOIN c ON c.source = s.source
+                              AND c.lang = g.lang
+            )
+            SELECT source, max(ns)::BIGINT AS n_docs,
+                   round(-sum(CASE WHEN p > 0 THEN p * ln(p)
+                                   ELSE 0 END), 6) AS entropy,
+                   round(sum(
+                       CASE WHEN p > 0
+                            THEN 0.5 * p * ln(p / ((p + q) / 2))
+                            ELSE 0 END
+                     + CASE WHEN q > 0
+                            THEN 0.5 * q * ln(q / ((p + q) / 2))
+                            ELSE 0 END), 6) AS jsd
+            FROM pq GROUP BY source
         """,
         "ntile": """
             SELECT doc_id, n_chars,

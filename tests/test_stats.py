@@ -89,3 +89,38 @@ def test_quantile_filter_per_group_thresholds_differ():
     # values ≥ its median even though all are below the global one
     assert lo_kept == list(range(24, 50))
     assert hi_kept == list(range(1024, 1050))
+
+
+# ---- class_divergence (stages/stats.py) -----------------------------
+
+def test_class_divergence_closed_form(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.stats import class_divergence
+
+    # source A: 2 en + 2 fr (uniform); source B: 4 en only
+    rows = [("A", "en"), ("A", "en"), ("A", "fr"), ("A", "fr"),
+            ("B", "en"), ("B", "en"), ("B", "en"), ("B", "en")]
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows]),
+        "lang": pa.array([r[1] for r in rows])})).repartition(3)
+    out = class_divergence(ds, group_col="source", class_col="lang")
+    got = {r["source"]: r for _, r in out.iterrows()}
+    # corpus q = (en 6/8, fr 2/8)
+    q = [0.75, 0.25]
+    pA = [0.5, 0.5]
+    mA = [(a + b) / 2 for a, b in zip(pA, q)]
+    jsdA = sum(0.5 * p * math.log(p / m) for p, m in zip(pA, mA) if p)
+    jsdA += sum(0.5 * qq * math.log(qq / m) for qq, m in zip(q, mA) if qq)
+    pB = [1.0, 0.0]
+    mB = [(a + b) / 2 for a, b in zip(pB, q)]
+    jsdB = sum(0.5 * p * math.log(p / m) for p, m in zip(pB, mB) if p)
+    jsdB += sum(0.5 * qq * math.log(qq / m) for qq, m in zip(q, mB) if qq)
+    assert got["A"]["n_docs"] == 4 and got["B"]["n_docs"] == 4
+    assert abs(got["A"]["entropy"] - math.log(2)) < 1e-6
+    assert got["B"]["entropy"] == 0.0
+    assert abs(got["A"]["jsd"] - jsdA) < 1e-6
+    assert abs(got["B"]["jsd"] - jsdB) < 1e-6

@@ -162,6 +162,59 @@ def group_quantile_filter(ds: "ray.data.Dataset", *, value_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def class_divergence(ds: "ray.data.Dataset", *, group_col: str,
+                     class_col: str) -> pd.DataFrame:
+    """→ (group, n_docs, entropy, jsd): each group's class-distribution
+    entropy and its Jensen-Shannon divergence from the corpus-wide
+    class distribution — the distribution-shift monitor for mixing
+    training-data sources (a source whose language mix drifts from the
+    corpus shows up as rising JSD).
+
+    The only data-sized work is ONE combiner-fed groupby producing
+    per-(group, class) counts; the result is bounded by
+    |groups| × |classes| by contract (sources × languages) and the
+    entropy/JSD arithmetic runs once over that tiny table.  JSD sums
+    over the UNION support: classes absent from a group contribute
+    the 0.5·q·ln2 tail exactly as the SQL oracle's cross-join grid
+    does.  6dp.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "c": t.column(class_col).to_pandas()})
+        agg = (df.groupby(["g", "c"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.table({group_col: pa.array(agg["g"]),
+                         class_col: pa.array(agg["c"]),
+                         "n": pa.array(agg["n"].to_numpy(np.int64))})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, class_col])
+              .aggregate(Sum("n", alias_name="n"))
+              .take_all())
+    df = pd.DataFrame(counts)
+    mat = (df.pivot_table(index=group_col, columns=class_col,
+                          values="n", aggfunc="sum", fill_value=0)
+           .astype(np.float64))
+    ns = mat.sum(axis=1).to_numpy()
+    p = mat.to_numpy() / ns[:, None]
+    q = mat.to_numpy().sum(axis=0)
+    q = q / q.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = -np.where(p > 0, p * np.log(p), 0.0).sum(axis=1)
+        m = (p + q[None, :]) / 2.0
+        jsd = (np.where(p > 0, 0.5 * p * np.log(p / m), 0.0)
+               + np.where(q[None, :] > 0,
+                          0.5 * q[None, :] * np.log(q[None, :] / m),
+                          0.0)).sum(axis=1)
+    out = pd.DataFrame({
+        group_col: mat.index.to_numpy(),
+        "n_docs": ns.astype(np.int64),
+        "entropy": np.round(ent, 6),
+        "jsd": np.round(jsd, 6)})
+    return out.sort_values(group_col, ignore_index=True)
+
+
 def ntile(ds: "ray.data.Dataset", *, value_col: str, id_col: str,
           k: int, out_col: str = "bucket",
           max_distinct: int = 1_000_000) -> "ray.data.Dataset":
