@@ -2481,6 +2481,21 @@ def _q_source_divergence(sf_dir: str):
     return class_divergence(ds, group_col="source", class_col="lang")
 
 
+def _q_common_neighbors(sf_dir: str):
+    """Common-neighbor link prediction (stages/triangle.py
+    common_neighbor_pairs): top-20 supplier pairs by shared distinct
+    parts in lineitem.  Distinct-membership combiner → per-part pair
+    emission → pair-count groupby → partial-top-k combiner, so the
+    final sort ranks ≤ k rows per block; ties broken (n DESC, u, v)
+    to match the SQL oracle exactly."""
+    from textgraphs_ray.stages.triangle import common_neighbor_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    return common_neighbor_pairs(ds, entity_col="l_suppkey",
+                                 bucket_col="l_partkey", k=20)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2494,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
+        "common_neighbors": _q_common_neighbors,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2672,6 +2688,18 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "common_neighbors": """
+            WITH sp AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+                   count(*) AS n_common
+            FROM sp a JOIN sp b
+                 ON a.l_partkey = b.l_partkey
+                AND a.l_suppkey < b.l_suppkey
+            GROUP BY u, v
+            ORDER BY n_common DESC, u, v LIMIT 20
         """,
         "source_divergence": """
             WITH c AS (

@@ -61,3 +61,37 @@ def test_cooccurrence_edges_dedup_and_order():
                  cooccurrence_edges(ds, entity_col="ent",
                                     bucket_col="bkt").take_all())
     assert got == [(3, 5)]  # deduped across buckets, u < v
+
+
+# ---- common_neighbor_pairs ------------------------------------------
+
+def test_common_neighbors_vs_brute(ray_session):
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.triangle import common_neighbor_pairs
+
+    rng = np.random.default_rng(11)
+    buckets = rng.integers(0, 30, 400)
+    ents = rng.integers(0, 15, 400)
+    ds = rd.from_arrow(pa.table({
+        "b": pa.array(buckets.astype(np.int64)),
+        "e": pa.array(ents.astype(np.int64))})).repartition(6)
+
+    member = {}
+    for b, e in zip(buckets.tolist(), ents.tolist()):
+        member.setdefault(b, set()).add(e)
+    cnt = Counter()
+    for es in member.values():
+        for u, v in combinations(sorted(es), 2):
+            cnt[(u, v)] += 1
+    want = sorted(((n, u, v) for (u, v), n in cnt.items()),
+                  key=lambda t: (-t[0], t[1], t[2]))[:10]
+
+    got = common_neighbor_pairs(ds, entity_col="e", bucket_col="b",
+                                k=10).take_all()
+    assert [(r["n_common"], r["u"], r["v"]) for r in got] == want

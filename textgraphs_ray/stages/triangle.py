@@ -58,6 +58,58 @@ def cooccurrence_edges(ds: "ray.data.Dataset", *, entity_col: str,
             .select_columns(["u", "v"]))
 
 
+def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
+                          bucket_col: str,
+                          k: int = 20) -> "ray.data.Dataset":
+    """→ top-k (u, v, n_common) entity pairs ranked by how many
+    buckets they share — common-neighbor link prediction over the
+    bipartite entity↔bucket graph (suppliers sharing parts, users
+    sharing sessions).  Deterministic ties: (n_common DESC, u, v).
+
+    Plan: per-block distinct (bucket, entity) combiner → one groupby
+    dedups memberships → per-bucket pair emission (same bounded-bucket
+    contract as :func:`cooccurrence_edges` — salt or cap hot buckets
+    upstream) → pair-count groupby → per-block partial top-k combiner
+    so the final sort ranks only ≤ k rows per block, never the full
+    pair table.
+    """
+    import pyarrow.compute as pc
+
+    def local_distinct(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()[[bucket_col, entity_col]].drop_duplicates()
+        return df
+
+    members = (ds.map_batches(local_distinct, batch_format="pyarrow")
+               .groupby([bucket_col, entity_col])
+               .aggregate(Count(alias_name="_n"))
+               .select_columns([bucket_col, entity_col]))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ents = np.sort(g[entity_col].to_numpy())
+        if len(ents) < 2:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(ents), k=1)
+        return pd.DataFrame({"u": ents[i], "v": ents[j]})
+
+    counts = (members.groupby(bucket_col)
+              .map_groups(bucket_pairs, batch_format="pandas")
+              .groupby(["u", "v"])
+              .aggregate(Count(alias_name="n_common")))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("n_common", "descending"), ("u", "ascending"),
+                       ("v", "ascending")])
+        return t.take(idx)
+
+    return (counts.map_batches(partial_topk, batch_format="pyarrow")
+            .sort(["n_common", "u", "v"],
+                  descending=[True, False, False])
+            .limit(k))
+
+
 def triangle_counts(edges: "ray.data.Dataset", *, u: str = "u",
                     v: str = "v",
                     num_partitions: int = 32) -> "ray.data.Dataset":
