@@ -2496,6 +2496,29 @@ def _q_common_neighbors(sf_dir: str):
                                  bucket_col="l_partkey", k=20)
 
 
+def _q_lag_delta(sf_dir: str):
+    """SQL lag()/row_number() window semantics per user: microseconds
+    since the user's previous event (-1 for the first) and the 1-based
+    event sequence number.  One groupby(user_id) shuffle; the window
+    arithmetic is a vectorized diff inside the sorted group — both
+    outputs are exact integers, so the oracle hash is bit-parity."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def lagged(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        delta = np.concatenate([[-1], np.diff(ts)])
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "delta_us": delta,
+            "seq": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return ds.groupby("user_id").map_groups(lagged,
+                                            batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2510,6 +2533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
         "common_neighbors": _q_common_neighbors,
+        "lag_delta": _q_lag_delta,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2688,6 +2712,14 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "lag_delta": """
+            SELECT event_id, user_id,
+                   coalesce(date_diff('microsecond',
+                       lag(ts) OVER w, ts), -1)::BIGINT AS delta_us,
+                   row_number() OVER w AS seq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "common_neighbors": """
             WITH sp AS (
