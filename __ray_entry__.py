@@ -2519,6 +2519,19 @@ def _q_lag_delta(sf_dir: str):
                                             batch_format="pandas")
 
 
+def _q_winnow(sf_dir: str):
+    """MOSS winnowing fingerprints (stages/text.py
+    winnow_fingerprints): md5 8-gram hashes, window-of-4 minima — any
+    11-char shared substring between two docs is guaranteed to
+    surface as a shared fingerprint.  Stateless row-parallel scan, no
+    shuffle; the SQL oracle replays hash selection exactly via
+    md5 + a ROWS window min."""
+    from textgraphs_ray.stages.text import winnow_fingerprints
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, k=8, w=4)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2534,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": _q_source_divergence,
         "common_neighbors": _q_common_neighbors,
         "lag_delta": _q_lag_delta,
+        "winnow": _q_winnow,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2712,6 +2726,27 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "winnow": """
+            WITH kg AS (
+              SELECT doc_id, text, len(text) - 8 + 1 AS n,
+                     unnest(range(1, len(text) - 8 + 2)) AS i
+              FROM documents WHERE len(text) >= 8
+            ), h AS (
+              SELECT doc_id, i, n,
+                     substr(md5(substr(text, i, 8)), 1, 16) AS h
+              FROM kg
+            ), win AS (
+              SELECT doc_id, i, n,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN 3 PRECEDING
+                                       AND CURRENT ROW) AS mh
+              FROM h
+            )
+            SELECT doc_id, count(DISTINCT mh) AS n_fp,
+                   min(mh) AS min_fp
+            FROM win WHERE i >= least(4, n)
+            GROUP BY doc_id
         """,
         "lag_delta": """
             SELECT event_id, user_id,

@@ -124,3 +124,48 @@ def test_class_divergence_closed_form(ray_session):
     assert got["B"]["entropy"] == 0.0
     assert abs(got["A"]["jsd"] - jsdA) < 1e-6
     assert abs(got["B"]["jsd"] - jsdB) < 1e-6
+
+
+# ---- winnow_fingerprints (stages/text.py) ---------------------------
+
+def _brute_winnow(s, k, w):
+    import hashlib as hl
+    n = len(s) - k + 1
+    if n < 1:
+        return None
+    hs = [int(hl.md5(s[i:i + k].encode()).hexdigest()[:16], 16)
+          for i in range(n)]
+    if n <= w:
+        sel = {min(hs)}
+    else:
+        sel = {min(hs[j:j + w]) for j in range(n - w + 1)}
+    return sorted(sel)
+
+
+def test_winnow_matches_brute_and_guarantee(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"
+    docs = ["abcdefghij klmnop " + shared,
+            shared + " zzz totally different tail here",
+            "short",          # < k: no row
+            "exactlyeig",     # few k-grams: single window
+            ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)})).repartition(2)
+    out = {r["doc_id"]: r
+           for r in winnow_fingerprints(ds, k=8, w=4).take_all()}
+    assert 2 not in out and 4 not in out
+    for i in (0, 1, 3):
+        want = _brute_winnow(docs[i], 8, 4)
+        assert out[i]["n_fp"] == len(want)
+        assert out[i]["min_fp"] == f"{want[0]:016x}"
+    # winnowing guarantee: an 11-char shared substring must yield a
+    # shared fingerprint between docs 0 and 1
+    s0 = set(_brute_winnow(docs[0], 8, 4))
+    s1 = set(_brute_winnow(docs[1], 8, 4))
+    assert s0 & s1

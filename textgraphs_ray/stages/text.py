@@ -340,3 +340,54 @@ def chunk_windows(ds: "ray.data.Dataset", *, size: int = 500,
         return pa.concat_tables(tables)
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def winnow_fingerprints(ds: "ray.data.Dataset", *, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> "ray.data.Dataset":
+    """MOSS-style winnowing document fingerprints (Schleimer et al.,
+    SIGMOD 2003): hash every ``k``-gram, slide a ``w``-hash window,
+    keep each window's minimum — any shared substring of length
+    ``k + w - 1`` between two documents is GUARANTEED to surface as a
+    shared fingerprint, which is the plagiarism/near-copy detection
+    property plain MinHash lacks.  → (doc_id, n_fp, min_fp): distinct
+    selected-fingerprint count and the smallest fingerprint per doc.
+
+    One stateless row-parallel ``map_batches`` — no shuffle, no state.
+    The k-gram hash is ``md5(k-gram)[:16]`` so the SQL oracle replays
+    selection EXACTLY (DuckDB ``md5``/``substr`` agree on codepoint
+    semantics; the hex prefix compares identically as text in both
+    engines).  Documents with fewer than ``w`` k-grams contribute one
+    window over all their hashes; docs shorter than ``k`` emit no row.
+    At 100 TB swap the md5 kernel for the Karp–Rabin rolling hash of
+    ``substring_dedup`` (stages/dedup.py) — same selection plan, one
+    multiply-add per position instead of a digest.
+    """
+    if k <= 0 or w <= 0:
+        raise ValueError("k and w must be positive")
+
+    def fps(t: pa.Table) -> pa.Table:
+        ids, nfp, minfp = [], [], []
+        for did, txt in zip(t.column(id_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+            s = txt or ""
+            n = len(s) - k + 1
+            if n < 1:
+                continue
+            hs = np.array(
+                [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:16],
+                     16) for i in range(n)], dtype=np.uint64)
+            if n <= w:
+                sel = hs.min(keepdims=True)
+            else:
+                sel = np.lib.stride_tricks.sliding_window_view(
+                    hs, w).min(axis=1)
+            uniq = np.unique(sel)
+            ids.append(did)
+            nfp.append(len(uniq))
+            minfp.append(f"{uniq[0]:016x}")
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_fp": pa.array(nfp, pa.int64()),
+                         "min_fp": pa.array(minfp, pa.string())})
+
+    return ds.map_batches(fps, batch_format="pyarrow")
