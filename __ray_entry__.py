@@ -2532,6 +2532,25 @@ def _q_winnow(sf_dir: str):
     return winnow_fingerprints(ds, k=8, w=4)
 
 
+def _q_k_core(sf_dir: str):
+    """Dense-community extraction (stages/triangle.py k_core):
+    recursive degree-65 peeling of the part co-order graph (parts
+    linked when they appear in the same order) — at sf0.001 the
+    65-core (188 nodes) is strictly smaller than the naive degree
+    filter (191): the cascade is exercised.  Iterative fixpoint — one
+    degree groupby per round with a shrinking broadcast drop set — so
+    no single SQL oracle exists; correctness is pinned by the
+    networkx golden test (tests/test_triangle.py) and the
+    typed-empty-result contract."""
+    from textgraphs_ray.stages.triangle import cooccurrence_edges, k_core
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(ds, entity_col="l_partkey",
+                               bucket_col="l_orderkey")
+    return k_core(edges, k=65)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2548,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": _q_common_neighbors,
         "lag_delta": _q_lag_delta,
         "winnow": _q_winnow,
+        "k_core": _q_k_core,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,

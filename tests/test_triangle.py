@@ -95,3 +95,56 @@ def test_common_neighbors_vs_brute(ray_session):
     got = common_neighbor_pairs(ds, entity_col="e", bucket_col="b",
                                 k=10).take_all()
     assert [(r["n_common"], r["u"], r["v"]) for r in got] == want
+
+
+# ---- k_core ---------------------------------------------------------
+
+import pytest  # noqa: E402
+
+def _kcore_edges(rng, n, m):
+    import numpy as np
+    seen = set()
+    while len(seen) < m:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    return sorted(seen)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_k_core_matches_networkx(ray_session, k):
+    import networkx as nx
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.triangle import k_core
+
+    rng = np.random.default_rng(5)
+    edges = _kcore_edges(rng, 40, 120)
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in edges], pa.int64()),
+        "v": pa.array([e[1] for e in edges], pa.int64())})
+    ).repartition(4)
+    got = {r["node"]: r["degree"]
+           for r in k_core(ds, k=k).take_all()}
+
+    g = nx.Graph(edges)
+    core = nx.k_core(g, k)
+    want = {n: d for n, d in core.degree()}
+    assert got == want
+
+
+def test_k_core_empty_result_keeps_schema(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.triangle import k_core
+
+    # a path graph has no 2-core
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([0, 1, 2], pa.int64()),
+        "v": pa.array([1, 2, 3], pa.int64())}))
+    out = k_core(ds, k=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "degree"}

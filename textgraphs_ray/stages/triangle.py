@@ -29,7 +29,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 from .join import shuffle_join
 
@@ -160,3 +160,63 @@ def triangle_counts(edges: "ray.data.Dataset", *, u: str = "u",
     empty = pa.schema([("node", pa.int64()),
                        ("n_triangles", pa.int64())]).empty_table()
     return out.union(ray.data.from_arrow(empty))
+
+
+def k_core(edges: "ray.data.Dataset", *, k: int, u: str = "u",
+           v: str = "v", max_rounds: int = 100,
+           num_partitions: int = 16) -> "ray.data.Dataset":
+    """→ (node, degree) for every node of the k-core: the maximal
+    subgraph where every node keeps degree >= k after all lower-degree
+    nodes are recursively peeled away — the dense-community extractor
+    (spam rings, collusion cliques) that a single degree filter
+    misses.  ``edges`` must be distinct with ``u < v``.
+
+    Iterative peel, each round ONE degree groupby over the surviving
+    edge set: nodes under ``k`` collect into a distinct-drop table
+    whose per-round size only shrinks, broadcast as a filter set into
+    a stateless edge scan (the drop set is round-bounded — at web
+    scale swap the broadcast for a ``shuffle_join`` anti on both
+    endpoints, same plan shape as chunk-dedup's join plan).  The
+    surviving edge set is re-materialized per round with a pinned
+    partition count — the closure-loop invariant that stops block
+    counts compounding.  Terminates when no node falls below ``k``
+    (fixed point; ≤ |V| rounds, in practice a handful).
+    """
+    cur = edges.select_columns([u, v]).materialize()
+    for _ in range(max_rounds):
+        if cur.count() == 0:
+            break
+
+        def degrees(t: pa.Table) -> pa.Table:
+            n = np.concatenate([
+                t.column(u).to_numpy(zero_copy_only=False),
+                t.column(v).to_numpy(zero_copy_only=False)])
+            vals, c = np.unique(n, return_counts=True)
+            return pa.table({"node": pa.array(vals.astype(np.int64)),
+                             "d": pa.array(c.astype(np.int64))})
+
+        deg = (cur.map_batches(degrees, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("d", alias_name="d")))
+        low = deg.filter(expr=f"d < {k}")
+        low_nodes = np.array([r["node"] for r in low.take_all()],
+                             dtype=np.int64)
+        if len(low_nodes) == 0:
+            out = deg.filter(expr=f"d >= {k}").rename_columns(
+                {"d": "degree"})
+            empty = pa.schema([("node", pa.int64()),
+                               ("degree", pa.int64())]).empty_table()
+            return out.union(ray.data.from_arrow(empty)).materialize()
+        drop = ray.put(low_nodes)
+
+        def keep(t: pa.Table) -> pa.Table:
+            bad = ray.get(drop)
+            a = t.column(u).to_numpy(zero_copy_only=False)
+            b = t.column(v).to_numpy(zero_copy_only=False)
+            m = ~(np.isin(a, bad) | np.isin(b, bad))
+            return t.filter(pa.array(m))
+
+        cur = (cur.map_batches(keep, batch_format="pyarrow")
+               .repartition(num_partitions).materialize())
+    empty = pa.schema([("node", pa.int64()),
+                       ("degree", pa.int64())]).empty_table()
+    return ray.data.from_arrow(empty)
