@@ -2551,6 +2551,30 @@ def _q_k_core(sf_dir: str):
     return k_core(edges, k=65)
 
 
+def _q_group_corr(sf_dir: str):
+    """Per-brand Pearson correlation of part size vs price
+    (stages/stats.py group_corr): ONE combiner-fed groupby of exact
+    integer sufficient statistics (price scaled to cents — corr is
+    rescale-invariant), so the float64 formula is bit-parity with the
+    SQL oracle computed from the same integer sums."""
+    from textgraphs_ray.stages.stats import group_corr
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_size",
+                                  "p_retailprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t.column("p_retailprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"p_brand": t.column("p_brand"),
+                         "p_size": t.column("p_size"),
+                         "cents": pa.array(cents)})
+
+    return group_corr(ds.map_batches(to_cents, batch_format="pyarrow"),
+                      x_col="p_size", y_col="cents",
+                      group_col="p_brand")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2568,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_delta": _q_lag_delta,
         "winnow": _q_winnow,
         "k_core": _q_k_core,
+        "group_corr": _q_group_corr,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2746,6 +2771,32 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "group_corr": """
+            WITH s AS (
+              SELECT p_brand,
+                     count(*) AS n,
+                     sum(p_size) AS sx,
+                     sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                         AS sy,
+                     sum(p_size * p_size) AS sxx,
+                     sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                         * CAST(round(p_retailprice * 100) AS BIGINT))
+                         AS syy,
+                     sum(p_size
+                         * CAST(round(p_retailprice * 100) AS BIGINT))
+                         AS sxy
+              FROM part GROUP BY p_brand
+            )
+            SELECT p_brand, n::BIGINT AS n,
+                   CASE WHEN (n * sxx - sx * sx) <= 0
+                          OR (n * syy - sy * sy) <= 0 THEN 0.0
+                        ELSE round(
+                          (n * sxy - sx * sy)::DOUBLE
+                          / sqrt((n * sxx - sx * sx)::DOUBLE
+                                 * (n * syy - sy * sy)::DOUBLE), 6)
+                   END AS corr
+            FROM s
         """,
         "winnow": """
             WITH kg AS (

@@ -169,3 +169,45 @@ def test_winnow_matches_brute_and_guarantee(ray_session):
     s0 = set(_brute_winnow(docs[0], 8, 4))
     s1 = set(_brute_winnow(docs[1], 8, 4))
     assert s0 & s1
+
+
+# ---- group_corr (stages/stats.py) -----------------------------------
+
+def test_group_corr_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.stats import group_corr
+
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 4, 200)
+    x = rng.integers(0, 50, 200)
+    y = (2 * x + rng.integers(0, 30, 200)) * (g + 1)
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(g.astype(np.int64)),
+        "x": pa.array(x.astype(np.int64)),
+        "y": pa.array(y.astype(np.int64))})).repartition(5)
+    out = {r["g"]: r for r in
+           group_corr(ds, x_col="x", y_col="y",
+                      group_col="g").take_all()}
+    for gi in range(4):
+        m = g == gi
+        want = np.corrcoef(x[m], y[m])[0, 1]
+        assert out[gi]["n"] == int(m.sum())
+        assert abs(out[gi]["corr"] - want) < 1e-6
+
+
+def test_group_corr_degenerate_group(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.stats import group_corr
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a"] * 3),
+        "x": pa.array([5, 5, 5]),      # zero variance
+        "y": pa.array([1, 2, 3])}))
+    out = group_corr(ds, x_col="x", y_col="y",
+                     group_col="g").take_all()
+    assert out[0]["corr"] == 0.0

@@ -348,3 +348,71 @@ def percent_rank(ds: "ray.data.Dataset", *, value_col: str, id_col: str,
             out_col: pr})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def group_corr(ds: "ray.data.Dataset", *, x_col: str, y_col: str,
+               group_col: str) -> "ray.data.Dataset":
+    """→ (group, n, corr): exact Pearson correlation of two INTEGER
+    columns per group, 6dp.  Like :func:`group_zscore`, the plan is
+    one combiner-fed groupby of integer sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) — constant bytes per group, exact on
+    both engines (int64 here, HUGEINT in DuckDB) — so the final
+    float64 formula is bit-parity with the SQL oracle.  Scale a
+    fixed-decimal column to integer units upstream (cents, not
+    dollars): correlation is invariant under linear rescaling.
+    Degenerate groups (σ = 0 on either side) emit corr = 0.0.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        df = pd.DataFrame({"g": t.column(group_col).to_pandas(),
+                           "x": x, "y": y, "xx": x * x, "yy": y * y,
+                           "xy": x * y})
+        agg = df.groupby("g", sort=False).agg(
+            n=("x", "count"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        return pa.table({
+            group_col: pa.array(agg.index),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "sx": pa.array(agg["sx"].to_numpy(np.int64)),
+            "sy": pa.array(agg["sy"].to_numpy(np.int64)),
+            "sxx": pa.array(agg["sxx"].to_numpy(np.int64)),
+            "syy": pa.array(agg["syy"].to_numpy(np.int64)),
+            "sxy": pa.array(agg["sxy"].to_numpy(np.int64))})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(group_col)
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxx", alias_name="sxx"),
+                        Sum("syy", alias_name="syy"),
+                        Sum("sxy", alias_name="sxy")))
+
+    def finish(t: pa.Table) -> pd.DataFrame:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        syy = t.column("syy").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where((vx <= 0) | (vy <= 0), 0.0,
+                         cov / np.sqrt(vx * vy))
+        return pd.DataFrame({
+            group_col: t.column(group_col).to_pandas(),
+            "n": t.column("n").to_pandas(),
+            "corr": np.round(r, 6)})
+
+    return stats.map_batches(finish, batch_format="pyarrow")
