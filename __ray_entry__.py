@@ -2575,6 +2575,19 @@ def _q_group_corr(sf_dir: str):
                       group_col="p_brand")
 
 
+def _q_source_jaccard(sf_dir: str):
+    """Exact pairwise vocabulary overlap between sources
+    (stages/index.py group_jaccard_pairs): distinct-membership
+    combiner → one (source, token) groupby → per-token pair emission
+    bounded by the source count — never a vocabulary cross join.
+    Exact integer intersections, 6dp Jaccard."""
+    from textgraphs_ray.stages.index import group_jaccard_pairs
+
+    ds = _docs(sf_dir, columns=["source", "text"])
+    return group_jaccard_pairs(ds, text_col="text",
+                               group_col="source")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2593,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": _q_winnow,
         "k_core": _q_k_core,
         "group_corr": _q_group_corr,
+        "source_jaccard": _q_source_jaccard,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2771,6 +2785,28 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "source_jaccard": """
+            WITH w AS (
+              SELECT source, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS tok
+              FROM documents
+            ), st AS (SELECT DISTINCT source, tok FROM w),
+            sz AS (
+              SELECT source, count(*) AS n FROM st GROUP BY source
+            ), i AS (
+              SELECT a.source AS g1, b.source AS g2,
+                     count(*) AS inter
+              FROM st a JOIN st b
+                   ON a.tok = b.tok AND a.source < b.source
+              GROUP BY g1, g2
+            )
+            SELECT i.g1, i.g2, i.inter,
+                   round(i.inter * 1.0
+                         / (sa.n + sb.n - i.inter), 6) AS jaccard
+            FROM i JOIN sz sa ON sa.source = i.g1
+                 JOIN sz sb ON sb.source = i.g2
         """,
         "group_corr": """
             WITH s AS (

@@ -145,3 +145,27 @@ def test_bigram_cross_corpus_oov_floor():
         assert len(out) == 1
         assert out[0]["n_bigrams"] == 3
         assert out[0]["logprob"] == pytest.approx(floor, abs=1e-9)
+
+
+# ---- group_jaccard_pairs --------------------------------------------
+
+def test_group_jaccard_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.index import group_jaccard_pairs
+
+    docs = [("a", "cat dog fish"), ("a", "dog bird"),
+            ("b", "cat dog"), ("b", "mouse"),
+            ("c", "zebra")]
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([d[0] for d in docs]),
+        "text": pa.array([d[1] for d in docs])})).repartition(3)
+    got = {(r["g1"], r["g2"]): r
+           for r in group_jaccard_pairs(ds).take_all()}
+    # vocab: a={cat,dog,fish,bird}(4) b={cat,dog,mouse}(3) c={zebra}
+    ab = got[("a", "b")]
+    assert ab["inter"] == 2
+    assert abs(ab["jaccard"] - 2 / 5) < 1e-6
+    # c shares nothing — absent
+    assert ("a", "c") not in got and ("b", "c") not in got

@@ -51,7 +51,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from .join import shuffle_join
 from .tfidf import BROADCAST_VOCAB_MAX
@@ -370,3 +370,73 @@ def bigram_logprob(ds: "ray.data.Dataset", *, text_col: str = "text",
             "logprob": np.round(s / n, 6)})
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------
+# pairwise set similarity between corpus partitions
+
+
+def group_jaccard_pairs(ds: "ray.data.Dataset", *,
+                        text_col: str = "text",
+                        group_col: str = "source") -> "ray.data.Dataset":
+    """→ (g1, g2, inter, jaccard) for every pair of groups with a
+    non-empty vocabulary intersection — the corpus-overlap monitor
+    (how much does source A's vocabulary overlap source B's?)
+    computed EXACTLY, not by MinHash estimate.
+
+    Plan: per-batch tokenize + local-distinct combiner → ONE
+    groupby(group, token) dedups memberships; group vocabulary sizes
+    broadcast (bounded by the group count); per-token group lists ride
+    a groupby(token) whose pair emission is bounded by the group
+    count per token — never a vocabulary cross join.  Jaccard =
+    |A∩B| / (|A|+|B|−|A∩B|) from exact integer counts, 6dp.  Group
+    pairs sharing NO token are absent (their jaccard is 0 by
+    definition); the SQL oracle's inner join drops them identically.
+    """
+    def local_distinct(t: pa.Table) -> pd.DataFrame:
+        gs, toks = [], []
+        for g, txt in zip(t.column(group_col).to_pylist(),
+                          t.column(text_col).to_pylist()):
+            for w in set(_WORD.findall((txt or "").lower())):
+                gs.append(g)
+                toks.append(w)
+        return (pd.DataFrame({group_col: gs, "token": toks})
+                .drop_duplicates())
+
+    members = (ds.map_batches(local_distinct, batch_format="pyarrow")
+               .groupby([group_col, "token"])
+               .aggregate(Count(alias_name="_n"))
+               .select_columns([group_col, "token"])
+               .materialize())   # consumed twice: sizes + pair gen
+
+    sizes = {r[group_col]: r["count()"] for r in
+             members.groupby(group_col).count().take_all()}
+    ref = ray.put(sizes)
+
+    def token_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        grps = np.sort(g[group_col].to_numpy())
+        if len(grps) < 2:
+            return pd.DataFrame({"g1": pd.Series([], dtype=object),
+                                 "g2": pd.Series([], dtype=object)})
+        i, j = np.triu_indices(len(grps), k=1)
+        return pd.DataFrame({"g1": grps[i], "g2": grps[j]})
+
+    inter = (members.groupby("token")
+             .map_groups(token_pairs, batch_format="pandas")
+             .groupby(["g1", "g2"])
+             .aggregate(Count(alias_name="inter")))
+
+    def finish(t: pa.Table) -> pd.DataFrame:
+        sz = ray.get(ref)
+        g1 = t.column("g1").to_pylist()
+        g2 = t.column("g2").to_pylist()
+        i = t.column("inter").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        na = np.array([sz[g] for g in g1], np.float64)
+        nb = np.array([sz[g] for g in g2], np.float64)
+        return pd.DataFrame({
+            "g1": g1, "g2": g2,
+            "inter": t.column("inter").to_pandas(),
+            "jaccard": np.round(i / (na + nb - i), 6)})
+
+    return inter.map_batches(finish, batch_format="pyarrow")
