@@ -2588,6 +2588,19 @@ def _q_source_jaccard(sf_dir: str):
                                group_col="source")
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-language length-outlier census (stages/stats.py
+    group_mad_outliers): median / MAD / beyond-3-MAD count in ONE
+    groupby shuffle, order statistics computed vectorized inside each
+    group — the robust alternative to z-scores, immune to the
+    outliers being hunted."""
+    from textgraphs_ray.stages.stats import group_mad_outliers
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    return group_mad_outliers(ds, value_col="n_chars",
+                              group_col="lang")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2607,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": _q_k_core,
         "group_corr": _q_group_corr,
         "source_jaccard": _q_source_jaccard,
+        "mad_outliers": _q_mad_outliers,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2785,6 +2799,23 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "mad_outliers": """
+            WITH med AS (
+              SELECT lang, median(n_chars) AS m
+              FROM documents GROUP BY lang
+            ), mads AS (
+              SELECT d.lang, max(med.m) AS med,
+                     median(abs(d.n_chars - med.m)) AS mad
+              FROM documents d JOIN med ON d.lang = med.lang
+              GROUP BY d.lang
+            )
+            SELECT m.lang, m.med, m.mad,
+                   (SELECT count(*) FROM documents dd
+                    WHERE dd.lang = m.lang
+                      AND abs(dd.n_chars - m.med) > 3 * m.mad
+                   )::BIGINT AS n_outliers
+            FROM mads m
         """,
         "source_jaccard": """
             WITH w AS (

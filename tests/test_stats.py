@@ -211,3 +211,30 @@ def test_group_corr_degenerate_group(ray_session):
     out = group_corr(ds, x_col="x", y_col="y",
                      group_col="g").take_all()
     assert out[0]["corr"] == 0.0
+
+
+# ---- group_mad_outliers (stages/stats.py) ---------------------------
+
+def test_group_mad_outliers_closed_form(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.stats import group_mad_outliers
+
+    # group a: 1..9 plus a wild outlier 1000
+    xs = list(range(1, 10)) + [1000]
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a"] * 10 + ["b"] * 4),
+        "x": pa.array(xs + [5, 5, 5, 5])})).repartition(3)
+    out = {r["g"]: r for r in
+           group_mad_outliers(ds, value_col="x",
+                              group_col="g").take_all()}
+    a = np.array(xs, float)
+    med = np.median(a)
+    mad = np.median(np.abs(a - med))
+    assert out["a"]["med"] == med and out["a"]["mad"] == mad
+    assert out["a"]["n_outliers"] == int(
+        (np.abs(a - med) > 3 * mad).sum())
+    # constant group: mad 0, nothing beyond 0
+    assert out["b"]["mad"] == 0.0 and out["b"]["n_outliers"] == 0

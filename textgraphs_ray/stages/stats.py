@@ -416,3 +416,35 @@ def group_corr(ds: "ray.data.Dataset", *, x_col: str, y_col: str,
             "corr": np.round(r, 6)})
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def group_mad_outliers(ds: "ray.data.Dataset", *, value_col: str,
+                       group_col: str,
+                       z: float = 3.0) -> "ray.data.Dataset":
+    """→ (group, med, mad, n_outliers): per-group robust outlier
+    census — median, median-absolute-deviation, and how many rows sit
+    beyond ``z`` MADs (the robust alternative to
+    :func:`group_zscore`'s mean/σ, immune to the very outliers being
+    hunted).
+
+    Exact order statistics need the group's values in one place: ONE
+    ``groupby(group)`` shuffle, with median, MAD and the count
+    computed vectorized inside each group — the
+    ``median_agg``/``p90_agg`` contract (a group must fit a worker;
+    above that, switch to the mergeable histogram sketch
+    ``functions/histq.py`` and trade exactness for a bin-width
+    bound).  Medians average the two middles exactly as SQL's
+    ``median`` does, so every output is hash-parity.
+    """
+    def mad_of(g: pd.DataFrame) -> pd.DataFrame:
+        x = g[value_col].to_numpy(np.float64)
+        med = np.median(x)
+        ad = np.abs(x - med)
+        mad = np.median(ad)
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "med": [med], "mad": [mad],
+            "n_outliers": np.array([(ad > z * mad).sum()], np.int64)})
+
+    return ds.groupby(group_col).map_groups(mad_of,
+                                            batch_format="pandas")
