@@ -15,6 +15,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2601,6 +2603,46 @@ def _q_mad_outliers(sf_dir: str):
                               group_col="lang")
 
 
+def _q_phonetic_blocks(sf_dir: str):
+    """Soundex phonetic blocking (functions/strsim.py soundex — the
+    record-linkage blocking key that groups sound-alike name variants
+    before pairwise scoring): distinct part-name words → per-word
+    code → per-code census.  The Python code and the SQL oracle run
+    the IDENTICAL string-rewrite chain (translate → drop transparent
+    H/W → per-digit run collapse → drop first group → strip vowels →
+    pad), so codes hash-match exactly."""
+    from ray.data.aggregate import Count, Min
+
+    from textgraphs_ray.functions.strsim import soundex
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_name"])
+
+    def words(t: pa.Table) -> pd.DataFrame:
+        out = set()
+        for name in t.column("p_name").to_pylist():
+            out.update(w for w in _RE_WORD.findall(
+                (name or "").lower()))
+        return pd.DataFrame({"word": sorted(out)})
+
+    distinct = (ds.map_batches(words, batch_format="pyarrow")
+                .groupby("word").aggregate(Count(alias_name="_n"))
+                .select_columns(["word"]))
+
+    def code(t: pa.Table) -> pd.DataFrame:
+        ws = t.column("word").to_pylist()
+        return pd.DataFrame({"word": ws,
+                             "code": [soundex(w) for w in ws]})
+
+    return (distinct.map_batches(code, batch_format="pyarrow")
+            .groupby("code")
+            .aggregate(Count(alias_name="n_words"),
+                       Min("word", alias_name="first_word")))
+
+
+_RE_WORD = re.compile(r"[a-z]+")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2621,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_corr": _q_group_corr,
         "source_jaccard": _q_source_jaccard,
         "mad_outliers": _q_mad_outliers,
+        "phonetic_blocks": _q_phonetic_blocks,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2799,6 +2842,40 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "phonetic_blocks": """
+            WITH w AS (
+              SELECT DISTINCT unnest(list_filter(
+                  regexp_split_to_array(lower(p_name), '[^a-z]+'),
+                  x -> x <> '')) AS word
+              FROM part
+            ), t1 AS (
+              SELECT word, upper(word) AS u,
+                     regexp_replace(translate(upper(word),
+                         'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+                         '00000099111122222222334556'),
+                         '9', '', 'g') AS c
+              FROM w
+            ), t2 AS (
+              SELECT word, u,
+                     regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(c,
+                         '0+', '0', 'g'), '1+', '1', 'g'),
+                         '2+', '2', 'g'), '3+', '3', 'g'),
+                         '4+', '4', 'g'), '5+', '5', 'g'),
+                         '6+', '6', 'g') AS c
+              FROM t1
+            ), codes AS (
+              SELECT word,
+                     substr(u, 1, 1)
+                     || substr(replace(substr(c, 2), '0', '')
+                               || '000', 1, 3) AS code
+              FROM t2
+            )
+            SELECT code, count(*) AS n_words,
+                   min(word) AS first_word
+            FROM codes GROUP BY code
         """,
         "mad_outliers": """
             WITH med AS (

@@ -276,3 +276,26 @@ class TestEntityQIDResolution:
         assert wikidata_iri("Dietrich Herzog", strict=True) == ""
         assert wikidata_iri("Germany", strict=True) == \
             "http://www.wikidata.org/entity/Q183"
+
+
+# ---- soundex (functions/strsim.py) ----------------------------------
+
+def test_soundex_canonical_examples():
+    from textgraphs_ray.functions.strsim import soundex
+
+    cases = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+             "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+             "Honeyman": "H555", "Williams": "W452",
+             "Auerbach": "A612", "Jackson": "J250", "Lee": "L000",
+             "Gutierrez": "G362", "Washington": "W252", "": "",
+             "123": ""}
+    for w, want in cases.items():
+        assert soundex(w) == want, (w, soundex(w), want)
+
+
+def test_soundex_blocks_sound_alikes():
+    from textgraphs_ray.functions.strsim import soundex
+
+    # the ER blocking property: spelling variants share a block
+    assert soundex("Smith") == soundex("Smyth")
+    assert soundex("Johnson") != soundex("Smith")

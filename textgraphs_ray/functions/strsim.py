@@ -210,3 +210,38 @@ def osa_distance(a: str, b: str) -> int:
                     and a[i - 2] == b[j - 1]):
                 d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
     return d[la][lb]
+
+
+# --------------------------------------------------------------------
+# phonetic blocking
+
+
+import re as _re
+
+_SOUNDEX_FROM = "AEIOUYHWBFPVCGJKQSXZDTLMNR"
+_SOUNDEX_TO = "00000099111122222222334556"
+_SOUNDEX_MAP = str.maketrans(_SOUNDEX_FROM, _SOUNDEX_TO)
+_RUN_RES = [_re.compile(d + "+") for d in "0123456"]
+
+
+def soundex(word: str) -> str:
+    """American Soundex code (e.g. Robert → R163) — the classic
+    phonetic blocking key for record linkage: names that sound alike
+    land in the same block regardless of spelling variants.
+
+    Implemented as the exact string-rewrite chain the SQL oracle
+    replays step for step (RE2 has no backreferences, so run-collapse
+    is one replace per digit): translate letters to codes (vowels→0,
+    H/W→9), delete 9s (H/W are TRANSPARENT for adjacency — ASHCRAFT →
+    A261), collapse each digit's runs, drop the first letter's own
+    code group, delete the vowel separators, pad to 3 digits.
+    Returns '' for words with no ASCII letters.
+    """
+    u = "".join(c for c in word.upper() if "A" <= c <= "Z")
+    if not u:
+        return ""
+    t = u.translate(_SOUNDEX_MAP).replace("9", "")
+    for rx in _RUN_RES:
+        t = rx.sub(rx.pattern[0], t)
+    t = t[1:].replace("0", "")
+    return u[0] + (t + "000")[:3]
