@@ -2643,6 +2643,56 @@ def _q_phonetic_blocks(sf_dir: str):
 _RE_WORD = re.compile(r"[a-z]+")
 
 
+def _q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE(lang, source) — all four grouping sets from ONE
+    input shuffle: the finest (lang, source) table materializes once
+    and every coarser level (lang-only, source-only, grand total)
+    re-aggregates that tiny table, never the input.  'ALL'
+    placeholders stand in for SQL's cube NULLs."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pylist(),
+            "source": t.column("source").to_pylist(),
+            "n_chars": t.column("n_chars").to_numpy(
+                zero_copy_only=False)})
+        agg = (df.groupby(["lang", "source"], sort=False)["n_chars"]
+               .agg(n_docs="count", sum_chars="sum").reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    fine = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"))
+            .materialize())
+
+    def rekey(keep_lang: bool, keep_source: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                "lang": (t.column("lang") if keep_lang
+                         else pa.array(["ALL"] * n)),
+                "source": (t.column("source") if keep_source
+                           else pa.array(["ALL"] * n)),
+                "n_docs": t.column("n_docs"),
+                "sum_chars": t.column("sum_chars")})
+        return fn
+
+    out = fine
+    for keep_lang, keep_source in ((True, False), (False, True),
+                                   (False, False)):
+        lvl = (fine.map_batches(rekey(keep_lang, keep_source),
+                                batch_format="pyarrow")
+               .groupby(["lang", "source"])
+               .aggregate(Sum("n_docs", alias_name="n_docs"),
+                          Sum("sum_chars", alias_name="sum_chars")))
+        out = out.union(lvl)
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2664,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jaccard": _q_source_jaccard,
         "mad_outliers": _q_mad_outliers,
         "phonetic_blocks": _q_phonetic_blocks,
+        "cube_agg": _q_cube_agg,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2842,6 +2893,14 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "cube_agg": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents
+            GROUP BY CUBE(lang, source)
         """,
         "phonetic_blocks": """
             WITH w AS (
