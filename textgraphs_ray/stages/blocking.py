@@ -105,21 +105,36 @@ class BandEmitter:
         keys_arr = np.asarray(keys, dtype=object)
         texts_arr = np.asarray(texts, dtype=object)
 
+        #  band -4: Soundex of the last token, keyed by the first
+        #  token's initial (classic record-linkage surname blocking,
+        #  functions/strsim.py soundex): sound-alike spelling variants
+        #  beyond one edit ("smyth"/"smith", "kathryn"/"catherine")
+        #  collide here when both MinHash shingles and the deletion
+        #  neighborhood miss them.  One bucket per (initial, code) —
+        #  same cap/window skew bound as every other pass.
+        from ..functions.strsim import soundex
+        ph_hash = hash64([ft[:1] + "\x1f" + soundex(lt)
+                          for ft, lt in zip(first_tok, last_tok)])
+
         return pa.table({
             "band_id": pa.array(
                 np.concatenate([band_id,
                                 np.full(n, -1, dtype=np.int32),
                                 np.full(n, -2, dtype=np.int32),
-                                np.full(len(dn_idx), -3, dtype=np.int32)])),
+                                np.full(len(dn_idx), -3, dtype=np.int32),
+                                np.full(n, -4, dtype=np.int32)])),
             "band_hash": pa.array(
-                np.concatenate([bh.ravel(), lt_hash, ft_hash, dn_hash]),
+                np.concatenate([bh.ravel(), lt_hash, ft_hash, dn_hash,
+                                ph_hash]),
                 pa.uint64()),
             "key": pa.array(
                 list(np.repeat(keys_arr, self.bands))
-                + keys + keys + list(keys_arr[dn_idx_arr]), pa.string()),
+                + keys + keys + list(keys_arr[dn_idx_arr]) + keys,
+                pa.string()),
             "norm_text": pa.array(
                 list(np.repeat(texts_arr, self.bands))
-                + texts + texts + list(texts_arr[dn_idx_arr]), pa.string()),
+                + texts + texts + list(texts_arr[dn_idx_arr]) + texts,
+                pa.string()),
         })
 
 
