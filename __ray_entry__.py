@@ -2693,6 +2693,70 @@ def _q_cube_agg(sf_dir: str):
     return out
 
 
+def _q_blocking_stats(sf_dir: str):
+    """North-rule blocking quality metrics over the generated truth
+    corpus: reduction ratio (how much of the O(n²) pair space the
+    multi-pass blocker prunes) and pairs completeness (what fraction
+    of TRUE same-entity key pairs share at least one block) — plus
+    closure completeness: the fraction of truth pairs CONNECTED
+    through the candidate graph, which is the actual recall bound for
+    a transitive-closure ER chain (two variants never blocked
+    together still merge through a chain of blocked pairs; direct
+    completeness < 1 with closure completeness = 1 is the designed
+    behavior).  Rows-only by nature (depends on the generator truth,
+    not the SQL tables); the closure floor is pinned in
+    tests/test_er.py."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import (extract_spans,
+                                             mentions_from_spans)
+    from textgraphs_ray.stages.blocking import candidate_pairs
+
+    docs, truth, assets = generate(2000)
+    spans = extract_spans(rd.from_arrow(docs), concurrency=(1, 2))
+    spans_df = spans.to_pandas()
+    mentions = mentions_from_spans(spans, ray.put(assets),
+                                   kinds=("ent", "media", "lem"))
+    n_mentions = mentions.count()
+    cand = (candidate_pairs(mentions, dedup=True)
+            .select_columns(["key_a", "key_b"]).to_pandas())
+    cand_set = set(zip(cand["key_a"], cand["key_b"]))
+
+    t = truth.to_pandas().merge(
+        spans_df[["doc_id", "offset", "lemma_key"]],
+        on=["doc_id", "offset"], how="left")
+    truth_pairs = set()
+    for _, grp in t.groupby("entity_id"):
+        keys = sorted(set(grp["lemma_key"].dropna()))
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                truth_pairs.add((keys[i], keys[j]))
+    covered = sum(1 for p in truth_pairs if p in cand_set)
+    n2 = n_mentions * (n_mentions - 1) // 2
+
+    # closure completeness: union-find over the candidate graph
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cand_set:
+        parent[find(a)] = find(b)
+    connected = sum(1 for a, b in truth_pairs
+                    if find(a) == find(b))
+    return pd.DataFrame({
+        "n_mentions": [n_mentions],
+        "n_candidates": [len(cand_set)],
+        "reduction_ratio": [round(1.0 - len(cand_set) / max(n2, 1), 6)],
+        "n_truth_pairs": [len(truth_pairs)],
+        "pairs_completeness": [round(covered / max(len(truth_pairs), 1),
+                                     6)],
+        "closure_completeness": [round(connected
+                                       / max(len(truth_pairs), 1), 6)]})
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2715,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": _q_mad_outliers,
         "phonetic_blocks": _q_phonetic_blocks,
         "cube_agg": _q_cube_agg,
+        "blocking_stats": _q_blocking_stats,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,

@@ -138,3 +138,18 @@ def test_hot_surface_skew_bounded_and_correct():
     assert merged >= len(variants) - 1
     # unrelated entities stay singletons
     assert assign["other0.PROPN.person0.PROPN"] != assign[canon_key]
+
+
+def test_blocking_stats_closure_complete(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    df = entry.queries()["blocking_stats"]("/root/testdata/sf0.001")
+    row = df.iloc[0]
+    # the closure bound that makes downstream F1 = 1.0 possible
+    assert row["closure_completeness"] == 1.0
+    # blocking must actually block (prune >95% of the pair space)
+    assert row["reduction_ratio"] > 0.95
+    assert row["n_truth_pairs"] > 0
