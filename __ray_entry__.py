@@ -2757,6 +2757,28 @@ def _q_blocking_stats(sf_dir: str):
                                        / max(len(truth_pairs), 1), 6)]})
 
 
+def _q_fs_linkage(sf_dir: str):
+    """Fellegi–Sunter probabilistic record linkage (stages/linkage.py):
+    candidate pairs → field-agreement patterns → EM over the
+    ≤2^k-row PATTERN HISTOGRAM (never the pair stream — the 100-TB
+    hinge), then broadcast pattern weights back onto pairs.  Returns
+    the deterministic per-pattern summary (bits, count, match weight,
+    posterior, decision).  EM is iterative — rows-only; parameter
+    recovery on a planted model is pinned in tests/test_linkage.py."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import (extract_spans,
+                                             mentions_from_spans)
+    from textgraphs_ray.stages.blocking import candidate_pairs
+    from textgraphs_ray.stages.linkage import fellegi_sunter
+
+    docs, _, assets = generate(2000)
+    spans = extract_spans(rd.from_arrow(docs), concurrency=(1, 2))
+    mentions = mentions_from_spans(spans, ray.put(assets),
+                                   kinds=("ent", "media", "lem"))
+    pairs = candidate_pairs(mentions, dedup=True)
+    return fellegi_sunter(pairs, iters=40)["patterns"]
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2780,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_blocks": _q_phonetic_blocks,
         "cube_agg": _q_cube_agg,
         "blocking_stats": _q_blocking_stats,
+        "fs_linkage": _q_fs_linkage,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
