@@ -2779,6 +2779,21 @@ def _q_fs_linkage(sf_dir: str):
     return fellegi_sunter(pairs, iters=40)["patterns"]
 
 
+def _q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (stages/blocking.py
+    sorted_neighborhood_pairs, Hernández–Stolfo): every part pairs
+    with its 3 successors in global p_name order — WITHOUT a global
+    sort: broadcast distinct-key prefix ranks + rank-bucket groupby
+    with single-bucket replica overlap, each pair emitted exactly
+    once in the bucket owning its smaller rank."""
+    from textgraphs_ray.stages.blocking import sorted_neighborhood_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    return sorted_neighborhood_pairs(ds, key_col="p_name",
+                                     id_col="p_partkey", window=3)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2803,6 +2818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_agg": _q_cube_agg,
         "blocking_stats": _q_blocking_stats,
         "fs_linkage": _q_fs_linkage,
+        "snm_pairs": _q_snm_pairs,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2981,6 +2997,19 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "snm_pairs": """
+            WITH r AS (
+              SELECT p_partkey, p_name,
+                     row_number() OVER (ORDER BY p_name, p_partkey)
+                         AS rn
+              FROM part
+            )
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   a.p_name AS key_a, b.p_name AS key_b,
+                   (b.rn - a.rn)::BIGINT AS dist
+            FROM r a JOIN r b
+                 ON b.rn > a.rn AND b.rn <= a.rn + 3
         """,
         "cube_agg": """
             SELECT coalesce(lang, 'ALL') AS lang,

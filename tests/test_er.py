@@ -153,3 +153,30 @@ def test_blocking_stats_closure_complete(ray_session):
     # blocking must actually block (prune >95% of the pair space)
     assert row["reduction_ratio"] > 0.95
     assert row["n_truth_pairs"] > 0
+
+
+def test_sorted_neighborhood_pairs_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.blocking import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(9)
+    keys = [f"k{rng.integers(0, 40):02d}" for _ in range(200)]
+    ids = list(range(200))
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "key": pa.array(keys)})).repartition(6)
+    w = 4
+    # tiny bucket width forces heavy cross-bucket overlap handling
+    got = sorted_neighborhood_pairs(ds, key_col="key", id_col="id",
+                                    window=w,
+                                    bucket_width=w + 1).take_all()
+    order = sorted(range(200), key=lambda i: (keys[i], i))
+    want = set()
+    for a in range(200):
+        for b in range(a + 1, min(a + w + 1, 200)):
+            want.add((ids[order[a]], ids[order[b]], b - a))
+    assert {(r["id_a"], r["id_b"], r["dist"]) for r in got} == want
+    assert len(got) == len(want)   # exactly-once emission

@@ -249,3 +249,105 @@ def candidate_pairs(mentions_ds: "ray.data.Dataset", *,
                           Min("text_a", alias_name="text_a"),
                           Min("text_b", alias_name="text_b")))
     return deduped.drop_columns(["pair_key"])
+
+
+def sorted_neighborhood_pairs(ds: "ray.data.Dataset", *, key_col: str,
+                              id_col: str, window: int,
+                              bucket_width: int | None = None,
+                              max_distinct: int = 1_000_000
+                              ) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (Hernández–Stolfo): rows sort by
+    ``key_col`` and every row pairs with its ``window`` successors —
+    the classic alternative to hash blocking when near-duplicates
+    sort adjacently (names, addresses, normalized titles).
+
+    Distributed WITHOUT a global sort materialization: global ranks
+    come from the broadcast distinct-key prefix table (the
+    ``stats.ntile`` machinery — ties broken by ``id_col`` inside a
+    bounded per-key groupby), then each ranked row lands in rank
+    bucket ``r // bucket_width`` AND replicates to the previous
+    bucket, so every (r, r+δ≤window) pair co-locates in exactly the
+    bucket owning the smaller rank — emitted once, no dedup shuffle.
+    ``bucket_width`` defaults to ``max(window + 1, 4096)`` (must be
+    > ``window`` for single-bucket-overlap correctness).
+
+    → (id_a, id_b, key_a, key_b, dist) with 1 ≤ dist ≤ window.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    W = bucket_width or max(window + 1, 4096)
+    if W <= window:
+        raise ValueError("bucket_width must exceed window")
+    from ray.data.aggregate import Sum as _Sum
+
+    def kpartial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        v, c = _np.unique(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({key_col: pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    dist = (ds.map_batches(kpartial, batch_format="pyarrow")
+            .groupby(key_col).aggregate(_Sum("c", alias_name="c"))
+            .take_all())
+    if len(dist) > max_distinct:
+        raise ValueError(f"{len(dist)} distinct keys exceed "
+                         f"max_distinct={max_distinct}")
+    dist.sort(key=lambda r: r[key_col])
+    start = {}
+    before = 0
+    for r in dist:
+        start[r[key_col]] = before
+        before += r["c"]
+    ref = ray.put(start)
+
+    def ranked(g: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        g = g.sort_values(id_col, kind="stable")
+        r = st[g[key_col].iloc[0]] + np.arange(len(g), dtype=np.int64)
+        prim = r // W
+        out = pd.DataFrame({
+            "r": np.concatenate([r, r]),
+            "bucket": np.concatenate([prim, prim - 1]),
+            "primary": np.concatenate([np.ones(len(g), bool),
+                                       np.zeros(len(g), bool)]),
+            id_col: np.concatenate([g[id_col].to_numpy()] * 2),
+            key_col: np.concatenate([g[key_col].to_numpy()] * 2)})
+        return out[out["bucket"] >= 0]
+
+    rows = ds.groupby(key_col).map_groups(ranked,
+                                          batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("r", kind="stable")
+        r = g["r"].to_numpy()
+        ids = g[id_col].to_numpy()
+        keys = g[key_col].to_numpy()
+        prim = g["primary"].to_numpy()
+        ia, ib = [], []
+        n = len(g)
+        for i in range(n):
+            if not prim[i]:
+                continue
+            j = i + 1
+            while j < n and r[j] - r[i] <= window:
+                ia.append(i)
+                ib.append(j)
+                j += 1
+        ia = np.array(ia, np.int64)
+        ib = np.array(ib, np.int64)
+        if not len(ia):
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "key_a": pd.Series([], dtype=object),
+                "key_b": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "id_a": ids[ia], "id_b": ids[ib],
+            "key_a": keys[ia], "key_b": keys[ib],
+            "dist": r[ib] - r[ia]})
+
+    return (rows.groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pandas"))
