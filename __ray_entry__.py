@@ -2794,6 +2794,19 @@ def _q_snm_pairs(sf_dir: str):
                                      id_col="p_partkey", window=3)
 
 
+def _q_selection_quantile(sf_dir: str):
+    """Exact P75 of document length by distributed selection
+    (stages/stats.py selection_quantile): binary search on the value
+    domain, one stateless filtered count per round — the
+    unbounded-cardinality exact path where percent_rank's broadcast
+    histogram and the histogram sketch's bin error both fail."""
+    from textgraphs_ray.stages.stats import selection_quantile
+
+    return selection_quantile(
+        lambda: _docs(sf_dir, columns=["n_chars"]),
+        value_col="n_chars", q=0.75, lo=0, hi=1 << 20)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2819,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_stats": _q_blocking_stats,
         "fs_linkage": _q_fs_linkage,
         "snm_pairs": _q_snm_pairs,
+        "selection_quantile": _q_selection_quantile,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -2997,6 +3011,12 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "selection_quantile": """
+            SELECT count(*) AS n,
+                   greatest(1, ceil(count(*) * 0.75))::BIGINT AS k,
+                   quantile_disc(n_chars, 0.75)::BIGINT AS value
+            FROM documents
         """,
         "snm_pairs": """
             WITH r AS (

@@ -238,3 +238,38 @@ def test_group_mad_outliers_closed_form(ray_session):
         (np.abs(a - med) > 3 * mad).sum())
     # constant group: mad 0, nothing beyond 0
     assert out["b"]["mad"] == 0.0 and out["b"]["n_outliers"] == 0
+
+
+# ---- selection_quantile (stages/stats.py) ---------------------------
+
+def test_selection_quantile_matches_sorted_rank(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.stats import selection_quantile
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 10000, 777)
+    t = pa.table({"x": pa.array(vals.astype(np.int64))})
+    for q in (0.1, 0.5, 0.75, 0.99, 1.0):
+        out = selection_quantile(
+            lambda: rd.from_arrow(t).repartition(4),
+            value_col="x", q=q, lo=0, hi=1 << 20).iloc[0]
+        k = max(1, math.ceil(777 * q))
+        assert out["value"] == int(np.sort(vals)[k - 1]), q
+        assert out["n"] == 777 and out["k"] == k
+
+
+def test_selection_quantile_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.stats import selection_quantile
+
+    t = pa.table({"x": pa.array([], pa.int64())})
+    out = selection_quantile(lambda: rd.from_arrow(t),
+                             value_col="x", q=0.5, lo=0, hi=100)
+    assert out.iloc[0]["n"] == 0

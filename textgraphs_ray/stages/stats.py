@@ -448,3 +448,45 @@ def group_mad_outliers(ds: "ray.data.Dataset", *, value_col: str,
 
     return ds.groupby(group_col).map_groups(mad_of,
                                             batch_format="pandas")
+
+
+def selection_quantile(ds_fn, *, value_col: str, q: float,
+                       lo: int, hi: int,
+                       max_rounds: int = 64) -> pd.DataFrame:
+    """→ one row (n, k, value): the EXACT q-quantile (SQL
+    ``quantile_disc`` — the element at 1-based rank ``ceil(n·q)``) of
+    an integer column by distributed selection, for columns whose
+    value cardinality is too large for :func:`percent_rank`'s
+    broadcast histogram and where the histogram sketch's bin-width
+    error is unacceptable.
+
+    Binary search on the VALUE domain ``[lo, hi]``: each round is one
+    stateless filtered count — O(log(hi−lo)) cheap scans total, no
+    shuffle, no materialized sort, constant driver memory.
+    ``ds_fn()`` must return a fresh (lazy) Dataset per call — a
+    ``read_parquet`` with column pruning — because each round
+    re-consumes it; at 10^12 rows re-scanning with predicate pushdown
+    beats pinning the input (the consume-once invariant applies to
+    MATERIALIZED upstreams, not cheap re-reads).
+    """
+    import math
+
+    n = ds_fn().count()
+    if n == 0:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "k": np.array([0], np.int64),
+                             "value": np.array([0], np.int64)})
+    k = max(1, math.ceil(n * q))
+    a, b = int(lo), int(hi)
+    for _ in range(max_rounds):
+        if a >= b:
+            break
+        mid = (a + b) // 2
+        c = ds_fn().filter(expr=f"{value_col} <= {mid}").count()
+        if c >= k:
+            b = mid
+        else:
+            a = mid + 1
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "k": np.array([k], np.int64),
+                         "value": np.array([a], np.int64)})
