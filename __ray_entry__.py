@@ -2807,6 +2807,72 @@ def _q_selection_quantile(sf_dir: str):
         value_col="n_chars", q=0.75, lo=0, hi=1 << 20)
 
 
+def _q_string_agg(sf_dir: str):
+    """SQL string_agg(DISTINCT lang ORDER BY lang) per source: the
+    distinct (source, lang) table is tiny after one combiner-fed
+    groupby; the per-group sorted join runs over that table, never
+    the input."""
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir, columns=["source", "lang"])
+
+    def local_distinct(t: pa.Table) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "source": t.column("source").to_pylist(),
+            "lang": t.column("lang").to_pylist()})
+            .drop_duplicates())
+
+    distinct = (docs.map_batches(local_distinct,
+                                 batch_format="pyarrow")
+                .groupby(["source", "lang"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["source", "lang"]))
+
+    def join_langs(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "langs": [",".join(sorted(g["lang"]))],
+            "n_langs": np.array([len(g)], np.int64)})
+
+    return distinct.groupby("source").map_groups(
+        join_langs, batch_format="pandas")
+
+
+def _q_hopping_distinct(sf_dir: str):
+    """Distinct users per 1 h hopping window every 15 min: each event
+    replicates to its ≤4 covering windows (bounded fan-out), then a
+    per-batch (window, user) combiner + ONE two-level groupby — the
+    windowed COUNT(DISTINCT) pattern where the distinct dedup and the
+    count share a single shuffle."""
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    size_us = 3_600_000_000
+    hop_us = 900_000_000
+    k = size_us // hop_us
+
+    def expand(t: pa.Table) -> pd.DataFrame:
+        ts = t.column("ts").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(
+            np.int64)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        last = ts // hop_us            # last window containing the event
+        offs = np.arange(k, dtype=np.int64)
+        w = last[:, None] - offs[None, :]
+        uid_rep = np.repeat(uid, k)
+        w_flat = w.ravel()
+        keep = w_flat >= 0
+        df = pd.DataFrame({"w": w_flat[keep] * hop_us,
+                           "user_id": uid_rep[keep]})
+        return df.drop_duplicates()
+
+    return (ev.map_batches(expand, batch_format="pyarrow")
+            .groupby(["w", "user_id"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["w"])
+            .groupby("w").aggregate(Count(alias_name="n_users")))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2833,6 +2899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_linkage": _q_fs_linkage,
         "snm_pairs": _q_snm_pairs,
         "selection_quantile": _q_selection_quantile,
+        "string_agg": _q_string_agg,
+        "hopping_distinct": _q_hopping_distinct,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -3011,6 +3079,25 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "string_agg": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang)
+                       AS langs,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
+        """,
+        "hopping_distinct": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS us, user_id FROM events
+            ), x AS (
+              SELECT ((us // 900000000) - k) * 900000000 AS w,
+                     user_id
+              FROM e, LATERAL unnest(range(0, 4)) AS t(k)
+              WHERE (us // 900000000) - k >= 0
+            )
+            SELECT w, count(DISTINCT user_id) AS n_users
+            FROM x GROUP BY w
         """,
         "selection_quantile": """
             SELECT count(*) AS n,
