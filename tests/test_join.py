@@ -207,3 +207,42 @@ def test_salted_join_same_name_key_drops_right_copy():
     out = salted_join(left, right, "k", "k", 2, salts=2).take_all()
     assert sorted(r["v"] for r in out) == [10, 11]
     assert all(set(r) == {"k", "v", "w"} for r in out)
+
+
+def test_shuffle_join_outer(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.join import shuffle_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array(["x", "y", "z"])}))
+    right = rd.from_arrow(pa.table({
+        "k2": pa.array([2, 3, 4], pa.int64()),
+        "b": pa.array([20, 30, 40], pa.int64())}))
+    out = shuffle_join(left, right, "k", "k2", 4,
+                       how="outer").to_pandas()
+    # 2 matched + 1 left-only + 1 right-only
+    assert len(out) == 4
+    key = out["k"].fillna(out["k2"])
+    got = {int(k): (a, b) for k, a, b in
+           zip(key, out["a"], out["b"])}
+    assert got[1][0] == "x" and pd.isna(got[1][1])
+    assert got[2] == ("y", 20) and got[3] == ("z", 30)
+    assert pd.isna(got[4][0]) and got[4][1] == 40
+
+
+def test_shuffle_join_outer_empty_right_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from textgraphs_ray.stages.join import shuffle_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    empty = rd.from_arrow(pa.table({
+        "k2": pa.array([1], pa.int64())})).filter(lambda r: False)
+    with pytest.raises(ValueError):
+        shuffle_join(left, empty.materialize(), "k", "k2", 2,
+                     how="outer")

@@ -49,9 +49,9 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     no match).  ``num_partitions`` bounds per-task group size — size it
     ≈ total rows / (rows a worker can merge in memory).
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(
-            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"how must be 'inner', 'left', 'outer', "
+                         f"'semi' or 'anti', got {how!r}")
     lschema = left.schema()
     if lschema is None:          # empty left ⇒ empty join, any `how`
         return left
@@ -64,6 +64,10 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         # an empty schema-less Dataset cannot provide.
         if how == "anti":
             return left
+        if how == "outer":
+            raise ValueError(
+                "shuffle_join(how='outer') needs a right side with a "
+                "schema; got an empty schema-less Dataset")
         if how in ("semi", "inner"):
             # limit(0) would drop every block and with it the columns;
             # emit ONE empty Arrow block carrying left's schema
