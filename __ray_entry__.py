@@ -2904,6 +2904,67 @@ def _q_outer_join(sf_dir: str):
                         project=project, how="outer")
 
 
+def _q_rolling_time_sum(sf_dir: str):
+    """Time-based window frame (SQL RANGE BETWEEN INTERVAL 10 MINUTE
+    PRECEDING AND CURRENT ROW): per-user rolling 10-minute value sum.
+    One groupby(user) shuffle; the frame bounds are two vectorized
+    searchsorted calls on the sorted group (RANGE semantics include
+    equal-ts peers — searchsorted 'right' reproduces that exactly),
+    summed via prefix-sum differences."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "value"])
+    W = 600_000_000  # 10 min in µs
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        c = np.concatenate([[0.0], np.cumsum(v)])
+        lo = np.searchsorted(ts, ts - W, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "roll_sum": np.round(c[hi] - c[lo], 4)})
+
+    return ds.groupby("user_id").map_groups(roll,
+                                            batch_format="pandas")
+
+
+def _q_mode_per_group(sf_dir: str):
+    """Most frequent event type per user (grouped MODE): per-batch
+    (user, type) count combiner → one groupby-sum → per-user argmax
+    with the SQL tie-break (count DESC, type ASC) — the tiny
+    counts table is the only thing the argmax groupby moves."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "event_type": t.column("event_type").to_pylist()})
+        return (df.groupby(["user_id", "event_type"], sort=False)
+                .size().reset_index(name="n"))
+
+    counts = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"],
+                          ascending=[False, True], kind="stable")
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[:1].to_numpy(),
+            "mode_type": g["event_type"].iloc[:1].to_numpy(),
+            "n": g["n"].iloc[:1].to_numpy(np.int64)})
+
+    return counts.groupby("user_id").map_groups(argmax,
+                                                batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2933,6 +2994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg": _q_string_agg,
         "hopping_distinct": _q_hopping_distinct,
         "outer_join": _q_outer_join,
+        "rolling_time_sum": _q_rolling_time_sum,
+        "mode_per_group": _q_mode_per_group,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -3111,6 +3174,28 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "rolling_time_sum": """
+            SELECT event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                             AND CURRENT ROW), 4) AS roll_sum
+            FROM events
+        """,
+        "mode_per_group": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY user_id, event_type
+            ), r AS (
+              SELECT user_id, event_type, n,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY n DESC, event_type) AS rn
+              FROM c
+            )
+            SELECT user_id, event_type AS mode_type, n
+            FROM r WHERE rn = 1
         """,
         "outer_join": """
             WITH o AS (
