@@ -2965,6 +2965,26 @@ def _q_mode_per_group(sf_dir: str):
                                                 batch_format="pandas")
 
 
+def _q_canopy(sf_dir: str):
+    """Canopy clustering (stages/blocking.py canopy_assign,
+    McCallum–Nigam–Ungar): cheap token-Jaccard canopies over the
+    generated mention table — local greedy centers per block, one
+    driver dedup of the small center union, broadcast assignment
+    scan.  Iterative-greedy construction has no SQL form; the planted
+    same-entity recall property is pinned in tests/test_er.py."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import (extract_spans,
+                                             mentions_from_spans)
+    from textgraphs_ray.stages.blocking import canopy_assign
+
+    docs, _, assets = generate(1000)
+    spans = extract_spans(rd.from_arrow(docs), concurrency=(1, 2))
+    mentions = mentions_from_spans(spans, ray.put(assets),
+                                   kinds=("ent", "media", "lem"))
+    return canopy_assign(mentions, key_col="key", text_col="text",
+                         t_loose=0.25, t_tight=0.75)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2996,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join": _q_outer_join,
         "rolling_time_sum": _q_rolling_time_sum,
         "mode_per_group": _q_mode_per_group,
+        "canopy": _q_canopy,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,

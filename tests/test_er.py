@@ -180,3 +180,45 @@ def test_sorted_neighborhood_pairs_exact(ray_session):
             want.add((ids[order[a]], ids[order[b]], b - a))
     assert {(r["id_a"], r["id_b"], r["dist"]) for r in got} == want
     assert len(got) == len(want)   # exactly-once emission
+
+
+def test_canopy_assign_planted_recall(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.blocking import canopy_assign
+
+    # 3 planted entities with token-overlap variants + unrelated rows
+    groups = {
+        0: ["acme global holdings inc", "acme global holdings",
+            "acme global holdings incorporated"],
+        1: ["johnson family trust fund", "johnson family trust",
+            "the johnson family trust fund"],
+        2: ["west coast data systems llc", "west coast data systems",
+            "west coast data systems limited"],
+    }
+    rows, gid = [], []
+    for g, variants in groups.items():
+        for v in variants:
+            rows.append(v)
+            gid.append(g)
+    for i in range(30):
+        rows.append(f"unrelated entity number {i} with filler tokens")
+        gid.append(-1)
+    ds = rd.from_arrow(pa.table({
+        "key": pa.array([f"k{i}" for i in range(len(rows))]),
+        "text": pa.array(rows)})).repartition(5)
+    out = canopy_assign(ds, key_col="key", text_col="text",
+                        t_loose=0.3, t_tight=0.7).take_all()
+    canopies: dict = {}
+    for r in out:
+        canopies.setdefault(r["key"], set()).add(r["canopy_id"])
+    # every row belongs to >= 1 canopy (fallback guarantees it)
+    assert set(canopies) == {f"k{i}" for i in range(len(rows))}
+    # planted same-entity pairs share at least one canopy
+    for g, variants in groups.items():
+        idx = [i for i, x in enumerate(gid) if x == g]
+        base = canopies[f"k{idx[0]}"]
+        for i in idx[1:]:
+            assert base & canopies[f"k{i}"], (g, i)

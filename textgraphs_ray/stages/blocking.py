@@ -351,3 +351,90 @@ def sorted_neighborhood_pairs(ds: "ray.data.Dataset", *, key_col: str,
 
     return (rows.groupby("bucket")
             .map_groups(bucket_pairs, batch_format="pandas"))
+
+
+def canopy_assign(ds: "ray.data.Dataset", *, key_col: str,
+                  text_col: str, t_loose: float = 0.3,
+                  t_tight: float = 0.7,
+                  max_centers: int = 100_000) -> "ray.data.Dataset":
+    """Canopy clustering (McCallum–Nigam–Ungar 2000): overlapping
+    coarse clusters from a CHEAP similarity (token-set Jaccard) so an
+    expensive scorer only runs within canopies — the data-adaptive
+    complement to LSH banding when block keys are hard to hash
+    (free-text mentions, addresses).
+
+    Distributed two-level construction mirroring the local-skyline
+    pattern: each block greedily picks LOCAL centers in sorted-key
+    order (a point within ``t_tight`` of an existing center never
+    becomes one), the small center union is greedily deduped once
+    driver-side under the same rule (``max_centers`` guard), and the
+    final center list broadcasts into one stateless assignment scan —
+    every row joins ALL canopies whose center is ≥ ``t_loose``
+    similar, plus its nearest center as a fallback so no row is
+    orphaned.  Deterministic for any block layout at fixed center
+    set; the two-level greedy itself is layout-stable because center
+    candidacy only shrinks under merging (pytest pins the planted
+    recall property, not center identity).
+
+    → (key, canopy_id) rows, one per (row, canopy) membership.
+    """
+    if not 0.0 <= t_loose <= t_tight <= 1.0:
+        raise ValueError("need 0 <= t_loose <= t_tight <= 1")
+    # consumed twice (center scan + assignment scan) — pin once so a
+    # lazy upstream never re-executes (the consume-once invariant);
+    # mention tables are distinct-key-bounded, so the pin is cheap
+    ds = ds.materialize()
+
+    def toks(s: str) -> frozenset:
+        return frozenset((s or "").lower().split())
+
+    def jac(a: frozenset, b: frozenset) -> float:
+        if not a or not b:
+            return 0.0
+        i = len(a & b)
+        return i / (len(a) + len(b) - i)
+
+    def greedy_centers(items):
+        centers: list[tuple] = []
+        for k, ts in items:
+            if all(jac(ts, cts) < t_tight for _, cts in centers):
+                centers.append((k, ts))
+        return centers
+
+    def local_centers(t: pa.Table) -> pd.DataFrame:
+        items = sorted(
+            (k, toks(x)) for k, x in
+            zip(t.column(key_col).to_pylist(),
+                t.column(text_col).to_pylist()))
+        cs = greedy_centers(items)
+        return pd.DataFrame({
+            "ckey": [c[0] for c in cs],
+            "ctext": [" ".join(sorted(c[1])) for c in cs]})
+
+    cand = (ds.map_batches(local_centers, batch_format="pyarrow")
+            .take_all())
+    if len(cand) > max_centers:
+        raise ValueError(f"{len(cand)} canopy centers exceed "
+                         f"max_centers={max_centers}; raise t_tight")
+    merged = greedy_centers(sorted(
+        (r["ckey"], toks(r["ctext"])) for r in cand))
+    centers = [(i, k, ts) for i, (k, ts) in enumerate(merged)]
+    ref = ray.put(centers)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        cs = ray.get(ref)
+        keys_out, canopies = [], []
+        for k, x in zip(t.column(key_col).to_pylist(),
+                        t.column(text_col).to_pylist()):
+            ts = toks(x)
+            sims = [(jac(ts, cts), cid) for cid, _, cts in cs]
+            hits = [cid for s, cid in sims if s >= t_loose]
+            if not hits:
+                hits = [max(sims)[1]]   # nearest-center fallback
+            keys_out.extend([k] * len(hits))
+            canopies.extend(hits)
+        return pd.DataFrame({
+            key_col: keys_out,
+            "canopy_id": np.array(canopies, np.int64)})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
