@@ -2985,6 +2985,41 @@ def _q_canopy(sf_dir: str):
                          t_loose=0.25, t_tight=0.75)
 
 
+def _q_golden_records(sf_dir: str):
+    """Survivorship after ER (stages/cluster.py golden_records): one
+    canonical surface per resolved entity cluster — highest occurrence
+    count, lexicographic tie-break — via surface-count combiner →
+    shuffle_join on the chain's shared key → per-cluster argmax.
+    The master-data 'golden record' step a record-linkage user runs
+    right after clustering."""
+    from textgraphs_ray.corpus import generate
+    from textgraphs_ray.pipelines.er import resolve_entities
+    from textgraphs_ray.stages.cluster import golden_records
+
+    docs, _, assets = generate(1000)
+    res = resolve_entities(rd.from_arrow(docs), assets=assets,
+                           num_partitions=4, concurrency=(1, 2),
+                           kinds=("ent", "media", "lem"))
+    return golden_records(res["clusters"], res["spans"])
+
+
+def _q_adamic_adar(sf_dir: str):
+    """Adamic–Adar weighted link prediction (stages/triangle.py
+    common_neighbor_pairs, weight='adamic_adar'): supplier pairs
+    scored by Σ 1/ln(|part's suppliers|) over shared parts — popular
+    parts contribute almost nothing.  Same bounded per-bucket pair
+    plan as `common_neighbors`, the weight is a per-group scalar;
+    rounded scores sort with (aa DESC, u, v) ties exactly as the
+    oracle."""
+    from textgraphs_ray.stages.triangle import common_neighbor_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    return common_neighbor_pairs(ds, entity_col="l_suppkey",
+                                 bucket_col="l_partkey", k=20,
+                                 weight="adamic_adar")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3017,6 +3052,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_time_sum": _q_rolling_time_sum,
         "mode_per_group": _q_mode_per_group,
         "canopy": _q_canopy,
+        "golden_records": _q_golden_records,
+        "adamic_adar": _q_adamic_adar,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -3195,6 +3232,24 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "adamic_adar": """
+            WITH sp AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), sz AS (
+              SELECT l_partkey, count(*) AS m FROM sp
+              GROUP BY l_partkey
+            ), p AS (
+              SELECT a.l_suppkey AS u, b.l_suppkey AS v, sz.m
+              FROM sp a
+                   JOIN sp b ON a.l_partkey = b.l_partkey
+                            AND a.l_suppkey < b.l_suppkey
+                   JOIN sz ON sz.l_partkey = a.l_partkey
+            )
+            SELECT u, v, round(sum(1.0 / ln(m)), 6) AS aa
+            FROM p GROUP BY u, v
+            ORDER BY round(sum(1.0 / ln(m)), 6) DESC, u, v
+            LIMIT 20
         """,
         "rolling_time_sum": """
             SELECT event_id,

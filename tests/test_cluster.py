@@ -158,3 +158,46 @@ def test_pagerank_distributed_paths_agree_and_match_nx():
     out = (pagerank_distributed(lonely, none_e, iters=5)
            .to_pandas().set_index("key")["rank"])
     assert abs(out["x"] - 0.5) < 1e-12 and abs(out["y"] - 0.5) < 1e-12
+
+
+# ---- golden_records -------------------------------------------------
+
+def test_golden_records_survivorship(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.cluster import golden_records
+
+    spans = rd.from_arrow(pa.table({
+        "lemma_key": pa.array(["a1", "a1", "a1", "a2", "b1", "b1"]),
+        "text": pa.array(["Acme Corp", "Acme Corp", "Acme Corp",
+                          "ACME Corporation", "Beta LLC",
+                          "Beta LLC"])})).repartition(3)
+    clusters = rd.from_arrow(pa.table({
+        "key": pa.array(["a1", "a2", "b1"]),
+        "cluster_id": pa.array(["A", "A", "B"])}))
+    got = {r["cluster_id"]: r for r in
+           golden_records(clusters, spans).take_all()}
+    # cluster A: "Acme Corp" (3 occurrences) beats "ACME Corporation"
+    assert got["A"]["canonical"] == "Acme Corp"
+    assert got["A"]["n_keys"] == 2 and got["A"]["n_occurrences"] == 4
+    assert got["B"]["canonical"] == "Beta LLC"
+    assert got["B"]["n_keys"] == 1 and got["B"]["n_occurrences"] == 2
+
+
+def test_golden_records_tie_break(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.cluster import golden_records
+
+    spans = rd.from_arrow(pa.table({
+        "lemma_key": pa.array(["x1", "x2"]),
+        "text": pa.array(["zeta", "alpha"])}))
+    clusters = rd.from_arrow(pa.table({
+        "key": pa.array(["x1", "x2"]),
+        "cluster_id": pa.array(["C", "C"])}))
+    got = golden_records(clusters, spans).take_all()
+    # equal counts: lexicographically smallest survives
+    assert got[0]["canonical"] == "alpha"

@@ -148,3 +148,43 @@ def test_k_core_empty_result_keeps_schema(ray_session):
     out = k_core(ds, k=2)
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "degree"}
+
+
+def test_adamic_adar_vs_brute(ray_session):
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.triangle import common_neighbor_pairs
+
+    rng = np.random.default_rng(21)
+    buckets = rng.integers(0, 25, 300)
+    ents = rng.integers(0, 12, 300)
+    ds = rd.from_arrow(pa.table({
+        "b": pa.array(buckets.astype(np.int64)),
+        "e": pa.array(ents.astype(np.int64))})).repartition(5)
+
+    member = defaultdict(set)
+    for b, e in zip(buckets.tolist(), ents.tolist()):
+        member[b].add(e)
+    aa = defaultdict(float)
+    for es in member.values():
+        if len(es) < 2:
+            continue
+        w = 1.0 / math.log(len(es))
+        ss = sorted(es)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                aa[(ss[i], ss[j])] += w
+    want = sorted(((round(s, 6), u, v) for (u, v), s in aa.items()),
+                  key=lambda t: (-t[0], t[1], t[2]))[:10]
+
+    got = common_neighbor_pairs(ds, entity_col="e", bucket_col="b",
+                                k=10, weight="adamic_adar").take_all()
+    got_t = [(r["aa"], r["u"], r["v"]) for r in got]
+    assert [(u, v) for _, u, v in got_t] == [(u, v) for _, u, v in want]
+    for (ga, _, _), (wa, _, _) in zip(got_t, want):
+        assert abs(ga - wa) < 1e-5

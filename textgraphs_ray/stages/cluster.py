@@ -237,3 +237,59 @@ def propagate_labels(nodes_ds: "ray.data.Dataset",
                             "cluster_id": t.column("label")}),
         batch_format="pyarrow",
     )
+
+
+def golden_records(clusters_ds: "ray.data.Dataset",
+                   spans_ds: "ray.data.Dataset", *,
+                   num_partitions: int = 16) -> "ray.data.Dataset":
+    """Survivorship: one canonical "golden record" per entity cluster
+    (the master-data-management step after resolution) — the surface
+    form with the highest occurrence count, ties to the
+    lexicographically smallest text.
+
+    → (cluster_id, canonical, n_keys, n_occurrences).
+
+    Plan: span occurrences collapse to (key, text, n) in a combiner-fed
+    groupby (one row per surface form, the usual hot-key guard);
+    cluster labels attach via the empty-partition-safe
+    :func:`..stages.join.shuffle_join` on key — the SAME key every ER
+    stage shuffles on, so co-location carries over — then one
+    groupby(cluster) argmax over the per-cluster surface table.
+    """
+    import pandas as _pd
+
+    from ray.data.aggregate import Sum
+
+    from .join import shuffle_join
+
+    def count_surfaces(t: pa.Table) -> "pa.Table":
+        df = _pd.DataFrame({
+            "key": t.column("lemma_key").to_pylist(),
+            "text": t.column("text").to_pylist()})
+        agg = (df.groupby(["key", "text"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    surfaces = (spans_ds.map_batches(count_surfaces,
+                                     batch_format="pyarrow")
+                .groupby(["key", "text"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    labeled = shuffle_join(
+        surfaces, clusters_ds, "key", "key", num_partitions,
+        project=lambda m: _pd.DataFrame({
+            "cluster_id": m["cluster_id"], "key": m["key_2"]
+            if "key_2" in m.columns else m["key"],
+            "text": m["text"], "n": m["n"]}))
+
+    def survivor(g: "_pd.DataFrame") -> "_pd.DataFrame":
+        g2 = g.sort_values(["n", "text"], ascending=[False, True],
+                           kind="stable")
+        return _pd.DataFrame({
+            "cluster_id": g2["cluster_id"].iloc[:1].to_numpy(),
+            "canonical": g2["text"].iloc[:1].to_numpy(),
+            "n_keys": np.array([g["key"].nunique()], np.int64),
+            "n_occurrences": np.array([int(g["n"].sum())], np.int64)})
+
+    return labeled.groupby("cluster_id").map_groups(
+        survivor, batch_format="pandas")

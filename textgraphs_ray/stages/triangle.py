@@ -59,21 +59,30 @@ def cooccurrence_edges(ds: "ray.data.Dataset", *, entity_col: str,
 
 
 def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
-                          bucket_col: str,
-                          k: int = 20) -> "ray.data.Dataset":
-    """→ top-k (u, v, n_common) entity pairs ranked by how many
-    buckets they share — common-neighbor link prediction over the
-    bipartite entity↔bucket graph (suppliers sharing parts, users
-    sharing sessions).  Deterministic ties: (n_common DESC, u, v).
+                          bucket_col: str, k: int = 20,
+                          weight: str = "count") -> "ray.data.Dataset":
+    """→ top-k entity pairs ranked by shared buckets — link prediction
+    over the bipartite entity↔bucket graph (suppliers sharing parts,
+    users sharing sessions).  ``weight="count"`` scores plain
+    common-neighbor counts → (u, v, n_common); ``weight="adamic_adar"``
+    down-weights popular buckets by 1/ln(bucket size) → (u, v, aa)
+    rounded to 6dp (Adamic–Adar 2003 — a mega-bucket contributes
+    almost nothing, a 2-member bucket is strong evidence).
+    Deterministic ties: (score DESC, u, v).
 
     Plan: per-block distinct (bucket, entity) combiner → one groupby
     dedups memberships → per-bucket pair emission (same bounded-bucket
     contract as :func:`cooccurrence_edges` — salt or cap hot buckets
-    upstream) → pair-count groupby → per-block partial top-k combiner
-    so the final sort ranks only ≤ k rows per block, never the full
-    pair table.
+    upstream; the 1/ln weight is a per-group scalar) → score groupby →
+    per-block partial top-k combiner so the final sort ranks only ≤ k
+    rows per block, never the full pair table.
     """
     import pyarrow.compute as pc
+
+    if weight not in ("count", "adamic_adar"):
+        raise ValueError(f"weight must be 'count' or 'adamic_adar', "
+                         f"got {weight!r}")
+    score_col = "n_common" if weight == "count" else "aa"
 
     def local_distinct(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()[[bucket_col, entity_col]].drop_duplicates()
@@ -88,24 +97,39 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
         ents = np.sort(g[entity_col].to_numpy())
         if len(ents) < 2:
             return pd.DataFrame({"u": pd.Series([], dtype="int64"),
-                                 "v": pd.Series([], dtype="int64")})
+                                 "v": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="float64")})
         i, j = np.triu_indices(len(ents), k=1)
-        return pd.DataFrame({"u": ents[i], "v": ents[j]})
+        w = (1.0 if weight == "count"
+             else 1.0 / np.log(len(ents)))
+        return pd.DataFrame({"u": ents[i], "v": ents[j],
+                             "w": np.full(len(i), w)})
 
-    counts = (members.groupby(bucket_col)
+    summed = (members.groupby(bucket_col)
               .map_groups(bucket_pairs, batch_format="pandas")
               .groupby(["u", "v"])
-              .aggregate(Count(alias_name="n_common")))
+              .aggregate(Sum("w", alias_name="w")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        if weight == "count":
+            col = pa.array(np.round(w).astype(np.int64))
+        else:
+            col = pa.array(np.round(w, 6))
+        return pa.table({"u": t.column("u"), "v": t.column("v"),
+                         score_col: col})
+
+    scores = summed.map_batches(finish, batch_format="pyarrow")
 
     def partial_topk(t: pa.Table) -> pa.Table:
         idx = pc.select_k_unstable(
             t, k=min(k, t.num_rows),
-            sort_keys=[("n_common", "descending"), ("u", "ascending"),
+            sort_keys=[(score_col, "descending"), ("u", "ascending"),
                        ("v", "ascending")])
         return t.take(idx)
 
-    return (counts.map_batches(partial_topk, batch_format="pyarrow")
-            .sort(["n_common", "u", "v"],
+    return (scores.map_batches(partial_topk, batch_format="pyarrow")
+            .sort([score_col, "u", "v"],
                   descending=[True, False, False])
             .limit(k))
 
