@@ -3020,6 +3020,24 @@ def _q_adamic_adar(sf_dir: str):
                                  weight="adamic_adar")
 
 
+def _q_bfs_hops(sf_dir: str):
+    """Distributed single-source BFS (stages/triangle.py bfs_hops):
+    hop distances from part 1 in the co-order graph — per-round
+    frontier semi-join + visited anti-join through the
+    empty-partition-safe shuffle_join, frontier never broadcast,
+    tables re-materialized with pinned partition counts.  The oracle
+    replays the identical 4-hop cap in a recursive CTE, so the
+    reached set AND distances hash-match (max distance is 3 here —
+    the cap is exercised but not binding)."""
+    from textgraphs_ray.stages.triangle import bfs_hops, cooccurrence_edges
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(ds, entity_col="l_partkey",
+                               bucket_col="l_orderkey")
+    return bfs_hops(edges, source=1, max_hops=4)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3054,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canopy": _q_canopy,
         "golden_records": _q_golden_records,
         "adamic_adar": _q_adamic_adar,
+        "bfs_hops": _q_bfs_hops,
         "decontaminate": _q_decontaminate,
         "triangles": _q_triangles,
         "knn_lsh_oracle": _q_knn_lsh_oracle,
@@ -3232,6 +3251,27 @@ def _oracle_sqls() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "bfs_hops": """
+            WITH RECURSIVE sp AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e0 AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM sp a JOIN sp b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+            ), e AS (
+              SELECT u AS src, v AS dst FROM e0
+              UNION ALL SELECT v, u FROM e0
+            ), walk(node, d) AS (
+              SELECT 1::BIGINT, 0
+              UNION
+              SELECT e.dst, walk.d + 1
+              FROM walk JOIN e ON e.src = walk.node
+              WHERE walk.d < 4
+            )
+            SELECT node, min(d)::BIGINT AS dist
+            FROM walk GROUP BY node
         """,
         "adamic_adar": """
             WITH sp AS (

@@ -188,3 +188,44 @@ def test_adamic_adar_vs_brute(ray_session):
     assert [(u, v) for _, u, v in got_t] == [(u, v) for _, u, v in want]
     for (ga, _, _), (wa, _, _) in zip(got_t, want):
         assert abs(ga - wa) < 1e-5
+
+
+def test_bfs_hops_matches_networkx(ray_session):
+    import networkx as nx
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.triangle import bfs_hops
+
+    rng = np.random.default_rng(13)
+    edges = _kcore_edges(rng, 60, 90)   # sparse: multi-hop distances
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in edges], pa.int64()),
+        "v": pa.array([e[1] for e in edges], pa.int64())})
+    ).repartition(4)
+    src = edges[0][0]
+    got = {r["node"]: r["dist"]
+           for r in bfs_hops(ds, source=src, max_hops=5,
+                             num_partitions=4).take_all()}
+    g = nx.Graph(edges)
+    want = {n: d for n, d in
+            nx.single_source_shortest_path_length(g, src, cutoff=5)
+            .items()}
+    assert got == want
+
+
+def test_bfs_hops_cap_binds(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.triangle import bfs_hops
+
+    # path graph 0-1-2-3-4: cap 2 reaches only 0,1,2
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([0, 1, 2, 3], pa.int64()),
+        "v": pa.array([1, 2, 3, 4], pa.int64())}))
+    got = {r["node"]: r["dist"]
+           for r in bfs_hops(ds, source=0, max_hops=2,
+                             num_partitions=2).take_all()}
+    assert got == {0: 0, 1: 1, 2: 2}

@@ -244,3 +244,67 @@ def k_core(edges: "ray.data.Dataset", *, k: int, u: str = "u",
     empty = pa.schema([("node", pa.int64()),
                        ("degree", pa.int64())]).empty_table()
     return ray.data.from_arrow(empty)
+
+
+def bfs_hops(edges: "ray.data.Dataset", *, source: int,
+             u: str = "u", v: str = "v", max_hops: int = 8,
+             num_partitions: int = 16) -> "ray.data.Dataset":
+    """→ (node, dist): minimum hop distance from ``source`` for every
+    node within ``max_hops`` — distributed breadth-first search as an
+    iterative frontier expansion, the single-source primitive under
+    "within-k-hops" features (fraud rings, affiliate networks).
+
+    ``edges`` must be distinct with ``u < v``; traversal is
+    undirected.  Per round: the frontier semi-joins the symmetrized
+    edge set (:func:`..stages.join.shuffle_join` — the frontier never
+    broadcasts), new nodes anti-join the visited table, and both
+    tables re-materialize with a pinned partition count (the
+    closure-loop invariant).  Rounds stop at an empty frontier or
+    ``max_hops`` — the SQL oracle replays the same cap in its
+    recursive CTE, so reached-set AND distances hash-match.
+    """
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(u).to_numpy(zero_copy_only=False)
+        b = t.column(v).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]).astype(np.int64)),
+            "dst": pa.array(np.concatenate([b, a]).astype(np.int64))})
+
+    esym = (edges.map_batches(sym, batch_format="pyarrow")
+            .repartition(num_partitions).materialize())
+
+    start = pa.table({"node": pa.array([source], pa.int64()),
+                      "dist": pa.array([0], pa.int64())})
+    visited = ray.data.from_arrow(start).materialize()
+    frontier = ray.data.from_arrow(
+        pa.table({"node": pa.array([source], pa.int64())}))
+
+    for d in range(1, max_hops + 1):
+        reached = shuffle_join(
+            esym, frontier, "src", "node", num_partitions,
+            how="semi")
+
+        def dsts(t: pa.Table) -> pa.Table:
+            vals = np.unique(t.column("dst").to_numpy(
+                zero_copy_only=False))
+            return pa.table({"node": pa.array(vals.astype(np.int64))})
+
+        cand = (reached.map_batches(dsts, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="_n"))
+                .select_columns(["node"]))
+        fresh = shuffle_join(cand, visited, "node", "node",
+                             num_partitions, how="anti")
+
+        def stamp(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("node"),
+                "dist": pa.array(np.full(t.num_rows, d, np.int64))})
+
+        fresh = (fresh.map_batches(stamp, batch_format="pyarrow")
+                 .repartition(num_partitions).materialize())
+        if fresh.count() == 0:
+            break
+        visited = (visited.union(fresh)
+                   .repartition(num_partitions).materialize())
+        frontier = fresh.select_columns(["node"])
+    return visited
