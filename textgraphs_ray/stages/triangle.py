@@ -36,23 +36,73 @@ from .join import shuffle_join
 _SEP = "\x1f"
 
 
+#: coarse shuffle key for per-bucket pair emission: Ray-level groups
+#: are these partitions (each holding many buckets), not the millions
+#: of individual buckets — the `blocking.PAIR_PARTITIONS` lesson: a
+#: per-bucket map_groups pays scheduler+pandas overhead per BUCKET,
+#: which dominates once buckets shrink to a handful of members
+COPAIR_PARTITIONS = 64
+
+
+def _segmented_full_pairs(df: pd.DataFrame, bucket_col: str,
+                          entity_col: str,
+                          weighted: bool = False) -> pd.DataFrame:
+    """All within-bucket entity pairs (u < v) across MANY buckets in
+    one vectorized call; ``weighted`` adds the Adamic–Adar
+    1/ln(bucket size) column."""
+    df = (df[[bucket_col, entity_col]].drop_duplicates()
+          .sort_values([bucket_col, entity_col], kind="stable"))
+    sizes = df.groupby(bucket_col, sort=False).size().to_numpy()
+    ents = df[entity_col].to_numpy()
+    iu_parts, ju_parts, w_parts = [], [], []
+    start = 0
+    for g in sizes:
+        g = int(g)
+        if g >= 2:
+            i, j = np.triu_indices(g, k=1)
+            iu_parts.append(i + start)
+            ju_parts.append(j + start)
+            if weighted:
+                w_parts.append(np.full(len(i), 1.0 / np.log(g)))
+        start += g
+    if not iu_parts:
+        cols = {"u": pd.Series([], dtype="int64"),
+                "v": pd.Series([], dtype="int64")}
+        if weighted:
+            cols["w"] = pd.Series([], dtype="float64")
+        return pd.DataFrame(cols)
+    iu = np.concatenate(iu_parts)
+    ju = np.concatenate(ju_parts)
+    out = {"u": ents[iu], "v": ents[ju]}
+    if weighted:
+        out["w"] = np.concatenate(w_parts)
+    return pd.DataFrame(out)
+
+
 def cooccurrence_edges(ds: "ray.data.Dataset", *, entity_col: str,
                        bucket_col: str) -> "ray.data.Dataset":
     """→ distinct (u, v) edges (u < v) linking entities that share a
     bucket value — the co-activity / co-occurrence graph constructor.
     A bucket's group must fit a worker (bound the bucket width
-    upstream; a hot bucket is the skew risk to salt)."""
+    upstream; a hot bucket is the skew risk to salt).
 
-    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ents = np.unique(g[entity_col].to_numpy())
-        if len(ents) < 2:
-            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
-                                 "v": pd.Series([], dtype="int64")})
-        i, j = np.triu_indices(len(ents), k=1)
-        return pd.DataFrame({"u": ents[i], "v": ents[j]})
+    Buckets ride ``COPAIR_PARTITIONS`` coarse hash partitions — pair
+    emission is one vectorized call over ALL of a partition's buckets,
+    never a per-bucket task (per-bucket scheduling dominated wall time
+    once buckets shrank to a handful of members)."""
 
-    pairs = (ds.groupby(bucket_col)
-             .map_groups(distinct_pairs, batch_format="pandas"))
+    def add_part(t: pa.Table) -> pa.Table:
+        b = t.column(bucket_col).to_numpy(zero_copy_only=False)
+        part = (b.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _segmented_full_pairs(g, bucket_col, entity_col)
+
+    pairs = (ds.map_batches(add_part, batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(partition_pairs, batch_format="pandas"))
     # dedup pairs co-occurring in several buckets: one groupby on the pair
     return (pairs.groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
             .select_columns(["u", "v"]))
@@ -93,20 +143,23 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
                .aggregate(Count(alias_name="_n"))
                .select_columns([bucket_col, entity_col]))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ents = np.sort(g[entity_col].to_numpy())
-        if len(ents) < 2:
-            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
-                                 "v": pd.Series([], dtype="int64"),
-                                 "w": pd.Series([], dtype="float64")})
-        i, j = np.triu_indices(len(ents), k=1)
-        w = (1.0 if weight == "count"
-             else 1.0 / np.log(len(ents)))
-        return pd.DataFrame({"u": ents[i], "v": ents[j],
-                             "w": np.full(len(i), w)})
+    def add_part(t: pa.Table) -> pa.Table:
+        b = t.column(bucket_col).to_numpy(zero_copy_only=False)
+        part = (b.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
 
-    summed = (members.groupby(bucket_col)
-              .map_groups(bucket_pairs, batch_format="pandas")
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = _segmented_full_pairs(g, bucket_col, entity_col,
+                                    weighted=(weight == "adamic_adar"))
+        if weight == "count":
+            out = out.assign(w=np.ones(len(out)))
+        return out
+
+    # coarse partitions, not per-bucket groups — see cooccurrence_edges
+    summed = (members.map_batches(add_part, batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(partition_pairs, batch_format="pandas")
               .groupby(["u", "v"])
               .aggregate(Sum("w", alias_name="w")))
 
