@@ -3038,6 +3038,22 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_edit_join(sf_dir: str):
+    """Exact Levenshtein-distance-≤1 self-join on customer name
+    (stages/editjoin.py edit_distance_join): FastSS deletion-variant
+    blocking — each key emits its O(L) single-deletion variants as
+    64-bit hashes, pairs verify IN the variant group with an
+    early-exit O(L) check, multi-variant duplicates collapse through
+    one (id_a, id_b) groupby.  Exact recall by the FastSS theorem;
+    the oracle replays it as a levenshtein() θ-join."""
+    from textgraphs_ray.stages.editjoin import edit_distance_join
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    return edit_distance_join(ds, key_col="c_name",
+                              id_col="c_custkey", k=1)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3048,6 +3064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "edit_join": _q_edit_join,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3242,6 +3259,15 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "edit_join": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                       AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
         "skyline": """
             SELECT p.p_partkey, p.p_size, p.p_retailprice
             FROM part p

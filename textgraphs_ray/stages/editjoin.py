@@ -1,0 +1,177 @@
+"""Edit-distance self-JOIN — FastSS deletion-neighborhood blocking.
+
+Finds every pair of rows whose string keys are within Levenshtein
+distance ``k`` — EXACT (both recall and the reported distance), unlike
+the banded-LSH families in ``stages/dedup.py``.  Built on the FastSS
+guarantee (Bocek/Hunt/Stiller, "Fast Similarity Search in Large
+Dictionaries", TIK report 2007 — public algorithm):
+
+  ED(s, t) ≤ k  ⟹  D_k(s) ∩ D_k(t) ≠ ∅
+
+where ``D_k(s)`` is the set of strings obtainable from ``s`` by
+deleting at most ``k`` characters.  So grouping rows by deletion
+variant finds every qualifying pair at least once; an exact banded
+Levenshtein verify inside each group removes false candidates
+(variant-sharing only bounds ED by 2k, and the 64-bit variant hash can
+collide — both only ADD candidates, never drop pairs); one final
+(id_a, id_b) groupby collapses pairs found via several shared variants.
+
+Physical plan / scale notes:
+
+1. stateless ``map_batches``: each string emits its ≤ Σ C(L, i) ≤ L^k
+   distinct deletion variants as (variant-hash, id, string) rows —
+   only 64-bit hashes and the (short) key string ride the shuffle,
+   never a document payload.  O(kL) emission per row is the price
+   FastSS pays for exactness; for long keys, block on a bounded
+   normalized prefix instead (this operator targets NAME-length keys,
+   the record-linkage case).
+2. ``groupby(variant hash)`` → within-group i<j candidate pairs,
+   verified IN PLACE with an early-exit O(kL) check (fused verify —
+   repo invariant: no payload-carrying unverified pair ever shuffles).
+   Degenerate hot variants (e.g. the empty string from keys with
+   len ≤ k) would concentrate in one group; salt with
+   ``stages/blocking.segmented_pair_indices`` if ever observed — name
+   keys never get near it.
+3. pairs found via multiple variants collapse through one
+   ``groupby(id_a, id_b).aggregate(Min(dist))`` — combiner-first, and
+   the distance is pair-deterministic so Min is a no-op semantically.
+
+No counterpart in the reference engine (DerwenAI/textgraphs) — the
+reference's fuzzy alias match (``textgraphs/graph.py`` OSA ≤ 1 pass)
+is a point lookup; this is the set-at-scale join version.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+from ..functions.sketch import hash64
+
+
+def deletion_variants(s: str, k: int) -> set[str]:
+    """All strings at deletion-distance ≤ ``k`` from ``s`` (incl. s)."""
+    frontier = {s}
+    out = {s}
+    for _ in range(k):
+        nxt = {v[:i] + v[i + 1:] for v in frontier for i in range(len(v))}
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def lev_within(a: str, b: str, k: int) -> int | None:
+    """Levenshtein distance if ≤ ``k`` else None.
+
+    Early-exit fast paths for k-bounded checks (length gate, equal
+    length ⇒ substitutions only at d ≤ 1, off-by-one length ⇒ single
+    deletion), banded Ukkonen DP for the general case."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return None
+    if a == b:
+        return 0
+    if la == lb:
+        # equal length: ED ≤ mism (substitute each mismatch) and for
+        # mism ≤ 2 exactly mism (a single ins/del changes length, so
+        # ED 1 forces mism 1; ED < 2 is then impossible at mism 2).
+        # At mism ≥ 3 an ins+del pair can beat substitutions
+        # ("abc"→"bcx" is ED 2) — fall through to the DP.
+        mism = sum(1 for x, y in zip(a, b) if x != y)
+        if mism <= min(k, 2):
+            return mism
+        if k == 1:
+            return None
+    elif abs(la - lb) == 1:
+        lo, hi = (a, b) if la < lb else (b, a)
+        i = 0
+        while i < len(lo) and lo[i] == hi[i]:
+            i += 1
+        if lo[i:] == hi[i + 1:]:
+            return 1
+        if k == 1:
+            return None
+    # banded DP, band half-width k
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    inf = k + 1
+    prev = list(range(min(k, lb) + 1)) + [inf] * max(0, lb - k)
+    prev = prev[:lb + 1]
+    for i in range(1, la + 1):
+        lo_j = max(1, i - k)
+        hi_j = min(lb, i + k)
+        cur = [inf] * (lb + 1)
+        if lo_j == 1:
+            cur[0] = i if i <= k else inf
+        for j in range(lo_j, hi_j + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j - 1] + cost,
+                         min(prev[j], cur[j - 1]) + 1)
+        prev = cur
+    return prev[lb] if prev[lb] <= k else None
+
+
+def edit_distance_join(ds: "ray.data.Dataset", *, key_col: str,
+                       id_col: str, k: int = 1) -> "ray.data.Dataset":
+    """→ (id_a, id_b, dist): every distinct-row pair with
+    ``levenshtein(key_a, key_b) ≤ k`` and ``id_a < id_b`` — exact.
+
+    ``dist`` is int64 Levenshtein, matching DuckDB's ``levenshtein``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("dist", pa.int64())]).empty_table()
+    if ds.schema() is None:
+        return ray.data.from_arrow(empty)
+
+    def emit_variants(t: pa.Table) -> pa.Table:
+        ids, keys, variants = [], [], []
+        for rid, s in zip(t.column(id_col).to_pylist(),
+                          t.column(key_col).to_pylist()):
+            for v in deletion_variants(s or "", k):
+                ids.append(rid)
+                keys.append(s or "")
+                variants.append(v)
+        return pa.table({
+            # int64 BIT-VIEW of the uint64 hash (repo invariant: raw
+            # uint64 overflows Arrow int64 during aggregate re-batching)
+            "vh": pa.array(hash64(variants).view(np.int64)),
+            "_id": pa.array(ids, pa.int64()),
+            "key": pa.array(keys, pa.string()),
+        })
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["_id"].to_numpy()
+        keys = g["key"].tolist()
+        # a string's own variants are distinct, but hash collisions
+        # could duplicate (id, key) rows within one group — drop them
+        _, uniq = np.unique(ids, return_index=True)
+        out_a, out_b, out_d = [], [], []
+        for ii in range(len(uniq)):
+            i = uniq[ii]
+            for jj in range(ii + 1, len(uniq)):
+                j = uniq[jj]
+                d = lev_within(keys[i], keys[j], k)
+                if d is not None and d > 0:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_d.append(d)
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
+                             "id_b": pd.Series(out_b, dtype=np.int64),
+                             "dist": pd.Series(out_d, dtype=np.int64)})
+
+    pairs = (ds.map_batches(emit_variants, batch_format="pyarrow")
+             .groupby("vh").map_groups(verify_group,
+                                       batch_format="pandas"))
+    deduped = (pairs.groupby(["id_a", "id_b"])
+               .aggregate(Min("dist", alias_name="dist")))
+    if deduped.schema() is None or not deduped.schema().names:
+        return ray.data.from_arrow(empty)
+    return deduped
