@@ -1520,12 +1520,8 @@ def _q_connected_components_distributed(sf_dir: str):
     return _q_connected_components(sf_dir, driver_threshold=0)
 
 
-def _q_similarity_join(sf_dir: str, broadcast_vocab_max: int = 1_000_000):
-    """Exact cross-corpus set-similarity JOIN (stages/simjoin.py
-    set_similarity_join): even-id docs vs odd-id docs, pairs with
-    3-gram-shingle Jaccard ≥ 0.3.  Prefix filtering (AllPairs/PPJoin)
-    has recall 1, so ANY threshold is hash-verifiable — unlike the
-    banded-LSH dedup family, which only oracle-checks at 1.0."""
+def _sim_join_query(sf_dir: str, *, measure: str, tau: float,
+                    broadcast_vocab_max: int = 1_000_000):
     from textgraphs_ray.stages.simjoin import set_similarity_join
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
@@ -1536,12 +1532,37 @@ def _q_similarity_join(sf_dir: str, broadcast_vocab_max: int = 1_000_000):
                 pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
             batch_format="pyarrow")
 
-    out = set_similarity_join(split(0), split(1), tau=0.3, n=3,
-                              broadcast_vocab_max=broadcast_vocab_max)
+    out = set_similarity_join(split(0), split(1), tau=tau, n=3,
+                              broadcast_vocab_max=broadcast_vocab_max,
+                              measure=measure)
     return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("jaccard"),
-                               "jaccard", pc.round(t.column("jaccard"), 6)),
+        lambda t: t.set_column(t.schema.get_field_index(measure),
+                               measure, pc.round(t.column(measure), 6)),
         batch_format="pyarrow")
+
+
+def _q_similarity_join(sf_dir: str, broadcast_vocab_max: int = 1_000_000):
+    """Exact cross-corpus set-similarity JOIN (stages/simjoin.py
+    set_similarity_join): even-id docs vs odd-id docs, pairs with
+    3-gram-shingle Jaccard ≥ 0.3.  Prefix filtering (AllPairs/PPJoin)
+    has recall 1, so ANY threshold is hash-verifiable — unlike the
+    banded-LSH dedup family, which only oracle-checks at 1.0."""
+    return _sim_join_query(sf_dir, measure="jaccard", tau=0.3,
+                           broadcast_vocab_max=broadcast_vocab_max)
+
+
+def _q_cosine_join(sf_dir: str):
+    """Set-COSINE similarity join: same prefix-filter machinery with
+    the cosine bound |x∩y| ≥ τ²·|x| (stages/simjoin.py _min_overlap).
+    The value is |x∩y|/√(|x|·|y|) — one sqrt + one division over exact
+    integers, bit-identical to the SQL oracle's expression."""
+    return _sim_join_query(sf_dir, measure="cosine", tau=0.45)
+
+
+def _q_dice_join(sf_dir: str):
+    """Sørensen–Dice similarity join: prefix bound
+    |x∩y| ≥ τ·|x|/(2−τ); value 2|x∩y|/(|x|+|y|) over exact ints."""
+    return _sim_join_query(sf_dir, measure="dice", tau=0.45)
 
 
 def _q_similarity_join_joinplan(sf_dir: str):
@@ -3065,6 +3086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
         "edit_join": _q_edit_join,
+        "cosine_join": _q_cosine_join,
+        "dice_join": _q_dice_join,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3267,6 +3290,50 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "cosine_join": """
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            ), sets AS (
+              SELECT doc_id, list_distinct(list(g)) AS toks
+              FROM grams GROUP BY doc_id
+            ), ta AS (SELECT * FROM sets WHERE doc_id % 2 = 0),
+            tb AS (SELECT * FROM sets WHERE doc_id % 2 = 1),
+            j AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / sqrt(CAST(len(a.toks) * len(b.toks) AS DOUBLE))
+                         AS cos
+              FROM ta a CROSS JOIN tb b)
+            SELECT a_id, b_id, round(cos, 6) AS cosine
+            FROM j WHERE cos >= 0.45
+        """,
+        "dice_join": """
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            ), sets AS (
+              SELECT doc_id, list_distinct(list(g)) AS toks
+              FROM grams GROUP BY doc_id
+            ), ta AS (SELECT * FROM sets WHERE doc_id % 2 = 0),
+            tb AS (SELECT * FROM sets WHERE doc_id % 2 = 1),
+            j AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(2 * len(list_intersect(a.toks, b.toks))
+                          AS DOUBLE)
+                     / (len(a.toks) + len(b.toks)) AS d
+              FROM ta a CROSS JOIN tb b)
+            SELECT a_id, b_id, round(d, 6) AS dice
+            FROM j WHERE d >= 0.45
         """,
         "skyline": """
             SELECT p.p_partkey, p.p_size, p.p_retailprice

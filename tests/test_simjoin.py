@@ -108,3 +108,59 @@ class TestSetSimilarityJoin:
         assert _prefix_len(5, 0.8) == 2    # 5 - 4 + 1
         assert _prefix_len(10, 1.0) == 1
         assert _prefix_len(7, 0.3) == 5    # 7 - ceil(2.1)=3 + 1
+
+
+def _brute_measure(A, B, tau, measure, n=3):
+    import math
+    out = []
+    for ia, da in A:
+        sa = set(_shingle_set(da, n))
+        if not sa:
+            continue
+        for ib, db in B:
+            sb = set(_shingle_set(db, n))
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            if measure == "cosine":
+                v = inter / math.sqrt(len(sa) * len(sb))
+            elif measure == "dice":
+                v = 2 * inter / (len(sa) + len(sb))
+            else:
+                v = inter / (len(sa) + len(sb) - inter)
+            if v >= tau:
+                out.append((ia, ib, v))
+    return sorted(out)
+
+
+class TestMeasureVariants:
+    def _check(self, docs, measure, taus):
+        A = [(i, d) for i, d in enumerate(docs) if i % 2 == 0]
+        B = [(i, d) for i, d in enumerate(docs) if i % 2 == 1]
+        for tau in taus:
+            want = _brute_measure(A, B, tau, measure)
+            got = set_similarity_join(
+                rd.from_arrow(_table(A)), rd.from_arrow(_table(B)),
+                tau=tau, measure=measure).to_pandas()
+            rows = sorted(zip(got["a_id"], got["b_id"], got[measure]))
+            assert len(rows) == len(want), (measure, tau)
+            for (a, b, j), (c, d, k) in zip(rows, want):
+                assert (a, b) == (c, d) and abs(j - k) < 1e-12
+
+    def test_cosine_matches_brute(self):
+        rng = np.random.RandomState(5)
+        docs = _corpus(rng, 60, 30, dense=True)
+        self._check(docs, "cosine", (0.2, 0.6, 0.95))
+
+    def test_dice_matches_brute(self):
+        rng = np.random.RandomState(9)
+        docs = _corpus(rng, 60, 30, dense=True)
+        self._check(docs, "dice", (0.2, 0.6, 0.95))
+
+    def test_unknown_measure_raises(self):
+        import pytest
+        A = rd.from_arrow(_table([(0, "a b c d")]))
+        with pytest.raises(ValueError):
+            set_similarity_join(A, A, tau=0.5, measure="overlap")

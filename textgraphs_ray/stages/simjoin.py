@@ -78,12 +78,41 @@ def _shingle_set(text: str | None, n: int) -> list[str]:
                  for i in range(len(words) - n + 1)})
 
 
-def _prefix_len(nt: int, tau: float) -> int:
+def _min_overlap(nt: int, tau: float, measure: str) -> float:
+    """Measure-specific lower bound on |x ∩ y| given |x| = nt and
+    sim ≥ tau (each derived with |y| ≥ |x ∩ y|):
+
+      jaccard  i/(nx+ny−i) ≥ τ  ⟹  i ≥ τ·nx
+      cosine   i/√(nx·ny)  ≥ τ  ⟹  i ≥ τ²·nx
+      dice     2i/(nx+ny)  ≥ τ  ⟹  i ≥ τ·nx/(2−τ)
+    """
+    if measure == "jaccard":
+        return tau * nt
+    if measure == "cosine":
+        return tau * tau * nt
+    if measure == "dice":
+        return tau * nt / (2.0 - tau)
+    raise ValueError(f"unknown measure {measure!r}")
+
+
+def _sim_value(inter: int, nx: int, ny: int, measure: str) -> float:
+    """The similarity as the SAME IEEE expression the SQL oracle
+    computes — every operand is an exact small integer, so the one
+    division (and sqrt) is bit-identical on both sides regardless of
+    evaluation order."""
+    if measure == "jaccard":
+        return inter / (nx + ny - inter)
+    if measure == "cosine":
+        return inter / float(np.sqrt(float(nx * ny)))
+    return (2 * inter) / (nx + ny)
+
+
+def _prefix_len(nt: int, tau: float, measure: str = "jaccard") -> int:
     # smallest prefix that must contain the order-min intersection
-    # element: nt - ceil(tau*nt) + 1.  The 1e-9 keeps float ceil from
-    # rounding an exact integer product UP (which would SHRINK the
-    # prefix and break exact recall).
-    return nt - int(np.ceil(tau * nt - 1e-9)) + 1
+    # element: nt - ceil(min_overlap) + 1.  The 1e-9 keeps float ceil
+    # from rounding an exact integer product UP (which would SHRINK
+    # the prefix and break exact recall).
+    return nt - int(np.ceil(_min_overlap(nt, tau, measure) - 1e-9)) + 1
 
 
 def _tagged(ds, *, id_col: str, text_col: str, n: int, side: int):
@@ -125,12 +154,13 @@ def _shingle_frequencies(tagged) -> "ray.data.Dataset":
 
 
 def _prefix_rows_table(sides, ids, sorted_toks, id_type,
-                       tau: float) -> pa.Table:
+                       tau: float,
+                       measure: str = "jaccard") -> pa.Table:
     """Emit one row per prefix shingle of each doc (shared by both
     rarity-order plans)."""
     out_tok, out_side, out_id, out_plen, out_toks = [], [], [], [], []
     for side, did, toks in zip(sides, ids, sorted_toks):
-        plen = _prefix_len(len(toks), tau)
+        plen = _prefix_len(len(toks), tau, measure)
         for g in toks[:plen]:
             out_tok.append(g)
             out_side.append(side)
@@ -151,22 +181,27 @@ def set_similarity_join(left: "ray.data.Dataset",
                         n: int = 3, text_col: str = "text",
                         id_col: str = "doc_id",
                         broadcast_vocab_max: int = BROADCAST_VOCAB_MAX,
-                        num_partitions: int = 64) -> "ray.data.Dataset":
-    """→ (a_id, b_id, jaccard): every cross-dataset pair whose distinct
-    word-``n``-gram shingle sets have Jaccard ≥ ``tau`` — EXACT (recall
-    1 by the prefix-filter guarantee; see module doc).
+                        num_partitions: int = 64,
+                        measure: str = "jaccard") -> "ray.data.Dataset":
+    """→ (a_id, b_id, <measure>): every cross-dataset pair whose
+    distinct word-``n``-gram shingle sets have similarity ≥ ``tau``
+    under ``measure`` ∈ {jaccard, cosine, dice} — EXACT (recall 1 by
+    the measure's prefix-filter bound; see ``_min_overlap``).
 
-    ``jaccard`` is the raw double ``|x∩y| / |x∪y|`` — the same IEEE
-    division the SQL oracle computes, so ``>= tau`` decides identically
-    on both sides.  Both id columns must share one Arrow type.
+    The value column (named after the measure) is the raw double of
+    the measure's one division over exact integers — the same IEEE
+    expression the SQL oracle computes, so ``>= tau`` decides
+    identically on both sides.  Both id columns must share one Arrow
+    type.
     """
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
+    _min_overlap(1, tau, measure)  # validate measure name
     lschema = left.schema()
     if lschema is None or right.schema() is None:
         return ray.data.from_arrow(pa.schema(
             [("a_id", pa.int64()), ("b_id", pa.int64()),
-             ("jaccard", pa.float64())]).empty_table())
+             (measure, pa.float64())]).empty_table())
     id_type = dict(zip(lschema.names, lschema.types))[id_col]
     # pin ONCE: tagged feeds both the df aggregate and the prefix
     # emission — an unpinned lazy stream would re-run the shingling
@@ -187,7 +222,7 @@ def set_similarity_join(left: "ray.data.Dataset",
                            for toks in t.column("toks").to_pylist()]
             return _prefix_rows_table(
                 t.column("side").to_pylist(), t.column("_id").to_pylist(),
-                sorted_toks, id_type, tau)
+                sorted_toks, id_type, tau, measure)
 
         prefix = tagged.map_batches(emit, batch_format="pyarrow")
     else:
@@ -218,7 +253,7 @@ def set_similarity_join(left: "ray.data.Dataset",
             order = sorted(zip(g["df"], g["term"]))
             return _prefix_rows_table(
                 [np.int8(g["side"].iloc[0])], [g["_id"].iloc[0]],
-                [[t for _, t in order]], id_type, tau)
+                [[t for _, t in order]], id_type, tau, measure)
 
         prefix = joined.groupby("_gid").map_groups(
             rebuild, batch_format="pandas")
@@ -240,7 +275,8 @@ def set_similarity_join(left: "ray.data.Dataset",
                     inter = len(fs_a & fs_b)
                     if not inter:
                         continue
-                    jac = inter / (len(fs_a) + len(fs_b) - inter)
+                    jac = _sim_value(inter, len(fs_a), len(fs_b),
+                                     measure)
                     if jac < tau:
                         continue
                     # exactly-once: only the group of the order-min
@@ -254,7 +290,7 @@ def set_similarity_join(left: "ray.data.Dataset",
         return pd.DataFrame({
             "a_id": pd.Series(out_a, dtype=id_dtype),
             "b_id": pd.Series(out_b, dtype=id_dtype),
-            "jaccard": pd.Series(out_j, dtype=np.float64)})
+            measure: pd.Series(out_j, dtype=np.float64)})
 
     return prefix.groupby("tok").map_groups(verify,
                                             batch_format="pandas")
