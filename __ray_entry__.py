@@ -3075,6 +3075,69 @@ def _q_edit_join(sf_dir: str):
                               id_col="c_custkey", k=1)
 
 
+def _q_throttle_dedup(sf_dir: str):
+    """Event-stream throttling dedup: keep an event iff the same
+    user's PREVIOUS event (ts, event_id order) is more than 12 h
+    older, or there is none — the standard alert/notification
+    rate-limit written as SQL lag() semantics (stateless per event
+    given its predecessor, so one groupby(user_id) shuffle and a
+    vectorized diff inside the sorted group; per-user groups are
+    time-bounded at any corpus scale)."""
+    gap_us = 12 * 3600 * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def throttle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        keep = np.concatenate([[True], np.diff(ts) > gap_us])
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "user_id": g["user_id"].to_numpy()[keep]})
+
+    return ds.groupby("user_id").map_groups(throttle,
+                                            batch_format="pandas")
+
+
+def _q_window_rank(sf_dir: str):
+    """SQL rank()/dense_rank()/first_value()/last_value() window
+    semantics per order: l_quantity has 50 distinct values over 60 k
+    rows, so ties are everywhere and rank ≠ dense_rank ≠ row_number
+    is genuinely exercised.  first/last_value order by
+    (quantity, linenumber, partkey, suppkey) — rows still tied there
+    are identical in every output column, so either order hashes the
+    same; one groupby(l_orderkey) shuffle, vectorized inside the
+    group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey",
+                 "l_suppkey", "l_quantity"])
+
+    def wfuncs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_quantity", "l_linenumber", "l_partkey",
+                           "l_suppkey"], kind="stable")
+        q = g["l_quantity"].to_numpy()
+        n = len(g)
+        new = np.concatenate([[True], q[1:] != q[:-1]])
+        pos = np.arange(n, dtype=np.int64)
+        # competition rank: position of the tie-group's first row + 1
+        rnk = pos[new][np.cumsum(new) - 1] + 1
+        drnk = np.cumsum(new).astype(np.int64)
+        pk = g["l_partkey"].to_numpy()
+        return pd.DataFrame({
+            "l_orderkey": g["l_orderkey"].to_numpy(),
+            "l_linenumber": g["l_linenumber"].to_numpy(np.int64),
+            "l_partkey": pk,
+            "l_suppkey": g["l_suppkey"].to_numpy(),
+            "rnk": rnk,
+            "drnk": drnk,
+            "first_pk": np.full(n, pk[0], dtype=np.int64),
+            "last_pk": np.full(n, pk[-1], dtype=np.int64)})
+
+    return ds.groupby("l_orderkey").map_groups(wfuncs,
+                                               batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3088,6 +3151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_join": _q_edit_join,
         "cosine_join": _q_cosine_join,
         "dice_join": _q_dice_join,
+        "throttle_dedup": _q_throttle_dedup,
+        "window_rank": _q_window_rank,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3290,6 +3355,35 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "throttle_dedup": """
+            WITH w AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_us
+              FROM events)
+            SELECT event_id, user_id FROM w
+            WHERE gap_us IS NULL OR gap_us > 43200000000
+        """,
+        "window_rank": """
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_partkey, l_suppkey,
+                   CAST(rank() OVER w2 AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w2 AS BIGINT) AS drnk,
+                   first_value(l_partkey) OVER w AS first_pk,
+                   last_value(l_partkey) OVER
+                     (PARTITION BY l_orderkey
+                      ORDER BY l_quantity, l_linenumber, l_partkey,
+                               l_suppkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS last_pk
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_quantity, l_linenumber,
+                                  l_partkey, l_suppkey),
+                   w2 AS (PARTITION BY l_orderkey ORDER BY l_quantity)
         """,
         "cosine_join": """
             WITH tok AS (
