@@ -1559,6 +1559,27 @@ def _q_cosine_join(sf_dir: str):
     return _sim_join_query(sf_dir, measure="cosine", tau=0.45)
 
 
+def _q_containment_join(sf_dir: str):
+    """Exact set-CONTAINMENT join (stages/simjoin.py
+    set_containment_join): even-id docs whose distinct-word set is a
+    subset of an odd-id doc's — rarest-token blocking (one row per
+    left doc keyed by its min-df token ⇒ exactly-once, candidate
+    count Σ df(rarest)), payload-free right postings, one
+    empty-partition-safe shuffle_join to pick up the right set, fused
+    subset verify."""
+    from textgraphs_ray.stages.simjoin import set_containment_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def split(parity: int):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow")
+
+    return set_containment_join(split(0), split(1))
+
+
 def _q_dice_join(sf_dir: str):
     """Sørensen–Dice similarity join: prefix bound
     |x∩y| ≥ τ·|x|/(2−τ); value 2|x∩y|/(|x|+|y|) over exact ints."""
@@ -3153,6 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dice_join": _q_dice_join,
         "throttle_dedup": _q_throttle_dedup,
         "window_rank": _q_window_rank,
+        "containment_join": _q_containment_join,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3355,6 +3377,18 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "containment_join": """
+            WITH sets AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text),
+                                                      '[a-z]+')) AS w
+              FROM documents),
+            ta AS (SELECT * FROM sets
+                   WHERE doc_id % 2 = 0 AND len(w) > 0),
+            tb AS (SELECT * FROM sets WHERE doc_id % 2 = 1)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM ta a JOIN tb b ON list_has_all(b.w, a.w)
         """,
         "throttle_dedup": """
             WITH w AS (

@@ -164,3 +164,40 @@ class TestMeasureVariants:
         A = rd.from_arrow(_table([(0, "a b c d")]))
         with pytest.raises(ValueError):
             set_similarity_join(A, A, tau=0.5, measure="overlap")
+
+
+class TestContainmentJoin:
+    def _brute(self, A, B):
+        out = set()
+        for ia, da in A:
+            sa = set(_shingle_set(da, 1))
+            if not sa:
+                continue
+            for ib, db in B:
+                if sa <= set(_shingle_set(db, 1)):
+                    out.add((ia, ib))
+        return out
+
+    def test_matches_brute(self):
+        from textgraphs_ray.stages.simjoin import set_containment_join
+        rng = np.random.RandomState(17)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [" ".join(rng.choice(vocab, rng.randint(1, 12)))
+                for _ in range(80)]
+        docs[2] = docs[1] + " extra"          # strict superset pair
+        docs[4] = docs[3]                     # equal sets both ways
+        A = [(i, d) for i, d in enumerate(docs) if i % 2 == 0]
+        B = [(i, d) for i, d in enumerate(docs) if i % 2 == 1]
+        got = set_containment_join(
+            rd.from_arrow(_table(A)), rd.from_arrow(_table(B)))
+        rows = {(r["a_id"], r["b_id"]) for r in got.take_all()}
+        assert rows == self._brute(A, B)
+
+    def test_empty_and_unmatchable(self):
+        from textgraphs_ray.stages.simjoin import set_containment_join
+        A = [(0, "zebra unique token"), (2, "")]
+        B = [(1, "totally different words")]
+        got = set_containment_join(rd.from_arrow(_table(A)),
+                                   rd.from_arrow(_table(B)))
+        assert got.count() == 0
+        assert sorted(got.schema().names) == ["a_id", "b_id"]

@@ -294,3 +294,147 @@ def set_similarity_join(left: "ray.data.Dataset",
 
     return prefix.groupby("tok").map_groups(verify,
                                             batch_format="pandas")
+
+
+def set_containment_join(left: "ray.data.Dataset",
+                         right: "ray.data.Dataset", *,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         num_partitions: int = 64
+                         ) -> "ray.data.Dataset":
+    """→ (a_id, b_id): every cross-dataset pair where the LEFT doc's
+    non-empty distinct-word set is a SUBSET of the right doc's —
+    exact set-containment join (the Q⊆D primitive behind template
+    detection, query subsumption and boilerplate provenance).
+
+    Physical plan — rarest-token blocking (the classic containment
+    bound, cf. PIEJoin/TT-Join literature, all public):
+
+    1. distinct ``[a-z]+`` word sets per side (stateless);
+    2. right-side token document frequencies (combiner → one groupby),
+       broadcast once via ``ray.put`` — the (token, df) map is
+       vocabulary-sized; above ~10^7 terms route it through
+       ``stages/join.py shuffle_join`` on token instead (the
+       ``stages/tfidf.py`` switch pattern);
+    3. each left doc emits ONE row keyed by its (df, token)-minimum
+       token t*; any superset must contain t*, so the pair meets in
+       exactly one group (exactly-once, no pair-dedup shuffle) and
+       the candidate count is Σ_a df(t*) — a's rarest token has the
+       SMALLEST posting list, the self-limiting property.  A left doc
+       with a zero-df token is contained in nothing and is dropped
+       before the shuffle;
+    4. right side explodes to payload-free (token, b_id) postings;
+       candidates pick up the right word set through ONE
+       empty-partition-safe ``shuffle_join`` on b_id, then verify
+       ``set(a) ⊆ set(b)`` in place.
+    """
+    out_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+    if left.schema() is None or right.schema() is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def word_sets(t: pa.Table, keep_empty: bool) -> pa.Table:
+        ids, toks = [], []
+        for did, txt in zip(t.column(id_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+            s = sorted(set(_WORD.findall((txt or "").lower())))
+            if s or keep_empty:
+                ids.append(did)
+                toks.append(s)
+        return pa.table({"_id": pa.array(ids, pa.int64()),
+                         "toks": pa.array(toks, pa.list_(pa.string()))})
+
+    a_sets = left.map_batches(
+        lambda t: word_sets(t, keep_empty=False),
+        batch_format="pyarrow").materialize()
+    b_sets = right.map_batches(
+        lambda t: word_sets(t, keep_empty=False),
+        batch_format="pyarrow").materialize()
+
+    def b_partial_df(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for toks in t.column("toks").to_pylist():
+            for w in toks:
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({"term": pa.array(list(counts), pa.string()),
+                         "df": pa.array(list(counts.values()),
+                                        pa.int64())})
+
+    vocab = (b_sets.map_batches(b_partial_df, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("df", alias_name="df")))
+    if vocab.schema() is None or not vocab.schema().names:
+        return ray.data.from_arrow(out_schema.empty_table())
+    df_ref = ray.put({r["term"]: r["df"] for r in vocab.take_all()})
+
+    def a_min_token(t: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        tok, aid, toks_out = [], [], []
+        for did, toks in zip(t.column("_id").to_pylist(),
+                             t.column("toks").to_pylist()):
+            key = min(((dfm.get(w, 0), w) for w in toks))
+            if key[0] == 0:
+                continue          # some word absent from every b doc
+            tok.append(key[1])
+            aid.append(did)
+            toks_out.append(toks)
+        return pa.table({
+            "tok": pa.array(tok, pa.string()),
+            "side": pa.array(np.zeros(len(tok), np.int8)),
+            "_id": pa.array(aid, pa.int64()),
+            "toks": pa.array(toks_out, pa.list_(pa.string()))})
+
+    def b_postings(t: pa.Table) -> pa.Table:
+        tok, bid = [], []
+        for did, toks in zip(t.column("_id").to_pylist(),
+                             t.column("toks").to_pylist()):
+            for w in toks:
+                tok.append(w)
+                bid.append(did)
+        empty_toks = pa.array([None] * len(tok), pa.list_(pa.string()))
+        return pa.table({
+            "tok": pa.array(tok, pa.string()),
+            "side": pa.array(np.ones(len(tok), np.int8)),
+            "_id": pa.array(bid, pa.int64()),
+            "toks": empty_toks})
+
+    stream = a_sets.map_batches(a_min_token,
+                                batch_format="pyarrow").union(
+        b_sets.map_batches(b_postings, batch_format="pyarrow"))
+
+    def candidates(g: pd.DataFrame) -> pa.Table:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        out_a, out_b, out_t = [], [], []
+        for aid, toks in zip(a["_id"], a["toks"]):
+            for bid in b["_id"]:
+                out_a.append(aid)
+                out_b.append(bid)
+                out_t.append(list(toks))
+        return pa.table({
+            "a_id": pa.array(out_a, pa.int64()),
+            "b_id": pa.array(out_b, pa.int64()),
+            "a_toks": pa.array(out_t, pa.list_(pa.string()))})
+
+    cands = stream.groupby("tok").map_groups(candidates,
+                                             batch_format="pandas")
+    if cands.schema() is None or not cands.schema().names:
+        return ray.data.from_arrow(out_schema.empty_table())
+    joined = shuffle_join(cands, b_sets, "b_id", "_id", num_partitions)
+    if joined.schema() is None or not joined.schema().names:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for aid, bid, at, bt in zip(t.column("a_id").to_pylist(),
+                                    t.column("b_id").to_pylist(),
+                                    t.column("a_toks").to_pylist(),
+                                    t.column("toks").to_pylist()):
+            if set(at) <= set(bt or []):
+                out_a.append(aid)
+                out_b.append(bid)
+        return pa.table({"a_id": pa.array(out_a, pa.int64()),
+                         "b_id": pa.array(out_b, pa.int64())})
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    if out.schema() is None or not out.schema().names:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return out
