@@ -1399,6 +1399,74 @@ def _q_pagerank_oracle(sf_dir: str, driver_threshold: int = 2_000_000):
         batch_format="pyarrow")
 
 
+def _q_ppr_oracle(sf_dir: str, driver_threshold: int = 2_000_000):
+    """Hash-verifiable PERSONALIZED PageRank (stages/rank.py
+    pagerank_distributed(seeds=...)): same customer→order bipartite
+    graph as ``pagerank_oracle``, teleport restricted to the customers
+    with custkey % 100 == 0 (networkx personalization semantics — the
+    seed-uniform vector also absorbs dangling mass, so non-seed-
+    reachable mass drains to the seeds).  Oracle = the same unrolled
+    10-step SQL power iteration with the seed-indicator teleport."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.rank import pagerank_distributed
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        pre = pa.array(["c"] * t.num_rows)
+        pre_o = pa.array(["o"] * t.num_rows)
+        return pa.table({
+            "key_a": pc.binary_join_element_wise(
+                pre, pc.cast(t.column("o_custkey"), pa.string()), ""),
+            "key_b": pc.binary_join_element_wise(
+                pre_o, pc.cast(t.column("o_orderkey"), pa.string()), ""),
+        })
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow")
+
+    def both_keys(t: pa.Table) -> pa.Table:
+        both = pa.concat_tables([pa.table({"key": t.column("key_a")}),
+                                 pa.table({"key": t.column("key_b")})])
+        return both.group_by("key").aggregate([]).select(["key"])
+
+    nodes = (edges.map_batches(both_keys, batch_format="pyarrow")
+             .groupby("key").aggregate(Count(alias_name="_n")))
+    nodes = nodes.map_batches(lambda t: t.select(["key"]),
+                              batch_format="pyarrow")
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        # custkey % 100 == 0 (pyarrow has no modulo kernel; custkeys
+        # are non-negative so subtract-floor-multiply is exact)
+        ck = t.column("o_custkey")
+        sel = ck.filter(pc.equal(
+            pc.subtract(ck, pc.multiply(pc.divide(ck, 100),
+                                        pa.scalar(100, pa.int64()))),
+            0))
+        return pa.table({"ck": pc.unique(sel)})
+
+    seed_keys = (orders.map_batches(seed_partial, batch_format="pyarrow")
+                 .groupby("ck").aggregate(Count(alias_name="_n"))
+                 .take_all())
+    seeds = {f"c{r['ck']}" for r in seed_keys}
+
+    out = pagerank_distributed(nodes, edges, iters=_PAGERANK_SQL_ITERS,
+                               driver_threshold=driver_threshold,
+                               seeds=seeds)
+    return out.map_batches(
+        lambda t: pa.table({"key": t.column("key"),
+                            "pr": pc.round(t.column("rank"), 6)}),
+        batch_format="pyarrow")
+
+
+def _q_ppr_oracle_distributed(sf_dir: str):
+    """Forced-plan sibling of ``ppr_oracle``: driver_threshold=0
+    routes through the Dataset power-iteration loop.  Output-identical;
+    shares the unrolled-SQL oracle."""
+    return _q_ppr_oracle(sf_dir, driver_threshold=0)
+
+
 def _q_pagerank_oracle_distributed(sf_dir: str):
     """Forced-plan sibling of ``pagerank_oracle``: ``driver_threshold=0``
     routes through the Dataset power-iteration loop (shuffle-join
@@ -1406,6 +1474,60 @@ def _q_pagerank_oracle_distributed(sf_dir: str):
     kernel.  Output-identical; shares the unrolled-SQL oracle — this
     puts the DISTRIBUTED iteration itself under the value-hash gate."""
     return _q_pagerank_oracle(sf_dir, driver_threshold=0)
+
+
+def _ppr_oracle_sql(iters: int = _PAGERANK_SQL_ITERS) -> str:
+    """Unrolled PERSONALIZED power iteration: teleport (and dangling
+    redistribution) go to the seed-uniform vector instead of 1/N.
+    Mirrors rank.py pagerank_distributed(seeds=...) exactly:
+    it{i} = 0.85·in_mass + (0.85·d + 0.15)·(seed ? 1/ns : 0)."""
+    head = """
+        WITH edges AS MATERIALIZED (
+            SELECT 'c' || CAST(o_custkey AS VARCHAR) AS key_a,
+                   'o' || CAST(o_orderkey AS VARCHAR) AS key_b
+            FROM orders
+        ), nodes AS MATERIALIZED (
+            SELECT key,
+                   (key LIKE 'c%' AND
+                    CAST(substr(key, 2) AS BIGINT) % 100 = 0) AS seed
+            FROM (SELECT DISTINCT key FROM (
+                SELECT key_a AS key FROM edges
+                UNION ALL SELECT key_b FROM edges))
+        ), nn AS MATERIALIZED (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CASE WHEN seed THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS ns
+            FROM nodes),
+        deg AS MATERIALIZED (
+            SELECT key_a AS key, count(*) AS od FROM edges GROUP BY key_a
+        ), it0 AS MATERIALIZED (
+            SELECT nodes.key, nodes.seed,
+                   (SELECT 1.0 / n FROM nn) AS pr,
+                   coalesce(deg.od, 0) AS od
+            FROM nodes LEFT JOIN deg USING (key)
+        )"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(f"""
+        , d{i} AS MATERIALIZED (
+            SELECT coalesce(sum(CASE WHEN od = 0 THEN pr END), 0) AS d
+            FROM it{p}
+        ), it{i} AS MATERIALIZED (
+            SELECT s.key, s.seed,
+                   0.85 * coalesce(m.mass, 0)
+                   + (0.85 * (SELECT d FROM d{i}) + (1 - 0.85))
+                     * (CASE WHEN s.seed
+                        THEN 1.0 / (SELECT ns FROM nn) ELSE 0.0 END)
+                       AS pr,
+                   s.od
+            FROM it{p} s LEFT JOIN (
+                SELECT e.key_b AS key, sum(p.pr / p.od) AS mass
+                FROM edges e JOIN it{p} p ON p.key = e.key_a
+                WHERE p.od > 0 GROUP BY e.key_b) m USING (key)
+        )""")
+    return (head + "".join(steps)
+            + f"\n        SELECT key, round(pr, 6) AS pr FROM it{iters}")
 
 
 def _pagerank_oracle_sql(iters: int = _PAGERANK_SQL_ITERS) -> str:
@@ -3175,6 +3297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_dedup": _q_throttle_dedup,
         "window_rank": _q_window_rank,
         "containment_join": _q_containment_join,
+        "ppr_oracle": _q_ppr_oracle,
+        "ppr_oracle_distributed": _q_ppr_oracle_distributed,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3364,6 +3488,8 @@ def oracle_sql() -> dict[str, str]:
         sqls[alias] = sqls[base]
     sqls["pagerank_oracle"] = _pagerank_oracle_sql()
     sqls["pagerank_oracle_distributed"] = sqls["pagerank_oracle"]
+    sqls["ppr_oracle"] = _ppr_oracle_sql()
+    sqls["ppr_oracle_distributed"] = sqls["ppr_oracle"]
     return sqls
 
 

@@ -160,6 +160,46 @@ def test_pagerank_distributed_paths_agree_and_match_nx():
     assert abs(out["x"] - 0.5) < 1e-12 and abs(out["y"] - 0.5) < 1e-12
 
 
+def test_personalized_pagerank_paths_agree_and_match_nx():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.rank import pagerank_distributed
+
+    nodes = rd.from_arrow(pa.table({"key": ["a", "b", "c", "d", "iso",
+                                            "iso_seed"]}))
+    edges = rd.from_arrow(pa.table({"key_a": ["a", "a", "b", "c"],
+                                    "key_b": ["b", "c", "c", "a"]}))
+    seeds = {"a", "iso_seed"}
+    drv = (pagerank_distributed(nodes, edges, iters=12, seeds=seeds)
+           .to_pandas().set_index("key")["rank"])
+    dist = (pagerank_distributed(nodes, edges, iters=12, seeds=seeds,
+                                 driver_threshold=0, num_partitions=4)
+            .to_pandas().set_index("key")["rank"])
+    for k in ["a", "b", "c", "d", "iso", "iso_seed"]:
+        assert abs(drv[k] - dist[k]) < 1e-12, k
+    assert abs(drv.sum() - 1.0) < 1e-9
+    # a non-seed node unreachable from the seeds drains to 0
+    assert drv["iso"] == 0.0
+    try:
+        import networkx as nx
+        from networkx.algorithms.link_analysis.pagerank_alg import \
+            _pagerank_python
+    except ImportError:
+        return
+    g = nx.DiGraph()
+    g.add_nodes_from(["a", "b", "c", "d", "iso", "iso_seed"])
+    g.add_edges_from([("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")])
+    p = {"a": 0.5, "iso_seed": 0.5}
+    nxr = _pagerank_python(g, alpha=0.85, max_iter=500, tol=1e-13,
+                           personalization=p, dangling=p)
+    drv_conv = (pagerank_distributed(nodes, edges, iters=200,
+                                     seeds=seeds)
+                .to_pandas().set_index("key")["rank"])
+    for k in nxr:
+        assert abs(drv_conv[k] - nxr[k]) < 1e-7, k
+
+
 # ---- golden_records -------------------------------------------------
 
 def test_golden_records_survivorship(ray_session):

@@ -233,9 +233,18 @@ def pagerank_distributed(nodes_ds: "ray.data.Dataset",
                          edges_ds: "ray.data.Dataset", *,
                          alpha: float = PAGERANK_ALPHA, iters: int = 30,
                          num_partitions: int = 16,
-                         driver_threshold: int = 2_000_000
+                         driver_threshold: int = 2_000_000,
+                         seeds: "set[str] | None" = None
                          ) -> "ray.data.Dataset":
     """GLOBAL PageRank over the whole graph → Dataset (key, rank).
+
+    ``seeds`` switches to PERSONALIZED PageRank (networkx
+    ``personalization`` semantics with the seed-uniform vector also
+    used for dangling redistribution): per iteration
+    ``v = α·in_mass + (α·d_mass + 1−α)·p`` with ``p = 1/|S|`` on seed
+    keys and 0 elsewhere; the uniform path is untouched (bit-identical
+    to before).  Every seed must be a node.  The seed set is a
+    QUERY-sized input (the whole point of PPR), broadcast once.
 
     The reference (and A4/`rank_partitions`) runs PageRank per
     document graph — thousands of tiny independent problems.  The
@@ -302,23 +311,58 @@ def pagerank_distributed(nodes_ds: "ray.data.Dataset",
         r_iso = 1.0 / n_total
         out_deg = np.bincount(src, minlength=m).astype(np.float64)
         dangling = out_deg == 0
-        for _ in range(iters):
-            contrib = np.where(dangling, 0.0,
-                               v / np.maximum(out_deg, 1.0))
-            d_mass = v[dangling].sum() + n_iso * r_iso
-            new = np.zeros(m)
-            np.add.at(new, dst, contrib[src])
-            v = alpha * (new + d_mass / n_total) + (1 - alpha) / n_total
-            r_iso = alpha * d_mass / n_total + (1 - alpha) / n_total
+        if seeds is None:
+            for _ in range(iters):
+                contrib = np.where(dangling, 0.0,
+                                   v / np.maximum(out_deg, 1.0))
+                d_mass = v[dangling].sum() + n_iso * r_iso
+                new = np.zeros(m)
+                np.add.at(new, dst, contrib[src])
+                v = (alpha * (new + d_mass / n_total)
+                     + (1 - alpha) / n_total)
+                r_iso = (alpha * d_mass / n_total
+                         + (1 - alpha) / n_total)
+            iso_rank = {None: r_iso}
+        else:
+            # isolated nodes split into seed / non-seed scalar classes
+            # (seeds are required to be nodes, so isolated seeds are
+            # exactly the seeds absent from the edge key set)
+            n_iso_s = len([s for s in seeds if s not in idx])
+            n_iso_n = n_iso - n_iso_s
+            ns = len(seeds)
+            pvec = np.zeros(m)
+            for s in seeds:
+                if s in idx:
+                    pvec[idx[s]] = 1.0 / ns
+            r_iso_s = r_iso_n = 1.0 / n_total
+            for _ in range(iters):
+                contrib = np.where(dangling, 0.0,
+                                   v / np.maximum(out_deg, 1.0))
+                d_mass = (v[dangling].sum() + n_iso_s * r_iso_s
+                          + n_iso_n * r_iso_n)
+                new = np.zeros(m)
+                np.add.at(new, dst, contrib[src])
+                tele = alpha * d_mass + (1 - alpha)
+                v = alpha * new + tele * pvec
+                r_iso_s = tele * (1.0 / ns)
+                r_iso_n = 0.0
+            iso_rank = {True: r_iso_s, False: r_iso_n}
         rank_map = dict(zip(keys, v.tolist()))
         map_ref = ray.put(rank_map)
+        seed_ref = ray.put(seeds)
 
         def label(t: pa.Table) -> pa.Table:
             rm = ray.get(map_ref)
+            sd = ray.get(seed_ref)
             ks = t.column("key").to_pylist()
+            if sd is None:
+                fallback = [iso_rank[None]] * len(ks)
+            else:
+                fallback = [iso_rank[k in sd] for k in ks]
             return pa.table({
                 "key": t.column("key"),
-                "rank": pa.array([rm.get(k, r_iso) for k in ks],
+                "rank": pa.array([rm.get(k, fb)
+                                  for k, fb in zip(ks, fallback)],
                                  pa.float64()),
             })
 
@@ -386,15 +430,36 @@ def pagerank_distributed(nodes_ds: "ray.data.Dataset",
             .groupby("key")
             .aggregate(Sum("mass", alias_name="mass"),
                        Sum("out_deg", alias_name="out_deg")))
-        base = (1 - alpha) / n_total + alpha * d_mass / n_total
+        if seeds is None:
+            base = (1 - alpha) / n_total + alpha * d_mass / n_total
 
-        def apply_rank(t: pa.Table, base=base) -> pa.Table:
-            mass = t.column("mass").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "key": t.column("key"),
-                "rank": pa.array(base + alpha * mass, pa.float64()),
-                "out_deg": t.column("out_deg"),
-            })
+            def apply_rank(t: pa.Table, base=base) -> pa.Table:
+                mass = t.column("mass").to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "key": t.column("key"),
+                    "rank": pa.array(base + alpha * mass, pa.float64()),
+                    "out_deg": t.column("out_deg"),
+                })
+        else:
+            tele = alpha * d_mass + (1 - alpha)
+            # tele * (1/ns), NOT tele/ns: bit-parity with the driver
+            # kernel's tele * pvec (pvec holds 1.0/ns)
+            p_seed = tele * (1.0 / len(seeds))
+            seed_arr = pa.array(sorted(seeds), pa.string())
+
+            def apply_rank(t: pa.Table, p_seed=p_seed,
+                           seed_arr=seed_arr) -> pa.Table:
+                mass = t.column("mass").to_numpy(zero_copy_only=False)
+                is_seed = pc.is_in(t.column("key"),
+                                   value_set=seed_arr).to_numpy(
+                    zero_copy_only=False)
+                return pa.table({
+                    "key": t.column("key"),
+                    "rank": pa.array(
+                        alpha * mass + np.where(is_seed, p_seed, 0.0),
+                        pa.float64()),
+                    "out_deg": t.column("out_deg"),
+                })
 
         state = (merged.map_batches(apply_rank, batch_format="pyarrow")
                  .repartition(num_partitions).materialize())
