@@ -1467,6 +1467,107 @@ def _q_ppr_oracle_distributed(sf_dir: str):
     return _q_ppr_oracle(sf_dir, driver_threshold=0)
 
 
+def _q_hits_oracle(sf_dir: str, driver_threshold: int = 2_000_000):
+    """Hash-verifiable HITS hubs/authorities (stages/rank.py
+    hits_distributed): customer→order bipartite graph, 10 sum-
+    normalized half-step pairs — customers are pure hubs, orders pure
+    authorities, so both eigenvector directions are exercised with
+    exact zero codomain scores.  Oracle = the same iteration unrolled
+    as SQL CTE half-steps."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.rank import hits_distributed
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        pre = pa.array(["c"] * t.num_rows)
+        pre_o = pa.array(["o"] * t.num_rows)
+        return pa.table({
+            "key_a": pc.binary_join_element_wise(
+                pre, pc.cast(t.column("o_custkey"), pa.string()), ""),
+            "key_b": pc.binary_join_element_wise(
+                pre_o, pc.cast(t.column("o_orderkey"), pa.string()), ""),
+        })
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow")
+
+    def both_keys(t: pa.Table) -> pa.Table:
+        both = pa.concat_tables([pa.table({"key": t.column("key_a")}),
+                                 pa.table({"key": t.column("key_b")})])
+        return both.group_by("key").aggregate([]).select(["key"])
+
+    nodes = (edges.map_batches(both_keys, batch_format="pyarrow")
+             .groupby("key").aggregate(Count(alias_name="_n")))
+    nodes = nodes.map_batches(lambda t: t.select(["key"]),
+                              batch_format="pyarrow")
+
+    out = hits_distributed(nodes, edges, iters=5,
+                           driver_threshold=driver_threshold)
+    return out.map_batches(
+        lambda t: pa.table({"key": t.column("key"),
+                            "hub": pc.round(t.column("hub"), 6),
+                            "auth": pc.round(t.column("auth"), 6)}),
+        batch_format="pyarrow")
+
+
+def _q_hits_oracle_distributed(sf_dir: str):
+    """Forced-plan sibling of ``hits_oracle``: driver_threshold=0
+    routes each half-step through shuffle_join + groupby sums.
+    Output-identical; shares the unrolled-SQL oracle."""
+    return _q_hits_oracle(sf_dir, driver_threshold=0)
+
+
+def _hits_oracle_sql(iters: int = 5) -> str:
+    """Unrolled HITS: per step, auth = row-normalized Σ in-hub then
+    hub = row-normalized Σ out-auth.  Mirrors rank.py
+    hits_distributed exactly."""
+    head = """
+        WITH edges AS MATERIALIZED (
+            SELECT 'c' || CAST(o_custkey AS VARCHAR) AS key_a,
+                   'o' || CAST(o_orderkey AS VARCHAR) AS key_b
+            FROM orders
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT key FROM (
+                SELECT key_a AS key FROM edges
+                UNION ALL SELECT key_b FROM edges)
+        ), it0 AS MATERIALIZED (
+            SELECT key,
+                   1.0 / (SELECT count(*) FROM nodes) AS h,
+                   0.0 AS a
+            FROM nodes
+        )"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(f"""
+        , ar{i} AS MATERIALIZED (
+            SELECT n.key, coalesce(s.x, 0) AS a
+            FROM nodes n LEFT JOIN (
+                SELECT e.key_b AS key, sum(p.h) AS x
+                FROM edges e JOIN it{p} p ON p.key = e.key_a
+                GROUP BY e.key_b) s USING (key)
+        ), an{i} AS MATERIALIZED (
+            SELECT key, a / (SELECT sum(a) FROM ar{i}) AS a FROM ar{i}
+        ), hr{i} AS MATERIALIZED (
+            SELECT n.key, coalesce(s.x, 0) AS h
+            FROM nodes n LEFT JOIN (
+                SELECT e.key_a AS key, sum(p.a) AS x
+                FROM edges e JOIN an{i} p ON p.key = e.key_b
+                GROUP BY e.key_a) s USING (key)
+        ), it{i} AS MATERIALIZED (
+            SELECT hr.key,
+                   hr.h / (SELECT sum(h) FROM hr{i}) AS h,
+                   an.a
+            FROM hr{i} hr JOIN an{i} an USING (key)
+        )""")
+    return (head + "".join(steps)
+            + f"""
+        SELECT key, round(h, 6) AS hub, round(a, 6) AS auth
+        FROM it{iters}""")
+
+
 def _q_pagerank_oracle_distributed(sf_dir: str):
     """Forced-plan sibling of ``pagerank_oracle``: ``driver_threshold=0``
     routes through the Dataset power-iteration loop (shuffle-join
@@ -3299,6 +3400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": _q_containment_join,
         "ppr_oracle": _q_ppr_oracle,
         "ppr_oracle_distributed": _q_ppr_oracle_distributed,
+        "hits_oracle": _q_hits_oracle,
+        "hits_oracle_distributed": _q_hits_oracle_distributed,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3490,6 +3593,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["pagerank_oracle_distributed"] = sqls["pagerank_oracle"]
     sqls["ppr_oracle"] = _ppr_oracle_sql()
     sqls["ppr_oracle_distributed"] = sqls["ppr_oracle"]
+    sqls["hits_oracle"] = _hits_oracle_sql()
+    sqls["hits_oracle_distributed"] = sqls["hits_oracle"]
     return sqls
 
 

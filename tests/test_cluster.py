@@ -200,6 +200,44 @@ def test_personalized_pagerank_paths_agree_and_match_nx():
         assert abs(drv_conv[k] - nxr[k]) < 1e-7, k
 
 
+def test_hits_paths_agree_and_match_nx():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.rank import hits_distributed
+
+    nodes = rd.from_arrow(pa.table({"key": ["a", "b", "c", "d", "iso"]}))
+    edges = rd.from_arrow(pa.table({"key_a": ["a", "a", "b", "d"],
+                                    "key_b": ["b", "c", "c", "c"]}))
+    drv = (hits_distributed(nodes, edges, iters=6)
+           .to_pandas().set_index("key"))
+    dist = (hits_distributed(nodes, edges, iters=6, driver_threshold=0,
+                             num_partitions=4)
+            .to_pandas().set_index("key"))
+    for k in ["a", "b", "c", "d", "iso"]:
+        assert abs(drv["hub"][k] - dist["hub"][k]) < 1e-12, k
+        assert abs(drv["auth"][k] - dist["auth"][k]) < 1e-12, k
+    assert abs(drv["hub"].sum() - 1.0) < 1e-9
+    assert abs(drv["auth"].sum() - 1.0) < 1e-9
+    assert drv["hub"]["iso"] == 0.0 and drv["auth"]["iso"] == 0.0
+    try:
+        import networkx as nx
+    except ImportError:
+        return
+    g = nx.DiGraph()
+    g.add_nodes_from(["a", "b", "c", "d", "iso"])
+    g.add_edges_from([("a", "b"), ("a", "c"), ("b", "c"), ("d", "c")])
+    try:
+        nxh, nxa = nx.hits(g, max_iter=500, tol=1e-13)
+    except ImportError:       # nx.hits needs scipy in some versions
+        return
+    conv = (hits_distributed(nodes, edges, iters=100)
+            .to_pandas().set_index("key"))
+    for k in nxh:
+        assert abs(conv["hub"][k] - nxh[k]) < 1e-7, k
+        assert abs(conv["auth"][k] - nxa[k]) < 1e-7, k
+
+
 # ---- golden_records -------------------------------------------------
 
 def test_golden_records_survivorship(ray_session):

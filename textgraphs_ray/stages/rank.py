@@ -466,3 +466,147 @@ def pagerank_distributed(nodes_ds: "ray.data.Dataset",
 
     return state.map_batches(
         lambda t: t.select(["key", "rank"]), batch_format="pyarrow")
+
+
+def hits_distributed(nodes_ds: "ray.data.Dataset",
+                     edges_ds: "ray.data.Dataset", *, iters: int = 10,
+                     num_partitions: int = 16,
+                     driver_threshold: int = 2_000_000
+                     ) -> "ray.data.Dataset":
+    """HITS hubs & authorities (Kleinberg 1999) → (key, hub, auth).
+
+    Sum-normalized per half-step (both vectors always sum to 1), which
+    converges to the same principal-eigenvector directions as any
+    other per-iteration norm: per iteration
+    ``a = Σ_in h;  a /= Σa;  h = Σ_out a;  h /= Σh``.  Nodes with no
+    in-edges get auth 0, no out-edges hub 0 (isolated nodes both).
+
+    Two output-identical physical plans, mirroring
+    :func:`pagerank_distributed`: a driver ``np.add.at`` kernel below
+    ``driver_threshold`` edge endpoints, else per-iteration Dataset
+    passes — each half-step is one empty-partition-safe shuffle_join
+    shipping the current score along the edge, one groupby sum on the
+    far endpoint and one scalar-sum normalize; state re-materialized
+    with pinned partition counts per round (block-count invariant).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .cluster import _shuffle_join
+
+    nodes_ds = nodes_ds.materialize()
+    edges_ds = edges_ds.materialize()
+    if nodes_ds.count() == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("key", pa.string()), ("hub", pa.float64()),
+             ("auth", pa.float64())]).empty_table())
+    n_edges = edges_ds.count()
+
+    if 2 * n_edges <= driver_threshold:
+        edges = edges_ds.select_columns(["key_a", "key_b"]).take_all()
+        src_k = [r["key_a"] for r in edges]
+        dst_k = [r["key_b"] for r in edges]
+        keys = sorted({*src_k, *dst_k})
+        idx = {k: i for i, k in enumerate(keys)}
+        m = len(keys)
+        src = np.fromiter((idx[k] for k in src_k), np.int64, len(src_k))
+        dst = np.fromiter((idx[k] for k in dst_k), np.int64, len(dst_k))
+        h = np.full(m, 1.0 / max(m, 1))
+        a = np.zeros(m)
+        for _ in range(iters):
+            a = np.zeros(m)
+            np.add.at(a, dst, h[src])
+            sa = a.sum()
+            if sa == 0:
+                break
+            a /= sa
+            h = np.zeros(m)
+            np.add.at(h, src, a[dst])
+            sh = h.sum()
+            if sh == 0:
+                break
+            h /= sh
+        hub_map = dict(zip(keys, h.tolist()))
+        auth_map = dict(zip(keys, a.tolist()))
+        ref = ray.put((hub_map, auth_map))
+
+        def label(t: pa.Table) -> pa.Table:
+            hm, am = ray.get(ref)
+            ks = t.column("key").to_pylist()
+            return pa.table({
+                "key": t.column("key"),
+                "hub": pa.array([hm.get(k, 0.0) for k in ks],
+                                pa.float64()),
+                "auth": pa.array([am.get(k, 0.0) for k in ks],
+                                 pa.float64())})
+
+        return nodes_ds.map_batches(label, batch_format="pyarrow")
+
+    # ---- distributed path ----
+    # hub and auth live in SEPARATE (key, score) datasets so a
+    # half-step needs NO carry join — one flow shuffle_join, one
+    # groupby sum (union-padded with zero rows so in-degree-0 nodes
+    # survive), one scalar total, one divide; the two vectors meet in
+    # a single join after the loop.
+    from ray.data.aggregate import Sum
+
+    n_nodes = nodes_ds.count()
+    node_keys = nodes_ds.map_batches(
+        lambda t: pa.table({"key": t.column("key")}),
+        batch_format="pyarrow").repartition(num_partitions).materialize()
+    hub = node_keys.map_batches(
+        lambda t: pa.table({
+            "key": t.column("key"),
+            "score": pa.array(np.full(t.num_rows, 1.0 / n_nodes))}),
+        batch_format="pyarrow").repartition(num_partitions).materialize()
+    auth = node_keys.map_batches(
+        lambda t: pa.table({
+            "key": t.column("key"),
+            "score": pa.array(np.zeros(t.num_rows))}),
+        batch_format="pyarrow").repartition(num_partitions).materialize()
+
+    def half_step(score_ds, src_col: str, dst_col: str):
+        """→ materialized (key, score): normalized Σ score over edges
+        src→dst."""
+        flowed = _shuffle_join(
+            edges_ds.select_columns(["key_a", "key_b"]),
+            score_ds, src_col, "key", num_partitions,
+            lambda df: pd.DataFrame({"key": df[dst_col],
+                                     "raw": df["score"]}))
+        # pin before the double consumption (scalar sum + divide pass)
+        # — a lazy `summed` would re-run the flow join twice (repo
+        # invariant: the r2 minhash double-execution trap)
+        summed = (node_keys.map_batches(
+            lambda t: pa.table({"key": t.column("key"),
+                                "raw": pa.array(np.zeros(t.num_rows))}),
+            batch_format="pyarrow")
+            .union(flowed)
+            .groupby("key").aggregate(Sum("raw", alias_name="raw"))
+            .repartition(num_partitions).materialize())
+        tot = sum(r["s"] for r in summed.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [pc.sum(t.column("raw")).as_py() or 0.0])}),
+            batch_format="pyarrow").take_all())
+
+        def divide(t: pa.Table, tot=tot) -> pa.Table:
+            raw = t.column("raw").to_numpy(zero_copy_only=False)
+            # true division (not multiply-by-reciprocal): bit-parity
+            # with the driver kernel's `a /= sa` and the SQL `a / s`
+            scaled = raw / tot if tot > 0 else raw * 0.0
+            return pa.table({"key": t.column("key"),
+                             "score": pa.array(scaled, pa.float64())})
+
+        return summed.map_batches(
+            divide, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        auth = half_step(hub, "key_a", "key_b")
+        hub = half_step(auth, "key_b", "key_a")
+
+    return _shuffle_join(
+        hub, auth, "key", "key", num_partitions,
+        lambda df: pd.DataFrame({"key": df["key"],
+                                 "hub": df["score_x"],
+                                 "auth": df["score_y"]}))
