@@ -3303,6 +3303,31 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_k_truss(sf_dir: str):
+    """4-truss of the same-minute co-activity graph
+    (stages/triangle.py k_truss): iterative edge peel by in-subgraph
+    triangle support — 1 061 edges collapse to the 167 whose every
+    edge closes ≥ 2 triangles among survivors, a strictly denser
+    community notion than k_core's degree peel.  Iterative fixpoint —
+    no single SQL oracle; edge-set equality vs networkx.k_truss is
+    pinned in tests/test_triangle.py."""
+    from textgraphs_ray.stages.triangle import (cooccurrence_edges,
+                                                k_truss)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    edges = cooccurrence_edges(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn")
+    return k_truss(edges, k=4)
+
+
 def _q_edit_join(sf_dir: str):
     """Exact Levenshtein-distance-≤1 self-join on customer name
     (stages/editjoin.py edit_distance_join): FastSS deletion-variant
@@ -3402,6 +3427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_oracle_distributed": _q_ppr_oracle_distributed,
         "hits_oracle": _q_hits_oracle,
         "hits_oracle_distributed": _q_hits_oracle_distributed,
+        "k_truss": _q_k_truss,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,

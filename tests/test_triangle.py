@@ -229,3 +229,53 @@ def test_bfs_hops_cap_binds(ray_session):
            for r in bfs_hops(ds, source=0, max_hops=2,
                              num_partitions=2).take_all()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+class TestKTruss:
+    def _run(self, edge_list, k):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textgraphs_ray.stages.triangle import k_truss
+        e = pa.table({"u": pa.array([a for a, b in edge_list], pa.int64()),
+                      "v": pa.array([b for a, b in edge_list], pa.int64())})
+        out = k_truss(rd.from_arrow(e), k=k).to_pandas()
+        return {(int(r.u), int(r.v)): int(r.support)
+                for r in out.itertuples(index=False)}
+
+    def test_matches_networkx(self):
+        import networkx as nx
+        rng = __import__("random").Random(3)
+        edges = set()
+        # a few planted cliques + random noise edges
+        for base in (0, 10, 20):
+            for i in range(5):
+                for j in range(i + 1, 5):
+                    edges.add((base + i, base + j))
+        while len(edges) < 60:
+            a, b = rng.randrange(40), rng.randrange(40)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        for k in (3, 4, 5):
+            got = self._run(sorted(edges), k)
+            g = nx.Graph()
+            g.add_edges_from(edges)
+            want = nx.k_truss(g, k)
+            want_edges = {(min(a, b), max(a, b))
+                          for a, b in want.edges()}
+            assert set(got) == want_edges, k
+            # support values: every kept edge closes >= k-2 triangles
+            # inside the truss
+            for (a, b), s in got.items():
+                n_tri = len(set(want.neighbors(a))
+                            & set(want.neighbors(b)))
+                assert s == n_tri, (a, b)
+
+    def test_triangle_free_graph_empties(self):
+        got = self._run([(0, 1), (1, 2), (2, 3)], 3)
+        assert got == {}
+
+    def test_k_below_3_raises(self):
+        import pytest
+        with pytest.raises(ValueError):
+            self._run([(0, 1)], 2)

@@ -361,3 +361,96 @@ def bfs_hops(edges: "ray.data.Dataset", *, source: int,
                    .repartition(num_partitions).materialize())
         frontier = fresh.select_columns(["node"])
     return visited
+
+
+def k_truss(edges: "ray.data.Dataset", *, k: int, u: str = "u",
+            v: str = "v", max_rounds: int = 100,
+            num_partitions: int = 16) -> "ray.data.Dataset":
+    """→ (u, v, support): the k-truss — the maximal subgraph whose
+    EVERY edge closes ≥ k−2 triangles inside the subgraph (Cohen
+    2008; a strictly denser community notion than the k-core, which
+    only constrains degrees).  ``support`` is the edge's triangle
+    count in the final truss.  ``edges`` must be distinct with
+    ``u < v``.
+
+    Iterative peel; each round re-derives per-edge support over the
+    SURVIVING edge set with the same min-corner wedge plan as
+    :func:`triangle_counts` (one apex groupby → wedge semi-join on the
+    edge key → each closed wedge credits its 3 edges → one key
+    groupby), then one semi shuffle_join keeps edges at/above
+    threshold.  The edge set re-materializes per round with a pinned
+    partition count (closure-loop invariant).  Terminates at the
+    fixpoint — every round that continues removes ≥ 1 edge.  Golden:
+    ``networkx.k_truss`` edge-set equality (tests/test_triangle.py).
+    """
+    if k < 3:
+        # k−2 ≤ 0 would keep triangle-free edges, which the
+        # support-join plan (inner on credited keys) cannot represent
+        raise ValueError(f"k must be >= 3, got {k}")
+    empty = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                       ("support", pa.int64())]).empty_table()
+    thresh = k - 2
+    cur = edges.select_columns([u, v]).materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.sort(g[v].to_numpy())
+        if len(vs) < 2:
+            return pd.DataFrame({
+                "apex": pd.Series([], dtype="int64"),
+                "w1": pd.Series([], dtype="int64"),
+                "w2": pd.Series([], dtype="int64"),
+                "key": pd.Series([], dtype="object")})
+        i, j = np.triu_indices(len(vs), k=1)
+        w1, w2 = vs[i], vs[j]
+        return pd.DataFrame({
+            "apex": np.repeat(g[u].to_numpy()[:1], len(i)),
+            "w1": w1, "w2": w2,
+            "key": pd.Series(w1).astype(str) + _SEP
+            + pd.Series(w2).astype(str)})
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # Arrow out (not pandas): a pandas-block left side breaks
+        # shuffle_join's typed-empty reconstruction when the right
+        # side is schema-less (object dtype has no Arrow DataType)
+        keys = (df[u].astype(str) + _SEP + df[v].astype(str)).tolist()
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         u: pa.array(df[u].to_numpy(), pa.int64()),
+                         v: pa.array(df[v].to_numpy(), pa.int64())})
+
+    for _ in range(max_rounds):
+        n_edges = cur.count()
+        if n_edges == 0:
+            return ray.data.from_arrow(empty)
+        ekeys = (cur.map_batches(edge_keys, batch_format="pyarrow")
+                 .repartition(num_partitions).materialize())
+        wedge_ds = cur.groupby(u).map_groups(wedges,
+                                             batch_format="pandas")
+        closed = shuffle_join(
+            wedge_ds, ekeys.select_columns(["key"]), "key", "key",
+            num_partitions, how="semi")
+
+        def credit(t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            a = df["apex"].astype(str)
+            b = df["w1"].astype(str)
+            c = df["w2"].astype(str)
+            return pd.DataFrame({"key": pd.concat([
+                a + _SEP + b, a + _SEP + c, df["key"]],
+                ignore_index=True)})
+
+        support = (closed.map_batches(credit, batch_format="pyarrow")
+                   .groupby("key")
+                   .aggregate(Count(alias_name="support")))
+        strong = support.filter(expr=f"support >= {thresh}")
+        kept = shuffle_join(
+            ekeys, strong, "key", "key", num_partitions,
+            lambda df: pd.DataFrame({
+                u: df[u], v: df[v],
+                "support": df["support"]})).materialize()
+        if kept.count() == n_edges:
+            return (kept.union(ray.data.from_arrow(empty))
+                    .materialize())
+        cur = (kept.select_columns([u, v])
+               .repartition(num_partitions).materialize())
+    return ray.data.from_arrow(empty)
