@@ -3303,6 +3303,111 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_chi2_terms(sf_dir: str):
+    """χ² feature selection: the 20 most source-discriminative terms
+    per source (the domain-signature / classifier-feature primitive).
+    2×2 contingency per (source, term) over distinct-word doc
+    presence; every χ² operand is an exact integer so the one double
+    expression is bit-parity with SQL.  Plan: per-batch (source,
+    term) presence combiner → one groupby; term df by a second
+    groupby over that vocabulary-sized table; df rejoined via
+    hash-partitioned shuffle_join on term (never a driver take_all);
+    per-source top-20 with (χ² DESC, term) tie-break inside
+    groupby(source).  Source doc totals are a category-bounded
+    broadcast."""
+    from ray.data.aggregate import Count, Sum
+    from textgraphs_ray.stages.join import shuffle_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "text"])
+    word_re = re.compile(r"[a-z]+")
+
+    def presence(t: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for w in set(word_re.findall((txt or "").lower())):
+                counts[(s, w)] = counts.get((s, w), 0) + 1
+        ks = list(counts)
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "a": pa.array(list(counts.values()), pa.int64())})
+
+    st = (docs.map_batches(presence, batch_format="pyarrow")
+          .groupby(["source", "term"])
+          .aggregate(Sum("a", alias_name="a"))).materialize()
+    tf = st.groupby("term").aggregate(Sum("a", alias_name="df"))
+
+    ns_rows = (docs.map_batches(
+        lambda t: pa.table({"source": t.column("source")}),
+        batch_format="pyarrow")
+        .groupby("source").aggregate(Count(alias_name="ns"))
+        .take_all())
+    ns_map = {r["source"]: r["ns"] for r in ns_rows}
+    n_docs = sum(ns_map.values())
+    ns_ref = ray.put(ns_map)
+
+    joined = shuffle_join(st, tf, "term", "term", 16)
+
+    def chi2(t: pa.Table) -> pa.Table:
+        nsm = ray.get(ns_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        df = t.column("df").to_numpy(zero_copy_only=False)
+        keep = (df >= 5) & (df < n_docs)
+        t = t.filter(pa.array(keep))
+        a, df = a[keep], df[keep]
+        ns = np.array([nsm[s] for s in
+                       t.column("source").to_pylist()], np.int64)
+        b = df - a
+        c = ns - a
+        d = n_docs - ns - b
+        z = (a * d - b * c).astype(np.float64)
+        num = float(n_docs) * (z * z)
+        den = (((a + b) * (c + d)).astype(np.float64)
+               * ((a + c) * (b + d)).astype(np.float64))
+        return pa.table({
+            "source": t.column("source"),
+            "term": t.column("term"),
+            "chi2": pa.array(np.round(num / den, 6), pa.float64())})
+
+    scored = joined.map_batches(chi2, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chi2", "term"], ascending=[False, True],
+                          kind="stable")
+        return g.head(20)[["source", "term", "chi2"]]
+
+    return scored.groupby("source").map_groups(topk,
+                                               batch_format="pandas")
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-active day,
+    counted per day-age at which they were active again — the classic
+    growth-analytics triangle.  ONE groupby(user) computes each
+    user's cohort AND distinct active ages in place (no cohort join —
+    per-user groups are time-bounded at any scale), then one
+    (cohort, age) count groupby."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = (g["ts"].to_numpy("datetime64[us]")
+                .astype("datetime64[D]").astype(np.int64))
+        c = days.min()
+        ages = np.unique(days - c)
+        return pd.DataFrame({
+            "cohort_day": np.full(len(ages), c, dtype=np.int64),
+            "age": ages})
+
+    rows = ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+    return (rows.groupby(["cohort_day", "age"])
+            .aggregate(Count(alias_name="n_users")))
+
+
 def _q_k_truss(sf_dir: str):
     """4-truss of the same-minute co-activity graph
     (stages/triangle.py k_truss): iterative edge peel by in-subgraph
@@ -3428,6 +3533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_oracle": _q_hits_oracle,
         "hits_oracle_distributed": _q_hits_oracle_distributed,
         "k_truss": _q_k_truss,
+        "cohort_retention": _q_cohort_retention,
+        "chi2_terms": _q_chi2_terms,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3634,6 +3741,60 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "chi2_terms": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(regexp_extract_all(
+                         lower(text), '[a-z]+'))) AS term
+              FROM documents
+            ), st AS (
+              SELECT source, term, count(*) AS a
+              FROM toks GROUP BY source, term
+            ), tf AS (
+              SELECT term, sum(a) AS df FROM st GROUP BY term
+            ), nsc AS (
+              SELECT source, count(*) AS ns
+              FROM documents GROUP BY source
+            ), nn AS (SELECT count(*) AS n FROM documents
+            ), y AS (
+              SELECT st.source, st.term, st.a AS a,
+                     tf.df - st.a AS b,
+                     nsc.ns - st.a AS c,
+                     (SELECT n FROM nn) - nsc.ns - (tf.df - st.a) AS d
+              FROM st JOIN tf USING (term) JOIN nsc USING (source)
+              WHERE tf.df >= 5 AND tf.df < (SELECT n FROM nn)
+            ), x AS (
+              SELECT source, term,
+                     round(CAST((SELECT n FROM nn) AS DOUBLE)
+                           * (CAST(a*d - b*c AS DOUBLE)
+                              * CAST(a*d - b*c AS DOUBLE))
+                           / (CAST((a+b)*(c+d) AS DOUBLE)
+                              * CAST((a+c)*(b+d) AS DOUBLE)), 6)
+                         AS chi2
+              FROM y
+            ), r AS (
+              SELECT source, term, chi2,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY chi2 DESC, term)
+                         AS rk
+              FROM x)
+            SELECT source, term, chi2 FROM r WHERE rk <= 20
+        """,
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS cohort
+              FROM events GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT e.user_id, f.cohort,
+                     datediff('day', f.cohort,
+                              date_trunc('day', e.ts)) AS age
+              FROM events e JOIN f USING (user_id))
+            SELECT CAST(datediff('day', DATE '1970-01-01', cohort)
+                        AS BIGINT) AS cohort_day,
+                   CAST(age AS BIGINT) AS age,
+                   count(*) AS n_users
+            FROM a GROUP BY 1, 2
         """,
         "containment_join": """
             WITH sets AS (
