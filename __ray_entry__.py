@@ -3303,6 +3303,32 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_dbscan(sf_dir: str):
+    """Exact grid DBSCAN (stages/dbscan.py grid_dbscan) over the
+    integer-quantized (floor(retailprice), size) plane of the first
+    2 000 parts (fixed count so point density — and with it the
+    recursive-CTE oracle's component sizes — stays bounded at every
+    scale factor): eps=1, min_pts=4; cores labelled by component-min
+    id, borders by min core-neighbor label, noise omitted."""
+    from textgraphs_ray.stages.dbscan import grid_dbscan
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size",
+                                  "p_retailprice"])
+
+    def points(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("p_partkey"), 2000))
+        return pa.table({
+            "id": t.column("p_partkey"),
+            "x": pc.cast(pc.floor(t.column("p_retailprice")),
+                         pa.int64()),
+            "y": pc.cast(t.column("p_size"), pa.int64())})
+
+    pts = ds.map_batches(points, batch_format="pyarrow")
+    return grid_dbscan(pts, id_col="id", x_col="x", y_col="y",
+                       eps=1, min_pts=4)
+
+
 def _q_chi2_terms(sf_dir: str):
     """χ² feature selection: the 20 most source-discriminative terms
     per source (the domain-signature / classifier-feature primitive).
@@ -3535,6 +3561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_truss": _q_k_truss,
         "cohort_retention": _q_cohort_retention,
         "chi2_terms": _q_chi2_terms,
+        "dbscan": _q_dbscan,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3741,6 +3768,42 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "dbscan": """
+            WITH RECURSIVE p AS (
+              SELECT p_partkey AS id,
+                     CAST(floor(p_retailprice) AS BIGINT) AS x,
+                     CAST(p_size AS BIGINT) AS y
+              FROM part WHERE p_partkey < 2000
+            ), nb AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM p a JOIN p b
+                ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1
+            ), cnt AS (
+              SELECT ia AS id, count(*) AS c FROM nb GROUP BY ia
+            ), core AS (
+              SELECT id FROM cnt WHERE c >= 4
+            ), ce AS (
+              SELECT n.ia AS a, n.ib AS b
+              FROM nb n JOIN core c1 ON n.ia = c1.id
+                        JOIN core c2 ON n.ib = c2.id
+              WHERE n.ia <> n.ib
+            ), reach(src, dst) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN ce e ON e.a = r.dst
+            ), lbl AS (
+              SELECT src AS id, min(dst) AS cluster_id
+              FROM reach GROUP BY src
+            ), border AS (
+              SELECT n.ia AS id, min(l.cluster_id) AS cluster_id
+              FROM nb n JOIN core c2 ON n.ib = c2.id
+                        JOIN lbl l ON l.id = n.ib
+              WHERE n.ia NOT IN (SELECT id FROM core)
+              GROUP BY n.ia)
+            SELECT id, cluster_id, 'core' AS role FROM lbl
+            UNION ALL
+            SELECT id, cluster_id, 'border' AS role FROM border
         """,
         "chi2_terms": """
             WITH toks AS (
