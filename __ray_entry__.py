@@ -3303,6 +3303,95 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_json_extract_agg(sf_dir: str):
+    """Semi-structured column handling: parse the events table's JSON
+    ``props`` payload and aggregate the extracted field per event
+    type — the opaque-metadata pattern every web-scale event log has.
+    Per-batch: one ``json.loads`` per row (payloads are row-bounded),
+    partial (event_type → sum, count) combiner; then one tiny
+    groupby."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sums: dict[str, int] = {}
+        cnts: dict[str, int] = {}
+        for et, pr in zip(t.column("event_type").to_pylist(),
+                          t.column("props").to_pylist()):
+            k = json.loads(pr or "{}").get("k", 0)
+            sums[et] = sums.get(et, 0) + int(k)
+            cnts[et] = cnts.get(et, 0) + 1
+        ks = list(sums)
+        return pa.table({
+            "event_type": pa.array(ks, pa.string()),
+            "k_sum": pa.array([sums[k] for k in ks], pa.int64()),
+            "n": pa.array([cnts[k] for k in ks], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("k_sum", alias_name="k_sum"),
+                       Sum("n", alias_name="n")))
+
+
+def _q_b3_metrics(sf_dir: str):
+    """B-cubed clustering-agreement scores (Bagga–Baldwin 1998 — the
+    standard ER evaluation metric) between two partitions of the
+    customers (group-of-5 vs group-of-7 keys): per PREDICTED cluster
+    p the B³ precision mass Σ_t n_pt²/n_p and per TRUTH cluster t the
+    recall mass Σ_p n_pt²/n_t — emitted per cluster (not as one
+    scalar) so every value is one integer-ratio division, bit-parity
+    with SQL and free of float-sum-order drift.  Plan: per-batch
+    contingency combiner → one (p, t) groupby → side-wise n/n²
+    groupby → one division per row."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"])
+
+    def contingency(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        p = ck // 5
+        tt = ck // 7
+        keys, counts = np.unique(np.stack([p, tt], 1), axis=0,
+                                 return_counts=True)
+        return pa.table({"p": pa.array(keys[:, 0], pa.int64()),
+                         "t": pa.array(keys[:, 1], pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    ct = (ds.map_batches(contingency, batch_format="pyarrow")
+          .groupby(["p", "t"]).aggregate(Sum("n", alias_name="n"))
+          ).materialize()
+
+    def with_sq(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return t.append_column("n2", pa.array(n * n))
+
+    sq = ct.map_batches(with_sq, batch_format="pyarrow").materialize()
+
+    def side(key: str, name: str):
+        agg = (sq.groupby(key)
+               .aggregate(Sum("n", alias_name="nn"),
+                          Sum("n2", alias_name="s2")))
+
+        def score(t: pa.Table) -> pa.Table:
+            s2 = t.column("s2").to_numpy(zero_copy_only=False)
+            nn = t.column("nn").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "side": pa.array([name] * t.num_rows, pa.string()),
+                "cluster": t.column(key),
+                "b3": pa.array(
+                    np.round(s2.astype(np.float64)
+                             / nn.astype(np.float64), 6))})
+
+        return agg.map_batches(score, batch_format="pyarrow")
+
+    return side("p", "pred").union(side("t", "truth"))
+
+
 def _q_dbscan(sf_dir: str):
     """Exact grid DBSCAN (stages/dbscan.py grid_dbscan) over the
     integer-quantized (floor(retailprice), size) plane of the first
@@ -3456,7 +3545,15 @@ def _q_k_truss(sf_dir: str):
     edges = cooccurrence_edges(
         ev.map_batches(minute, batch_format="pyarrow"),
         entity_col="user_id", bucket_col="mn")
-    return k_truss(edges, k=4)
+    # typed-DataFrame finish (the _q_triangles precedent): Ray's
+    # to_pandas drops column names on a zero-row Dataset, and the
+    # sf0.001 graph has no 4-truss
+    df = k_truss(edges, k=4).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="int64"),
+                           "support": pd.Series([], dtype="int64")})
+    return df
 
 
 def _q_edit_join(sf_dir: str):
@@ -3562,6 +3659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "chi2_terms": _q_chi2_terms,
         "dbscan": _q_dbscan,
+        "b3_metrics": _q_b3_metrics,
+        "json_extract_agg": _q_json_extract_agg,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3768,6 +3867,29 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "json_extract_agg": """
+            SELECT event_type,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS k_sum,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "b3_metrics": """
+            WITH m AS (
+              SELECT c_custkey // 5 AS p, c_custkey // 7 AS t
+              FROM customer
+            ), ct AS (
+              SELECT p, t, count(*) AS n FROM m GROUP BY p, t)
+            SELECT 'pred' AS side, p AS cluster,
+                   round(CAST(sum(n*n) AS DOUBLE)
+                         / CAST(sum(n) AS DOUBLE), 6) AS b3
+            FROM ct GROUP BY p
+            UNION ALL
+            SELECT 'truth' AS side, t AS cluster,
+                   round(CAST(sum(n*n) AS DOUBLE)
+                         / CAST(sum(n) AS DOUBLE), 6) AS b3
+            FROM ct GROUP BY t
         """,
         "dbscan": """
             WITH RECURSIVE p AS (
