@@ -3303,6 +3303,21 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_percentile_cont(sf_dir: str):
+    """ANSI percentile_cont(0.9) of document length, exactly, by TWO
+    distributed order-statistic selections (stages/stats.py
+    percentile_cont_exact): value-domain binary search, one stateless
+    filtered count per round, constant driver memory — the
+    interpolated sibling of ``selection_quantile``'s quantile_disc."""
+    from textgraphs_ray.stages.stats import percentile_cont_exact
+
+    out = percentile_cont_exact(
+        lambda: _docs(sf_dir, columns=["n_chars"]),
+        value_col="n_chars", q=0.9, lo=0, hi=1 << 20)
+    out["p"] = out["p"].round(6)
+    return out
+
+
 def _q_json_extract_agg(sf_dir: str):
     """Semi-structured column handling: parse the events table's JSON
     ``props`` payload and aggregate the extracted field per event
@@ -3661,6 +3676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan": _q_dbscan,
         "b3_metrics": _q_b3_metrics,
         "json_extract_agg": _q_json_extract_agg,
+        "percentile_cont": _q_percentile_cont,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3867,6 +3883,11 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "percentile_cont": """
+            SELECT count(*) AS n,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p
+            FROM documents
         """,
         "json_extract_agg": """
             SELECT event_type,

@@ -490,3 +490,52 @@ def selection_quantile(ds_fn, *, value_col: str, q: float,
     return pd.DataFrame({"n": np.array([n], np.int64),
                          "k": np.array([k], np.int64),
                          "value": np.array([a], np.int64)})
+
+
+def selection_order_stat(ds_fn, *, value_col: str, k: int, lo: int,
+                         hi: int, max_rounds: int = 64) -> int:
+    """The 1-based k-th order statistic of an integer column by the
+    same value-domain binary search as :func:`selection_quantile` —
+    O(log(hi−lo)) stateless filtered counts, no shuffle, no sort."""
+    a, b = int(lo), int(hi)
+    for _ in range(max_rounds):
+        if a >= b:
+            break
+        mid = (a + b) // 2
+        c = ds_fn().filter(expr=f"{value_col} <= {mid}").count()
+        if c >= k:
+            b = mid
+        else:
+            a = mid + 1
+    return a
+
+
+def percentile_cont_exact(ds_fn, *, value_col: str, q: float,
+                          lo: int, hi: int) -> pd.DataFrame:
+    """→ one row (n, p): ANSI ``percentile_cont(q)`` — the LINEARLY
+    INTERPOLATED quantile (DuckDB ``quantile_cont``) of an integer
+    column, exactly, via at most two distributed order-statistic
+    selections: rank r = q·(n−1) (0-based), p = v_⌊r⌋·(1−f) + v_⌊r⌋₊₁·f
+    with f = r − ⌊r⌋ — the same two-sided weighting DuckDB applies,
+    so parity holds to the last ulp or two (outputs are 6dp-rounded
+    by callers).  Same unbounded-cardinality scaling story as
+    :func:`selection_quantile`."""
+    import math
+
+    n = ds_fn().count()
+    if n == 0:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "p": np.array([0.0])})
+    r = q * (n - 1)
+    fl = math.floor(r)
+    f = r - fl
+    v1 = selection_order_stat(ds_fn, value_col=value_col, k=fl + 1,
+                              lo=lo, hi=hi)
+    if f == 0.0 or fl + 2 > n:
+        p = float(v1)
+    else:
+        v2 = selection_order_stat(ds_fn, value_col=value_col,
+                                  k=fl + 2, lo=lo, hi=hi)
+        p = v1 * (1 - f) + v2 * f
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "p": np.array([p])})
