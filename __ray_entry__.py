@@ -3303,6 +3303,69 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's
+    time-ordered event stream (the session-modeling primitive):
+    (event_type → next event_type) pairs via ONE groupby(user) and a
+    vectorized shift inside the sorted group — SQL lead() semantics;
+    ties broken by the unique event_id."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({
+                "src": pd.Series([], dtype="object"),
+                "dst": pd.Series([], dtype="object")})
+        return pd.DataFrame({"src": et[:-1], "dst": et[1:]})
+
+    pairs = ds.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+    return (pairs.groupby(["src", "dst"])
+            .aggregate(Count(alias_name="n")))
+
+
+def _q_interval_union(sf_dir: str):
+    """Gaps-and-islands: total covered microseconds per user after
+    coalescing overlapping event intervals [ts, ts + 30 min) — the
+    dedup-before-billing / total-watch-time primitive.  One
+    groupby(user); inside the sorted group the island starts are a
+    vectorized comparison of each start against the running max of
+    prior ends (cummax-shift), island ends a reverse cummax — exact
+    integer arithmetic end to end."""
+    from ray.data.aggregate import Sum
+
+    dur_us = 30 * 60 * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["ts"].to_numpy("datetime64[us]")
+                    .astype(np.int64))
+        e = s + dur_us
+        run_end = np.maximum.accumulate(e)
+        # island starts: first interval, or start after every prior end
+        new_island = np.concatenate([[True], s[1:] > run_end[:-1]])
+        isl = np.cumsum(new_island) - 1
+        covered = 0
+        last_ends = np.zeros(isl[-1] + 1, dtype=np.int64)
+        np.maximum.at(last_ends, isl, e)
+        starts = s[new_island]
+        covered = int((last_ends - starts).sum())
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy()[:1],
+            "covered_us": np.array([covered], np.int64),
+            "n_islands": np.array([int(isl[-1] + 1)], np.int64)})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
 def _q_percentile_cont(sf_dir: str):
     """ANSI percentile_cont(0.9) of document length, exactly, by TWO
     distributed order-statistic selections (stages/stats.py
@@ -3677,6 +3740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "b3_metrics": _q_b3_metrics,
         "json_extract_agg": _q_json_extract_agg,
         "percentile_cont": _q_percentile_cont,
+        "transitions": _q_transitions,
+        "interval_union": _q_interval_union,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3883,6 +3948,43 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         AS nxt
+              FROM events)
+            SELECT event_type AS src, nxt AS dst, count(*) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY src, dst
+        """,
+        "interval_union": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events
+            ), w AS (
+              SELECT user_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                          PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING),
+                          -9223372036854775807)
+                     THEN 1 ELSE 0 END AS brk
+              FROM iv
+            ), g AS (
+              SELECT user_id, s, e,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+              FROM w
+            ), agg AS (
+              SELECT user_id, isl, max(e) - min(s) AS len
+              FROM g GROUP BY user_id, isl)
+            SELECT user_id, sum(len) AS covered_us,
+                   count(*) AS n_islands
+            FROM agg GROUP BY user_id
         """,
         "percentile_cont": """
             SELECT count(*) AS n,
