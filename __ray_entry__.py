@@ -3303,6 +3303,69 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_random_walks(sf_dir: str):
+    """DeepWalk-style walk corpus (stages/walks.py random_walks) over
+    the same-minute co-activity graph: one 4-step walk per
+    non-isolated user, next hop chosen by exact int64 modular
+    arithmetic over the rank-sorted adjacency — deterministic, so the
+    SQL oracle replays every hop as an unrolled join chain and the
+    full (walk, step, node) table hash-matches."""
+    from textgraphs_ray.stages.triangle import cooccurrence_edges
+    from textgraphs_ray.stages.walks import random_walks
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    edges = cooccurrence_edges(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn")
+    return random_walks(edges, length=4)
+
+
+def _walks_oracle_sql(length: int = 4) -> str:
+    """Unrolled deterministic-walk replay (see stages/walks.py)."""
+    head = """
+        WITH m AS (
+          SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+          FROM events
+        ), e0 AS (
+          SELECT DISTINCT a.user_id AS u, b.user_id AS v
+          FROM m a JOIN m b ON a.mn = b.mn AND a.user_id < b.user_id
+        ), sym AS (
+          SELECT u AS src, v AS dst FROM e0
+          UNION ALL SELECT v, u FROM e0
+        ), adj AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                     AS rnk,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM sym
+        ), s0 AS (
+          SELECT DISTINCT src AS walk_id, src AS node FROM adj
+        )"""
+    steps = []
+    for i in range(1, length + 1):
+        steps.append(f"""
+        , s{i} AS (
+          SELECT f.walk_id, a.dst AS node
+          FROM s{i - 1} f JOIN adj a ON a.src = f.node
+           AND a.rnk = ((f.walk_id * 1315423911
+                         + {i} * 2654435761
+                         + f.node * 97) % 1000003) % a.deg
+        )""")
+    sel = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0"]
+    for i in range(1, length + 1):
+        sel.append(f"SELECT walk_id, CAST({i} AS BIGINT), node "
+                   f"FROM s{i}")
+    return head + "".join(steps) + "\n        " + \
+        "\n        UNION ALL ".join(sel)
+
+
 def _q_transitions(sf_dir: str):
     """First-order Markov transition counts over each user's
     time-ordered event stream (the session-modeling primitive):
@@ -3742,6 +3805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_cont": _q_percentile_cont,
         "transitions": _q_transitions,
         "interval_union": _q_interval_union,
+        "random_walks": _q_random_walks,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -3935,6 +3999,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["ppr_oracle_distributed"] = sqls["ppr_oracle"]
     sqls["hits_oracle"] = _hits_oracle_sql()
     sqls["hits_oracle_distributed"] = sqls["hits_oracle"]
+    sqls["random_walks"] = _walks_oracle_sql()
     return sqls
 
 
