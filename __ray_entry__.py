@@ -3303,6 +3303,76 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_spearman(sf_dir: str):
+    """Exact Spearman rank correlation between l_quantity and
+    l_discount (both ~dozens of distinct values over 60 k rows, so
+    tie-averaged ranks dominate): doubled average ranks
+    R' = 2·(#smaller) + cnt + 1 keep every rank an INTEGER (the ×2
+    cancels exactly in the correlation — powers of two), sufficient
+    statistics are int64-exact per-batch partials, and the final ρ is
+    computed from arbitrary-precision Python ints (SQL side:
+    HUGEINT) — one double conversion + division, bit-parity.  The
+    rank map is a value-histogram broadcast (bounded-cardinality
+    columns by contract; swap for a shuffle_join rank assignment on
+    high-cardinality keys — the tfidf switch pattern)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_discount"])
+
+    def hist(col: str):
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            vals, cnt = np.unique(
+                t.column(col).to_numpy(zero_copy_only=False),
+                return_counts=True)
+            return pa.table({"v": pa.array(vals),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("v").aggregate(Sum("c", alias_name="c"))
+                .take_all())
+        rows.sort(key=lambda r: r["v"])
+        rmap, smaller = {}, 0
+        for r in rows:
+            rmap[r["v"]] = 2 * smaller + r["c"] + 1
+            smaller += r["c"]
+        return rmap
+
+    rx_ref = ray.put(hist("l_quantity"))
+    ry_ref = ray.put(hist("l_discount"))
+
+    def sums(t: pa.Table) -> pa.Table:
+        rx = ray.get(rx_ref)
+        ry = ray.get(ry_ref)
+        xr = np.array([rx[v] for v in
+                       t.column("l_quantity").to_pylist()], np.int64)
+        yr = np.array([ry[v] for v in
+                       t.column("l_discount").to_pylist()], np.int64)
+        return pa.table({
+            "n": pa.array([len(xr)], pa.int64()),
+            "sx": pa.array([int(xr.sum())], pa.int64()),
+            "sy": pa.array([int(yr.sum())], pa.int64()),
+            "sxy": pa.array([int((xr * yr).sum())], pa.int64()),
+            "sxx": pa.array([int((xr * xr).sum())], pa.int64()),
+            "syy": pa.array([int((yr * yr).sum())], pa.int64())})
+
+    parts = ds.map_batches(sums, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    sx = sum(r["sx"] for r in parts)
+    sy = sum(r["sy"] for r in parts)
+    sxy = sum(r["sxy"] for r in parts)
+    sxx = sum(r["sxx"] for r in parts)
+    syy = sum(r["syy"] for r in parts)
+    num = n * sxy - sx * sy            # Python ints: no overflow
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "rho": np.array([round(rho, 6)])})
+
+
 def _q_random_walks(sf_dir: str):
     """DeepWalk-style walk corpus (stages/walks.py random_walks) over
     the same-minute co-activity graph: one 4-step walk per
@@ -3806,6 +3876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": _q_transitions,
         "interval_union": _q_interval_union,
         "random_walks": _q_random_walks,
+        "spearman": _q_spearman,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -4013,6 +4084,40 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "spearman": """
+            WITH q AS (
+              SELECT l_quantity AS x, l_discount AS y FROM lineitem
+            ), hx AS (SELECT x, count(*) AS c FROM q GROUP BY x
+            ), rx AS (
+              SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + c + 1 AS r
+              FROM hx
+            ), hy AS (SELECT y, count(*) AS c FROM q GROUP BY y
+            ), ry AS (
+              SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + c + 1 AS r
+              FROM hy
+            ), j AS (
+              SELECT rx.r AS xr, ry.r AS yr
+              FROM q JOIN rx USING (x) JOIN ry USING (y)
+            ), s AS (
+              SELECT count(*) AS n, sum(xr) AS sx, sum(yr) AS sy,
+                     sum(xr * yr) AS sxy, sum(xr * xr) AS sxx,
+                     sum(yr * yr) AS syy
+              FROM j)
+            SELECT n,
+                   round(CAST(CAST(n AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                 - CAST(sx AS HUGEINT) * sx
+                                 AS DOUBLE))
+                            * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                   - CAST(sy AS HUGEINT) * sy
+                                   AS DOUBLE))), 6) AS rho
+            FROM s
         """,
         "transitions": """
             WITH o AS (
