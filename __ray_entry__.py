@@ -3303,6 +3303,88 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_auc(sf_dir: str):
+    """Exact ROC AUC of the ``value`` score for predicting purchase
+    events — the Mann–Whitney form with tie-averaged ranks kept as
+    INTEGERS (doubled ranks R' = 2·(#smaller) + cnt + 1):
+    AUC = (Σ_pos R' − np(np+1)) / (2·np·nn), one division over exact
+    ints.  One (score → count, pos-count) histogram groupby; the
+    driver finishes on the bounded-cardinality histogram (swap for a
+    distributed prefix-rank join on high-cardinality scores — the
+    ntile pattern)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column("value").to_numpy(zero_copy_only=False)
+        y = pc.equal(t.column("event_type"),
+                     "purchase").to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(s, return_inverse=True)
+        c = np.bincount(inv)
+        cpos = np.bincount(inv, weights=y.astype(np.float64))
+        return pa.table({
+            "s": pa.array(vals),
+            "c": pa.array(c.astype(np.int64)),
+            "cpos": pa.array(cpos.astype(np.int64))})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("s").aggregate(Sum("c", alias_name="c"),
+                                    Sum("cpos", alias_name="cpos"))
+            .take_all())
+    rows.sort(key=lambda r: r["s"])
+    smaller = 0
+    spos = 0
+    np_ = 0
+    n = 0
+    for r in rows:
+        rr = 2 * smaller + r["c"] + 1
+        spos += r["cpos"] * rr
+        np_ += r["cpos"]
+        n += r["c"]
+        smaller += r["c"]
+    nn = n - np_
+    auc = float(spos - np_ * (np_ + 1)) / float(2 * np_ * nn)
+    return pd.DataFrame({"np": np.array([np_], np.int64),
+                         "nn": np.array([nn], np.int64),
+                         "auc": np.array([round(auc, 6)])})
+
+
+def _q_weighted_median(sf_dir: str):
+    """Exact WEIGHTED median of part size with retail-price weights:
+    the smallest size whose cumulative weight reaches half the total —
+    selection by value-domain binary search where each round is one
+    stateless filtered WEIGHT SUM (the weighted sibling of
+    ``selection_quantile``; same constant-driver-memory scaling).
+    Weights are integer cents so every comparison is exact."""
+    def load():
+        return rd.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_size", "p_retailprice"])
+
+    def wsum(ds) -> int:
+        parts = ds.map_batches(
+            lambda t: pa.table({"w": pa.array([int(np.rint(
+                t.column("p_retailprice").to_numpy(
+                    zero_copy_only=False) * 100).astype(
+                        np.int64).sum())], pa.int64())}),
+            batch_format="pyarrow").take_all()
+        return sum(r["w"] for r in parts)
+
+    total = wsum(load())
+    half = (total + 1) // 2
+    a, b = 0, 1 << 20
+    while a < b:
+        mid = (a + b) // 2
+        got = wsum(load().filter(expr=f"p_size <= {mid}"))
+        if got >= half:
+            b = mid
+        else:
+            a = mid + 1
+    return pd.DataFrame({"total_w": np.array([total], np.int64),
+                         "wmedian": np.array([a], np.int64)})
+
+
 def _q_spearman(sf_dir: str):
     """Exact Spearman rank correlation between l_quantity and
     l_discount (both ~dozens of distinct values over 60 k rows, so
@@ -3877,6 +3959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_union": _q_interval_union,
         "random_walks": _q_random_walks,
         "spearman": _q_spearman,
+        "auc": _q_auc,
+        "weighted_median": _q_weighted_median,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -4084,6 +4168,48 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "auc": """
+            WITH e AS (
+              SELECT value AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END AS y
+              FROM events
+            ), h AS (
+              SELECT s, count(*) AS c, sum(y) AS cpos
+              FROM e GROUP BY s
+            ), r AS (
+              SELECT s,
+                     2 * coalesce(sum(c) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) + c + 1 AS rr,
+                     c, cpos
+              FROM h
+            ), agg AS (
+              SELECT sum(cpos * rr) AS spos, sum(cpos) AS np,
+                     sum(c) AS n
+              FROM r)
+            SELECT CAST(np AS BIGINT) AS np,
+                   CAST(n - np AS BIGINT) AS nn,
+                   round(CAST(spos - np * (np + 1) AS DOUBLE)
+                         / CAST(2 * np * (n - np) AS DOUBLE), 6)
+                       AS auc
+            FROM agg
+        """,
+        "weighted_median": """
+            WITH w AS (
+              SELECT CAST(p_size AS BIGINT) AS v,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS w
+              FROM part
+            ), h AS (SELECT v, sum(w) AS w FROM w GROUP BY v
+            ), c AS (
+              SELECT v, sum(w) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cw
+              FROM h
+            ), t AS (SELECT sum(w) AS tw FROM w)
+            SELECT CAST((SELECT tw FROM t) AS BIGINT) AS total_w,
+                   min(v) AS wmedian
+            FROM c WHERE cw >= ((SELECT tw FROM t) + 1) // 2
         """,
         "spearman": """
             WITH q AS (
