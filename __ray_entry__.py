@@ -3789,6 +3789,33 @@ def _q_chi2_terms(sf_dir: str):
                                                batch_format="pandas")
 
 
+def _q_mis(sf_dir: str):
+    """Greedy-by-id maximal independent set of the same-minute
+    co-activity graph (stages/triangle.py maximal_independent_set):
+    the deterministic one-representative-per-neighborhood picker.
+    Parallel local-minima fixpoint ≡ the sequential ascending-id
+    greedy (non-monotone recursion — no SQL oracle; equality with the
+    sequential greedy is pytest-pinned in tests/test_triangle.py)."""
+    from textgraphs_ray.stages.triangle import (cooccurrence_edges,
+                                                maximal_independent_set)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    edges = cooccurrence_edges(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn")
+    df = maximal_independent_set(edges).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"node": pd.Series([], dtype="int64")})
+    return df
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-active day,
     counted per day-age at which they were active again — the classic
@@ -3961,6 +3988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman": _q_spearman,
         "auc": _q_auc,
         "weighted_median": _q_weighted_median,
+        "mis": _q_mis,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,

@@ -279,3 +279,52 @@ class TestKTruss:
         import pytest
         with pytest.raises(ValueError):
             self._run([(0, 1)], 2)
+
+
+class TestGreedyMIS:
+    def _sequential(self, edges, nodes):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        taken = set()
+        for v in sorted(nodes):
+            if not (adj.get(v, set()) & taken):
+                taken.add(v)
+        return taken
+
+    def _run(self, edges):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textgraphs_ray.stages.triangle import \
+            maximal_independent_set
+        e = pa.table({"u": pa.array([a for a, b in edges], pa.int64()),
+                      "v": pa.array([b for a, b in edges], pa.int64())})
+        out = maximal_independent_set(rd.from_arrow(e))
+        return {r["node"] for r in out.take_all()}
+
+    def test_matches_sequential_greedy(self):
+        import random
+        rng = random.Random(13)
+        for trial in range(3):
+            edges = sorted({(min(a, b), max(a, b))
+                            for a, b in ((rng.randrange(60),
+                                          rng.randrange(60))
+                                         for _ in range(150))
+                            if a != b})
+            nodes = {x for e in edges for x in e}
+            got = self._run(edges)
+            want = self._sequential(edges, nodes)
+            assert got == want, trial
+
+    def test_path_graph_alternates(self):
+        # 0-1-2-3-4 chain: greedy takes 0, 2, 4
+        assert self._run([(0, 1), (1, 2), (2, 3), (3, 4)]) == {0, 2, 4}
+
+    def test_star_takes_min_id(self):
+        # greedy by ascending id always takes the smallest node first
+        assert self._run([(0, 5), (0, 6), (0, 7)]) == {0}
+        assert self._run([(5, 9), (5, 8), (5, 7)]) == {5}
+        # leaves beat the center when every leaf id is smaller
+        assert self._run([(9, 1), (9, 2), (9, 3)]) == {1, 2, 3}

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from .join import shuffle_join
 
@@ -454,3 +454,100 @@ def k_truss(edges: "ray.data.Dataset", *, k: int, u: str = "u",
         cur = (kept.select_columns([u, v])
                .repartition(num_partitions).materialize())
     return ray.data.from_arrow(empty)
+
+
+def maximal_independent_set(edges: "ray.data.Dataset", *,
+                            u: str = "u", v: str = "v",
+                            max_rounds: int = 200,
+                            num_partitions: int = 16
+                            ) -> "ray.data.Dataset":
+    """→ (node,): the GREEDY-BY-ID maximal independent set over the
+    nodes incident to ``edges`` — the deterministic conflict-free
+    representative picker (one survivor per local neighborhood; ER\'s
+    "pick one canonical record per conflict clique" primitive).
+    Equals the sequential greedy that scans ids ascending and takes
+    every node with no smaller taken neighbor; computed as the
+    standard parallel fixpoint (Blelloch/Fineman/Shun 2012, public):
+    per round every REMAINING node that is a local id-minimum joins
+    the set, then it and ALL its neighbors leave the graph.
+
+    Per round: one groupby-min over the symmetrized remaining edges
+    finds local minima; the incident-edge scan collects the taken
+    nodes\' neighbors (per-batch distinct combiner → one unique on the
+    driver — round-bounded like :func:`k_core`\'s drop set, swap for a
+    distributed distinct + anti shuffle_join at web scale); survivors
+    left with no edges join at the end.  Greedy-by-id can need O(n)
+    rounds on an adversarial id chain — salt ids upstream if observed;
+    random-priority variants finish in O(log n) rounds w.h.p.
+    Equality with the sequential greedy is pytest-pinned.
+    """
+    empty = pa.schema([("node", pa.int64())]).empty_table()
+    cur = edges.select_columns([u, v]).materialize()
+    mis_parts: list[np.ndarray] = []
+    alive: np.ndarray | None = None
+
+    for _ in range(max_rounds):
+        if cur.count() == 0:
+            break
+
+        def sym_min(t: pa.Table) -> pa.Table:
+            a = t.column(u).to_numpy(zero_copy_only=False)
+            b = t.column(v).to_numpy(zero_copy_only=False)
+            node = np.concatenate([a, b]).astype(np.int64)
+            nb = np.concatenate([b, a]).astype(np.int64)
+            # per-batch combiner: min neighbor per node
+            order = np.lexsort((nb, node))
+            node, nb = node[order], nb[order]
+            first = np.concatenate([[True], node[1:] != node[:-1]])
+            return pa.table({"node": pa.array(node[first]),
+                             "min_nb": pa.array(nb[first])})
+
+        mn = (cur.map_batches(sym_min, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("min_nb",
+                                             alias_name="min_nb")))
+        rows = mn.take_all()
+        nodes = np.array([r["node"] for r in rows], np.int64)
+        minnb = np.array([r["min_nb"] for r in rows], np.int64)
+        if alive is None:
+            alive = nodes.copy()
+        locals_ = nodes[nodes < minnb]
+        if len(locals_) == 0:      # unreachable: the globally
+            break                  # smallest remaining id is local
+        mis_parts.append(locals_)
+        taken_ref = ray.put(locals_)
+
+        def touched_neighbors(t: pa.Table) -> pa.Table:
+            tk = ray.get(taken_ref)
+            a = t.column(u).to_numpy(zero_copy_only=False)
+            b = t.column(v).to_numpy(zero_copy_only=False)
+            nbrs = np.concatenate([b[np.isin(a, tk)],
+                                   a[np.isin(b, tk)]])
+            return pa.table({"nb": pa.array(
+                np.unique(nbrs).astype(np.int64))})
+
+        nb_parts = cur.map_batches(touched_neighbors,
+                                   batch_format="pyarrow").take_all()
+        nbrs = np.unique(np.array([r["nb"] for r in nb_parts],
+                                  np.int64)) if nb_parts else             np.zeros(0, np.int64)
+        drop_all = np.union1d(locals_, nbrs)
+        alive = alive[~np.isin(alive, drop_all)]
+        drop_ref = ray.put(drop_all)
+
+        def keep(t: pa.Table) -> pa.Table:
+            bad = ray.get(drop_ref)
+            a = t.column(u).to_numpy(zero_copy_only=False)
+            b = t.column(v).to_numpy(zero_copy_only=False)
+            m = ~(np.isin(a, bad) | np.isin(b, bad))
+            return t.filter(pa.array(m))
+
+        cur = (cur.map_batches(keep, batch_format="pyarrow")
+               .repartition(num_partitions).materialize())
+
+    if alive is not None and len(alive) and cur.count() == 0:
+        # survivors with no remaining edges are independent of every
+        # taken node (else they\'d have been dropped) and of each other
+        mis_parts.append(alive)
+    if not mis_parts:
+        return ray.data.from_arrow(empty)
+    out = np.unique(np.concatenate(mis_parts))
+    return ray.data.from_arrow(pa.table({"node": pa.array(out)}))
