@@ -3303,6 +3303,97 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, source=1, max_hops=4)
 
 
+def _q_anova_f(sf_dir: str):
+    """One-way ANOVA F statistic of l_quantity across return flags —
+    computed from per-group integer sufficient statistics (n, Σx,
+    Σx²; quantity is integral) reduced by a per-batch combiner and
+    one tiny groupby; the driver assembles SSB/SSW from
+    arbitrary-precision ints (SQL: HUGEINT), so the single double
+    division is bit-parity."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        f = t.column("l_returnflag").to_pylist()
+        agg: dict[str, list] = {}
+        for flag, x in zip(f, q):
+            a = agg.setdefault(flag, [0, 0, 0])
+            a[0] += 1
+            a[1] += int(x)
+            a[2] += int(x) * int(x)
+        ks = list(agg)
+        return pa.table({
+            "flag": pa.array(ks, pa.string()),
+            "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "sx": pa.array([agg[k][1] for k in ks], pa.int64()),
+            "sxx": pa.array([agg[k][2] for k in ks], pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("flag").aggregate(Sum("n", alias_name="n"),
+                                       Sum("sx", alias_name="sx"),
+                                       Sum("sxx", alias_name="sxx"))
+            .take_all())
+    k = len(rows)
+    n = sum(r["n"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    # per-group squares exact in int64; the k-term double sum's
+    # order-nondeterminism is ~1e-16 relative — far inside the 6dp
+    # rounding (the entropy-query precedent)
+    a = sum(float(r["sx"] * r["sx"]) / r["n"] for r in rows)
+    ssb = a - float(sx * sx) / n
+    ssw = float(sxx) - a
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return pd.DataFrame({
+        "k": np.array([k], np.int64),
+        "n": np.array([n], np.int64),
+        "f_stat": np.array([round(f_stat, 6)])})
+
+
+def _q_ratio_to_report(sf_dir: str):
+    """SQL ratio_to_report window: each document's share of its
+    source's total characters — per-source totals from one combiner
+    groupby, broadcast back (category-bounded), one exact int64/int64
+    division per row."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pylist()
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        agg: dict[str, int] = {}
+        for s, x in zip(src, nc):
+            agg[s] = agg.get(s, 0) + int(x)
+        return pa.table({
+            "source": pa.array(list(agg), pa.string()),
+            "tot": pa.array(list(agg.values()), pa.int64())})
+
+    totals = {r["source"]: r["tot"] for r in
+              (docs.map_batches(partial, batch_format="pyarrow")
+               .groupby("source").aggregate(Sum("tot",
+                                                alias_name="tot"))
+               .take_all())}
+    tot_ref = ray.put(totals)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        tm = ray.get(tot_ref)
+        nc = t.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        den = np.array([tm[s] for s in
+                        t.column("source").to_pylist()], np.float64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "share": pa.array(np.round(nc / den, 6))})
+
+    return docs.map_batches(ratio, batch_format="pyarrow")
+
+
 def _q_auc(sf_dir: str):
     """Exact ROC AUC of the ``value`` score for predicting purchase
     events — the Mann–Whitney form with tie-averaged ranks kept as
@@ -3989,6 +4080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc": _q_auc,
         "weighted_median": _q_weighted_median,
         "mis": _q_mis,
+        "anova_f": _q_anova_f,
+        "ratio_to_report": _q_ratio_to_report,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -4196,6 +4289,33 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "anova_f": """
+            WITH g AS (
+              SELECT l_returnflag AS f, count(*) AS n,
+                     sum(CAST(l_quantity AS BIGINT)) AS sx,
+                     sum(CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS sxx
+              FROM lineitem GROUP BY f
+            ), t AS (
+              SELECT count(*) AS k, sum(n) AS n, sum(sx) AS sx,
+                     sum(sxx) AS sxx,
+                     sum(CAST(sx * sx AS DOUBLE) / n) AS a
+              FROM g)
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   round(((a - CAST(sx * sx AS DOUBLE) / n) / (k - 1))
+                         / ((CAST(sxx AS DOUBLE) - a) / (n - k)), 6)
+                       AS f_stat
+            FROM t
+        """,
+        "ratio_to_report": """
+            WITH tot AS (
+              SELECT source, sum(CAST(n_chars AS BIGINT)) AS tw
+              FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source,
+                   round(CAST(d.n_chars AS DOUBLE)
+                         / CAST(t.tw AS DOUBLE), 6) AS share
+            FROM documents d JOIN tot t USING (source)
         """,
         "auc": """
             WITH e AS (
