@@ -3880,6 +3880,103 @@ def _q_chi2_terms(sf_dir: str):
                                                batch_format="pandas")
 
 
+def _coactivity_edges(sf_dir: str):
+    from textgraphs_ray.stages.triangle import cooccurrence_edges
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    return cooccurrence_edges(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn")
+
+
+def _q_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the co-activity graph:
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — every sufficient statistic an exact int64 (degrees are
+    ints), reduced per-batch, final single division on the driver
+    from Python ints (SQL: HUGEINT)."""
+    from ray.data.aggregate import Count
+
+    edges = _coactivity_edges(sf_dir).materialize()
+    deg_rows = edges.map_batches(
+        lambda t: pa.table({"node": pa.array(np.concatenate([
+            t.column("u").to_numpy(zero_copy_only=False),
+            t.column("v").to_numpy(zero_copy_only=False)])
+            .astype(np.int64))}),
+        batch_format="pyarrow").groupby("node").aggregate(
+            Count(alias_name="d")).take_all()
+    deg = {r["node"]: r["d"] for r in deg_rows}
+    dref = ray.put(deg)
+
+    def sums(t: pa.Table) -> pa.Table:
+        dm = ray.get(dref)
+        du = np.array([dm[x] for x in t.column("u").to_pylist()],
+                      np.int64)
+        dv = np.array([dm[x] for x in t.column("v").to_pylist()],
+                      np.int64)
+        x = np.concatenate([du, dv])
+        y = np.concatenate([dv, du])
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64())})
+
+    parts = edges.map_batches(sums, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    sx = sum(r["sx"] for r in parts)
+    sxy = sum(r["sxy"] for r in parts)
+    sxx = sum(r["sxx"] for r in parts)
+    r_num = n * sxy - sx * sx
+    r_den = n * sxx - sx * sx
+    return pd.DataFrame({
+        "n_endpoints": np.array([n], np.int64),
+        "assortativity": np.array([round(float(r_num)
+                                         / float(r_den), 6)])})
+
+
+def _q_modularity(sf_dir: str):
+    """Newman modularity of the user_id-mod-10 partition of the
+    co-activity graph: Q = (4m·Σe_ii − Σa_i²) / 4m² — one exact
+    integer numerator/denominator (e_ii within-community edge counts,
+    a_i community degree sums), one division."""
+    edges = _coactivity_edges(sf_dir).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        m = len(u)
+        within = np.bincount((u % 10)[(u % 10) == (v % 10)],
+                             minlength=10)
+        adeg = np.bincount(np.concatenate([u % 10, v % 10]),
+                           minlength=10)
+        return pa.table({
+            "c": pa.array(np.arange(10, dtype=np.int64)),
+            "eii": pa.array(within.astype(np.int64)),
+            "ai": pa.array(adeg.astype(np.int64)),
+            "m": pa.array(np.full(10, m, np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    rows = (edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("c").aggregate(Sum("eii", alias_name="eii"),
+                                    Sum("ai", alias_name="ai"),
+                                    Sum("m", alias_name="m"))
+            .take_all())
+    m = sum(r["m"] for r in rows) // 10
+    num = sum(4 * m * r["eii"] - r["ai"] * r["ai"] for r in rows)
+    q = float(num) / float(4 * m * m)
+    return pd.DataFrame({"m": np.array([m], np.int64),
+                         "q": np.array([round(q, 6)])})
+
+
 def _q_mis(sf_dir: str):
     """Greedy-by-id maximal independent set of the same-minute
     co-activity graph (stages/triangle.py maximal_independent_set):
@@ -4082,6 +4179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": _q_mis,
         "anova_f": _q_anova_f,
         "ratio_to_report": _q_ratio_to_report,
+        "assortativity": _q_assortativity,
+        "modularity": _q_modularity,
         "skyline": _q_skyline,
         "ntile": _q_ntile,
         "source_divergence": _q_source_divergence,
@@ -4289,6 +4388,64 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "assortativity": """
+            WITH m AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), e0 AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM m a JOIN m b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+            ), sym AS (
+              SELECT u AS a, v AS b FROM e0
+              UNION ALL SELECT v, u FROM e0
+            ), deg AS (
+              SELECT a AS node, count(*) AS d FROM sym GROUP BY a
+            ), s AS (
+              SELECT count(*) AS n,
+                     sum(CAST(da.d AS BIGINT)) AS sx,
+                     sum(CAST(da.d AS BIGINT) * db.d) AS sxy,
+                     sum(CAST(da.d AS BIGINT) * da.d) AS sxx
+              FROM sym e JOIN deg da ON da.node = e.a
+                         JOIN deg db ON db.node = e.b)
+            SELECT CAST(n AS BIGINT) AS n_endpoints,
+                   round(CAST(CAST(n AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                         / CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx
+                                AS DOUBLE), 6) AS assortativity
+            FROM s
+        """,
+        "modularity": """
+            WITH m0 AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), e0 AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM m0 a JOIN m0 b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+            ), mm AS (SELECT count(*) AS m FROM e0
+            ), eii AS (
+              SELECT u % 10 AS c, count(*) AS e
+              FROM e0 WHERE u % 10 = v % 10 GROUP BY 1
+            ), ai AS (
+              SELECT c, count(*) AS a FROM (
+                SELECT u % 10 AS c FROM e0
+                UNION ALL SELECT v % 10 FROM e0)
+              GROUP BY c
+            ), terms AS (
+              SELECT ai.c,
+                     4 * (SELECT m FROM mm) * coalesce(eii.e, 0)
+                     - CAST(ai.a AS HUGEINT) * ai.a AS t
+              FROM ai LEFT JOIN eii USING (c))
+            SELECT (SELECT m FROM mm) AS m,
+                   round(CAST(sum(t) AS DOUBLE)
+                         / CAST(4 * CAST((SELECT m FROM mm)
+                                AS HUGEINT)
+                                * (SELECT m FROM mm) AS DOUBLE), 6)
+                       AS q
+            FROM terms
         """,
         "anova_f": """
             WITH g AS (
