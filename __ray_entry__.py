@@ -4064,6 +4064,71 @@ def _q_k_truss(sf_dir: str):
     return df
 
 
+def _metablock_edges(sf_dir: str, *, max_block_size: int = 15):
+    from textgraphs_ray.stages.metablock import (blocking_graph,
+                                                 shingle_blocks)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return blocking_graph(shingle_blocks(docs, shingle=3),
+                          max_block_size=max_block_size)
+
+
+def _q_meta_blocking_wep(sf_dir: str):
+    """Meta-blocking WEP census (stages/metablock.py): word-3-shingle
+    token blocks over documents → purge blocks > 15 members → CBS
+    blocking graph → weight-edge-prune at the global mean → weight
+    histogram (w, n_edges).  Everything past the pair census is exact
+    integers; the mean threshold is one double both sides compute as
+    Σw/n."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.metablock import prune_wep
+
+    return (prune_wep(_metablock_edges(sf_dir))
+            .groupby("w").aggregate(Count(alias_name="n_edges")))
+
+
+def _q_meta_blocking_wnp(sf_dir: str):
+    """Meta-blocking WNP census: same CBS graph, but each node keeps
+    edges at/above its LOCAL mean incident weight (edge survives if
+    either endpoint keeps it).  Node means ride one symmetrize→groupby
+    and decorate the edges through two hash-partitioned joins — the
+    node table never visits the driver."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.metablock import prune_wnp
+
+    return (prune_wnp(_metablock_edges(sf_dir))
+            .groupby("w").aggregate(Count(alias_name="n_edges")))
+
+
+def _q_meta_blocking_ecbs(sf_dir: str):
+    """Top-20 blocking-graph edges by ECBS weight
+    ``CBS · ln(B/|Bu|) · ln(B/|Bv|)`` (rounded 6dp), ties by (u, v) —
+    the node-IDF-weighted scheme that outranks CBS when some records
+    flood many blocks.  Block-local top-20 truncation feeds a ≤
+    blocks×20-row driver merge."""
+    from textgraphs_ray.stages.metablock import ecbs_edges, shingle_blocks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    edges = ecbs_edges(shingle_blocks(docs, shingle=3),
+                       max_block_size=15)
+
+    def local_top(t: pa.Table) -> pd.DataFrame:
+        return (t.to_pandas()
+                .sort_values(["ecbs", "u", "v"],
+                             ascending=[False, True, True],
+                             kind="stable").head(20))
+
+    parts = edges.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values(["ecbs", "u", "v"],
+                              ascending=[False, True, True],
+                              kind="stable")
+            .head(20).reset_index(drop=True))
+
+
 def _q_edit_join(sf_dir: str):
     """Exact Levenshtein-distance-≤1 self-join on customer name
     (stages/editjoin.py edit_distance_join): FastSS deletion-variant
@@ -4153,6 +4218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "meta_blocking_wep": _q_meta_blocking_wep,
+        "meta_blocking_wnp": _q_meta_blocking_wnp,
+        "meta_blocking_ecbs": _q_meta_blocking_ecbs,
         "edit_join": _q_edit_join,
         "cosine_join": _q_cosine_join,
         "dice_join": _q_dice_join,
@@ -4388,6 +4456,93 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "meta_blocking_wep": """
+            WITH ws AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents
+            ), tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1, len(w) - 2)])
+                         AS bg
+              FROM ws
+            ), blk AS (
+              SELECT bg FROM tok GROUP BY bg HAVING count(*) <= 15
+            ), ptok AS (
+              SELECT t.doc_id, t.bg FROM tok t JOIN blk USING (bg)
+            ), e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS w
+              FROM ptok a JOIN ptok b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), m AS (SELECT avg(w) AS mw FROM e)
+            SELECT w, count(*) AS n_edges
+            FROM e, m WHERE e.w >= m.mw
+            GROUP BY w
+        """,
+        "meta_blocking_wnp": """
+            WITH ws AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents
+            ), tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1, len(w) - 2)])
+                         AS bg
+              FROM ws
+            ), blk AS (
+              SELECT bg FROM tok GROUP BY bg HAVING count(*) <= 15
+            ), ptok AS (
+              SELECT t.doc_id, t.bg FROM tok t JOIN blk USING (bg)
+            ), e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS w
+              FROM ptok a JOIN ptok b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), nodes AS (
+              SELECT u AS node, w FROM e
+              UNION ALL SELECT v, w FROM e
+            ), nm AS (
+              SELECT node, avg(w) AS mw FROM nodes GROUP BY node
+            ), kept AS (
+              SELECT e.w FROM e
+              JOIN nm a ON a.node = e.u
+              JOIN nm b ON b.node = e.v
+              WHERE e.w >= a.mw OR e.w >= b.mw)
+            SELECT w, count(*) AS n_edges FROM kept GROUP BY w
+        """,
+        "meta_blocking_ecbs": """
+            WITH ws AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents
+            ), tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1, len(w) - 2)])
+                         AS bg
+              FROM ws
+            ), blk AS (
+              SELECT bg FROM tok GROUP BY bg HAVING count(*) <= 15
+            ), ptok AS (
+              SELECT t.doc_id, t.bg FROM tok t JOIN blk USING (bg)
+            ), e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS w
+              FROM ptok a JOIN ptok b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), nb AS (
+              SELECT doc_id, count(*) AS nb FROM ptok GROUP BY doc_id
+            ), bb AS (SELECT count(*) AS b FROM blk)
+            SELECT e.u, e.v, e.w,
+                   round(e.w * ln(CAST(bb.b AS DOUBLE) / a.nb)
+                             * ln(CAST(bb.b AS DOUBLE) / c.nb), 6)
+                       AS ecbs
+            FROM e CROSS JOIN bb
+            JOIN nb a ON a.doc_id = e.u
+            JOIN nb c ON c.doc_id = e.v
+            ORDER BY ecbs DESC, e.u, e.v
+            LIMIT 20
         """,
         "assortativity": """
             WITH m AS (

@@ -393,15 +393,17 @@ def group_jaccard_pairs(ds: "ray.data.Dataset", *,
     pairs sharing NO token are absent (their jaccard is 0 by
     definition); the SQL oracle's inner join drops them identically.
     """
-    def local_distinct(t: pa.Table) -> pd.DataFrame:
+    def local_distinct(t: pa.Table) -> pa.Table:
         gs, toks = [], []
         for g, txt in zip(t.column(group_col).to_pylist(),
                           t.column(text_col).to_pylist()):
             for w in set(_WORD.findall((txt or "").lower())):
                 gs.append(g)
                 toks.append(w)
-        return (pd.DataFrame({group_col: gs, "token": toks})
-                .drop_duplicates())
+        df = (pd.DataFrame({group_col: gs, "token": toks})
+              .drop_duplicates())
+        return pa.table({group_col: pa.array(df[group_col], pa.string()),
+                         "token": pa.array(df["token"], pa.string())})
 
     members = (ds.map_batches(local_distinct, batch_format="pyarrow")
                .groupby([group_col, "token"])
@@ -413,13 +415,16 @@ def group_jaccard_pairs(ds: "ray.data.Dataset", *,
              members.groupby(group_col).count().take_all()}
     ref = ray.put(sizes)
 
-    def token_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def token_pairs(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: the pair stream feeds a groupby-aggregate, and
+        # Ray aggregates on pandas blocks run ~20× slower
         grps = np.sort(g[group_col].to_numpy())
         if len(grps) < 2:
-            return pd.DataFrame({"g1": pd.Series([], dtype=object),
-                                 "g2": pd.Series([], dtype=object)})
+            return pa.table({"g1": pa.array([], pa.string()),
+                             "g2": pa.array([], pa.string())})
         i, j = np.triu_indices(len(grps), k=1)
-        return pd.DataFrame({"g1": grps[i], "g2": grps[j]})
+        return pa.table({"g1": pa.array(grps[i], pa.string()),
+                         "g2": pa.array(grps[j], pa.string())})
 
     inter = (members.groupby("token")
              .map_groups(token_pairs, batch_format="pandas")

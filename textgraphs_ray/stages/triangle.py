@@ -46,10 +46,13 @@ COPAIR_PARTITIONS = 64
 
 def _segmented_full_pairs(df: pd.DataFrame, bucket_col: str,
                           entity_col: str,
-                          weighted: bool = False) -> pd.DataFrame:
+                          weighted: bool = False) -> pa.Table:
     """All within-bucket entity pairs (u < v) across MANY buckets in
     one vectorized call; ``weighted`` adds the Adamic–Adar
-    1/ln(bucket size) column."""
+    1/ln(bucket size) column.  Returns an ARROW table so the pair
+    stream rides Arrow blocks into the downstream pair groupby —
+    Ray's sort/aggregate on pandas blocks measured ~20× slower than
+    on Arrow blocks at 10^6 pairs."""
     df = (df[[bucket_col, entity_col]].drop_duplicates()
           .sort_values([bucket_col, entity_col], kind="stable"))
     sizes = df.groupby(bucket_col, sort=False).size().to_numpy()
@@ -66,17 +69,17 @@ def _segmented_full_pairs(df: pd.DataFrame, bucket_col: str,
                 w_parts.append(np.full(len(i), 1.0 / np.log(g)))
         start += g
     if not iu_parts:
-        cols = {"u": pd.Series([], dtype="int64"),
-                "v": pd.Series([], dtype="int64")}
+        cols = {"u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64())}
         if weighted:
-            cols["w"] = pd.Series([], dtype="float64")
-        return pd.DataFrame(cols)
+            cols["w"] = pa.array([], pa.float64())
+        return pa.table(cols)
     iu = np.concatenate(iu_parts)
     ju = np.concatenate(ju_parts)
-    out = {"u": ents[iu], "v": ents[ju]}
+    out = {"u": pa.array(ents[iu]), "v": pa.array(ents[ju])}
     if weighted:
-        out["w"] = np.concatenate(w_parts)
-    return pd.DataFrame(out)
+        out["w"] = pa.array(np.concatenate(w_parts))
+    return pa.table(out)
 
 
 def cooccurrence_edges(ds: "ray.data.Dataset", *, entity_col: str,
@@ -134,9 +137,9 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
                          f"got {weight!r}")
     score_col = "n_common" if weight == "count" else "aa"
 
-    def local_distinct(t: pa.Table) -> pd.DataFrame:
+    def local_distinct(t: pa.Table) -> pa.Table:
         df = t.to_pandas()[[bucket_col, entity_col]].drop_duplicates()
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     members = (ds.map_batches(local_distinct, batch_format="pyarrow")
                .groupby([bucket_col, entity_col])
@@ -149,11 +152,12 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
                 >> np.uint64(58)).astype(np.int32)
         return t.append_column("_part", pa.array(part))
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_pairs(g: pd.DataFrame) -> pa.Table:
         out = _segmented_full_pairs(g, bucket_col, entity_col,
                                     weighted=(weight == "adamic_adar"))
         if weight == "count":
-            out = out.assign(w=np.ones(len(out)))
+            out = out.append_column(
+                "w", pa.array(np.ones(out.num_rows)))
         return out
 
     # coarse partitions, not per-bucket groups — see cooccurrence_edges
@@ -194,29 +198,30 @@ def triangle_counts(edges: "ray.data.Dataset", *, u: str = "u",
     must be distinct with ``u < v`` (as :func:`cooccurrence_edges`
     emits).  See module doc for the plan."""
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+    def wedges(g: pd.DataFrame) -> pa.Table:
         vs = np.sort(g[v].to_numpy())
         if len(vs) < 2:
-            return pd.DataFrame({
-                "apex": pd.Series([], dtype="int64"),
-                "w1": pd.Series([], dtype="int64"),
-                "w2": pd.Series([], dtype="int64"),
-                "key": pd.Series([], dtype="object")})
+            return pa.table({"apex": pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.int64()),
+                             "w2": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string())})
         i, j = np.triu_indices(len(vs), k=1)
         w1, w2 = vs[i], vs[j]
-        return pd.DataFrame({
-            "apex": np.repeat(g[u].to_numpy()[:1], len(i)),
-            "w1": w1, "w2": w2,
-            "key": pd.Series(w1).astype(str) + _SEP
-            + pd.Series(w2).astype(str)})
+        key = (pd.Series(w1).astype(str) + _SEP
+               + pd.Series(w2).astype(str))
+        return pa.table({
+            "apex": pa.array(np.repeat(g[u].to_numpy()[:1], len(i))),
+            "w1": pa.array(w1), "w2": pa.array(w2),
+            "key": pa.array(key, pa.string())})
 
     wedge_ds = edges.groupby(u).map_groups(wedges,
                                            batch_format="pandas")
 
-    def edge_keys(t: pa.Table) -> pd.DataFrame:
+    def edge_keys(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        return pd.DataFrame({"key": df[u].astype(str) + _SEP
-                             + df[v].astype(str)})
+        return pa.table({"key": pa.array(
+            df[u].astype(str) + _SEP + df[v].astype(str),
+            pa.string())})
 
     ekeys = edges.map_batches(edge_keys, batch_format="pyarrow")
     closed = shuffle_join(wedge_ds, ekeys, "key", "key",
@@ -392,21 +397,21 @@ def k_truss(edges: "ray.data.Dataset", *, k: int, u: str = "u",
     thresh = k - 2
     cur = edges.select_columns([u, v]).materialize()
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+    def wedges(g: pd.DataFrame) -> pa.Table:
         vs = np.sort(g[v].to_numpy())
         if len(vs) < 2:
-            return pd.DataFrame({
-                "apex": pd.Series([], dtype="int64"),
-                "w1": pd.Series([], dtype="int64"),
-                "w2": pd.Series([], dtype="int64"),
-                "key": pd.Series([], dtype="object")})
+            return pa.table({"apex": pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.int64()),
+                             "w2": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string())})
         i, j = np.triu_indices(len(vs), k=1)
         w1, w2 = vs[i], vs[j]
-        return pd.DataFrame({
-            "apex": np.repeat(g[u].to_numpy()[:1], len(i)),
-            "w1": w1, "w2": w2,
-            "key": pd.Series(w1).astype(str) + _SEP
-            + pd.Series(w2).astype(str)})
+        key = (pd.Series(w1).astype(str) + _SEP
+               + pd.Series(w2).astype(str))
+        return pa.table({
+            "apex": pa.array(np.repeat(g[u].to_numpy()[:1], len(i))),
+            "w1": pa.array(w1), "w2": pa.array(w2),
+            "key": pa.array(key, pa.string())})
 
     def edge_keys(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -430,14 +435,14 @@ def k_truss(edges: "ray.data.Dataset", *, k: int, u: str = "u",
             wedge_ds, ekeys.select_columns(["key"]), "key", "key",
             num_partitions, how="semi")
 
-        def credit(t: pa.Table) -> pd.DataFrame:
+        def credit(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
             a = df["apex"].astype(str)
             b = df["w1"].astype(str)
             c = df["w2"].astype(str)
-            return pd.DataFrame({"key": pd.concat([
-                a + _SEP + b, a + _SEP + c, df["key"]],
-                ignore_index=True)})
+            return pa.table({"key": pa.array(pd.concat(
+                [a + _SEP + b, a + _SEP + c, df["key"]],
+                ignore_index=True), pa.string())})
 
         support = (closed.map_batches(credit, batch_format="pyarrow")
                    .groupby("key")
