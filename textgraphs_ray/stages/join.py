@@ -81,16 +81,26 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     rnames = list(rschema.names)
     allnames = lnames + [c for c in rnames if c not in lnames]
 
+    # Arrow types for null-padding the union's missing columns (left
+    # wins on shared names; sides agree on shared columns by contract)
+    coltypes = {**dict(zip(rschema.names, rschema.types)),
+                **dict(zip(lschema.names, lschema.types))}
+
     def widen(names: list, key: str, side: int):
-        def fn(t: pa.Table) -> pd.DataFrame:
-            df = t.to_pandas()
-            for c in allnames:
-                if c not in df.columns:
-                    df[c] = None
-            df["_side"] = np.int8(side)
-            df["_part"] = (pd.util.hash_array(df[key].to_numpy(object))
-                           % num_partitions).astype(np.int32)
-            return df[allnames + ["_side", "_part"]]
+        def fn(t: pa.Table) -> pa.Table:
+            # Arrow out (typed nulls for the other side's columns):
+            # the union feeds a groupby sort, and Ray shuffles on
+            # pandas blocks run ~2.6× slower than on Arrow blocks
+            n = t.num_rows
+            cols = {c: (t.column(c) if c in names
+                        else pa.nulls(n, type=coltypes[c]))
+                    for c in allnames}
+            keyarr = t.column(key).to_numpy(zero_copy_only=False)
+            cols["_side"] = pa.array(np.full(n, side, np.int8))
+            cols["_part"] = pa.array(
+                (pd.util.hash_array(np.asarray(keyarr, dtype=object))
+                 % num_partitions).astype(np.int32))
+            return pa.table(cols)
         return fn
 
     both = (left.map_batches(widen(lnames, left_on, 0),
@@ -98,9 +108,15 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             .union(right.map_batches(widen(rnames, right_on, 1),
                                      batch_format="pyarrow")))
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        lt = g[g["_side"] == 0][lnames]
-        rt = g[g["_side"] == 1][rnames]
+    def merge(t: pa.Table) -> pa.Table:
+        # split sides in ARROW before any pandas hop: the union padded
+        # each side's missing columns with typed nulls, and converting
+        # an int64-with-nulls column to pandas would widen it to
+        # float64 — filtering first leaves each side's own columns
+        # null-free, so dtypes survive the merge round-trip
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(lnames).to_pandas()
+        rt = t.filter(pa.array(side == 1)).select(rnames).to_pandas()
         if how in ("semi", "anti"):
             hit = lt[left_on].isin(rt[right_on].unique())
             m = lt[hit] if how == "semi" else lt[~hit]
@@ -114,7 +130,7 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         # keeps one block type
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return both.groupby("_part").map_groups(merge, batch_format="pandas")
+    return both.groupby("_part").map_groups(merge, batch_format="pyarrow")
 
 
 def broadcast_join(probe: "ray.data.Dataset", build: pa.Table, *,
