@@ -4103,6 +4103,35 @@ def _q_meta_blocking_wnp(sf_dir: str):
             .groupby("w").aggregate(Count(alias_name="n_edges")))
 
 
+def _q_block_filtering(sf_dir: str):
+    """Block Filtering census (stages/metablock.py): every record
+    keeps its ceil(0.75·|B_r|) SMALLEST word-3-shingle blocks (ties by
+    block key) → per-record kept-block count.  0.75 is exactly
+    representable in binary, so numpy and DuckDB agree on every
+    ceil boundary."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.metablock import (block_filtering,
+                                                 shingle_blocks)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    kept = block_filtering(shingle_blocks(docs, shingle=3), ratio=0.75)
+    return kept.groupby("key").aggregate(Count(alias_name="nb"))
+
+
+def _q_meta_blocking_cnp(sf_dir: str):
+    """Cardinality Node Pruning census: every node keeps its 10
+    highest-CBS-weight incident edges (ties by neighbor id); an edge
+    survives if either endpoint keeps it → weight histogram."""
+    from ray.data.aggregate import Count
+
+    from textgraphs_ray.stages.metablock import prune_cnp
+
+    return (prune_cnp(_metablock_edges(sf_dir), k=10)
+            .groupby("w").aggregate(Count(alias_name="n_edges")))
+
+
 def _q_meta_blocking_ecbs(sf_dir: str):
     """Top-20 blocking-graph edges by ECBS weight
     ``CBS · ln(B/|Bu|) · ln(B/|Bv|)`` (rounded 6dp), ties by (u, v) —
@@ -4218,6 +4247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "block_filtering": _q_block_filtering,
+        "meta_blocking_cnp": _q_meta_blocking_cnp,
         "meta_blocking_wep": _q_meta_blocking_wep,
         "meta_blocking_wnp": _q_meta_blocking_wnp,
         "meta_blocking_ecbs": _q_meta_blocking_ecbs,
@@ -4456,6 +4487,61 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "block_filtering": """
+            WITH ws AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents
+            ), tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1, len(w) - 2)])
+                         AS bg
+              FROM ws
+            ), bsz AS (
+              SELECT bg, count(*) AS c FROM tok GROUP BY bg
+            ), r AS (
+              SELECT t.doc_id,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY b.c, t.bg) AS rn,
+                     count(*) OVER (PARTITION BY t.doc_id) AS cnt
+              FROM tok t JOIN bsz b USING (bg))
+            SELECT doc_id AS key, count(*) AS nb
+            FROM r WHERE rn <= ceil(0.75 * cnt)
+            GROUP BY doc_id
+        """,
+        "meta_blocking_cnp": """
+            WITH ws AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents
+            ), tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1, len(w) - 2)])
+                         AS bg
+              FROM ws
+            ), blk AS (
+              SELECT bg FROM tok GROUP BY bg HAVING count(*) <= 15
+            ), ptok AS (
+              SELECT t.doc_id, t.bg FROM tok t JOIN blk USING (bg)
+            ), e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS w
+              FROM ptok a JOIN ptok b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sym AS (
+              SELECT u AS node, v AS other, w FROM e
+              UNION ALL SELECT v, u, w FROM e
+            ), r AS (
+              SELECT node, other, w,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY w DESC, other) AS rn
+              FROM sym
+            ), kept AS (
+              SELECT DISTINCT least(node, other) AS u,
+                     greatest(node, other) AS v, w
+              FROM r WHERE rn <= 10)
+            SELECT w, count(*) AS n_edges FROM kept GROUP BY w
         """,
         "meta_blocking_wep": """
             WITH ws AS (

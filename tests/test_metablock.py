@@ -116,6 +116,49 @@ def test_node_block_counts_after_purge():
     assert got == want
 
 
+def test_block_filtering_keeps_smallest_blocks():
+    from textgraphs_ray.stages.metablock import block_filtering
+
+    df = _docs()
+    blocks = _brute_blocks(df, 3, None)
+    per_rec: dict[int, list] = {}
+    for bg, members in blocks.items():
+        for d in members:
+            per_rec.setdefault(d, []).append((len(members), bg))
+    want = set()
+    for d, bs in per_rec.items():
+        bs.sort()
+        for size, bg in bs[:math.ceil(0.75 * len(bs))]:
+            want.add((d, bg))
+    bds = shingle_blocks(ray.data.from_pandas(df), shingle=3)
+    got = {(r["key"], r["block"])
+           for r in block_filtering(bds, ratio=0.75).take_all()}
+    assert got == want
+
+
+def test_cnp_union_of_node_topk():
+    from textgraphs_ray.stages.metablock import prune_cnp
+
+    df = _docs()
+    edges = blocking_graph(shingle_blocks(ray.data.from_pandas(df),
+                                          shingle=3), max_block_size=4)
+    all_w = _brute_cbs(_brute_blocks(df, 3, 4))
+    incident: dict[int, list] = {}
+    for (a, b), w in all_w.items():
+        incident.setdefault(a, []).append((-w, b, (a, b)))
+        incident.setdefault(b, []).append((-w, a, (a, b)))
+    k = 3
+    want = set()
+    for n, es in incident.items():
+        es.sort()
+        for _, _, p in es[:k]:
+            want.add(p)
+    got = {(r["u"], r["v"]): r["w"]
+           for r in prune_cnp(edges, k=k).take_all()}
+    assert set(got) == want
+    assert all(got[p] == all_w[p] for p in got)
+
+
 def test_empty_and_short_docs_yield_no_blocks():
     df = pd.DataFrame({"doc_id": np.array([0, 1], dtype=np.int64),
                        "text": ["", "two words"]})

@@ -135,6 +135,97 @@ def node_block_counts(blocks: "ray.data.Dataset", *,
             .groupby("key").aggregate(Sum("nb", alias_name="nb")))
 
 
+def block_filtering(blocks: "ray.data.Dataset", *, ratio: float = 0.8,
+                    ) -> "ray.data.Dataset":
+    """Block Filtering (Papadakis et al., "Scaling Entity Resolution
+    to Large, Heterogeneous Data", 2016): every record keeps only its
+    ``ceil(ratio · |B_r|)`` SMALLEST blocks (ties by block key) —
+    big blocks carry the least matching evidence per comparison, so
+    shedding each record's largest blocks prunes most comparisons
+    while barely touching recall.
+
+    Two bounded exchanges: block sizes annotate the assignments inside
+    the same coarse block-hash partitions the graph builder uses (a
+    block's rows are co-located, so its size is one local groupby),
+    then one shuffle on the RECORD key ranks each record's blocks.
+    → filtered (key, block) rows."""
+
+    def annotate_sizes(g: pd.DataFrame) -> pa.Table:
+        sizes = g.groupby("block", sort=False)["key"].transform("size")
+        return pa.table({"key": pa.array(g["key"].to_numpy()),
+                         "block": pa.array(g["block"].to_numpy(),
+                                           pa.string()),
+                         "bsize": pa.array(sizes.to_numpy()
+                                           .astype(np.int64))})
+
+    sized = (_partitioned_blocks(blocks)
+             .groupby("_part")
+             .map_groups(annotate_sizes, batch_format="pandas"))
+
+    def add_kpart(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        part = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int32)
+        return t.append_column("_kp", pa.array(part))
+
+    def keep_smallest(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["key", "bsize", "block"], kind="stable")
+        cnt = g.groupby("key", sort=False)["block"].transform("size")
+        rn = g.groupby("key", sort=False).cumcount()
+        keep = rn.to_numpy() < np.ceil(ratio * cnt.to_numpy())
+        g = g[keep]
+        return pa.table({"key": pa.array(g["key"].to_numpy()),
+                         "block": pa.array(g["block"].to_numpy(),
+                                           pa.string())})
+
+    return (sized.map_batches(add_kpart, batch_format="pyarrow")
+            .groupby("_kp")
+            .map_groups(keep_smallest, batch_format="pandas"))
+
+
+def prune_cnp(edges: "ray.data.Dataset", *, k: int = 10,
+              ) -> "ray.data.Dataset":
+    """Cardinality Node Pruning: every node keeps its ``k``
+    highest-weight incident edges (ties by neighbor id asc); an edge
+    survives if EITHER endpoint keeps it — the redundancy-positive
+    union form, like :func:`prune_wnp` but with a hard per-node
+    comparison budget instead of a mean threshold.  One symmetrize →
+    coarse node-hash shuffle ranks all of a node's edges in a single
+    vectorized pass; the survivor pair set dedups through one
+    (u, v) groupby."""
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        part = (node.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int32)
+        return pa.table({"node": pa.array(node),
+                         "other": pa.array(np.concatenate([v, u])),
+                         "w": pa.array(np.concatenate([w, w])),
+                         "_np": pa.array(part)})
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["node", "w", "other"],
+                          ascending=[True, False, True], kind="stable")
+        rn = g.groupby("node", sort=False).cumcount().to_numpy()
+        g = g[rn < k]
+        n = g["node"].to_numpy()
+        o = g["other"].to_numpy()
+        return pa.table({"u": pa.array(np.minimum(n, o)),
+                         "v": pa.array(np.maximum(n, o)),
+                         "w": pa.array(g["w"].to_numpy())})
+
+    from ray.data.aggregate import Min
+
+    ranked = (edges.map_batches(symmetrize, batch_format="pyarrow")
+              .groupby("_np").map_groups(topk, batch_format="pandas"))
+    # an edge kept from both directions appears twice — one dedup
+    return (ranked.groupby(["u", "v"])
+            .aggregate(Min("w", alias_name="w")))
+
+
 def _edge_mean(edges: "ray.data.Dataset") -> float:
     """Global mean edge weight from per-batch (n, Σw) partials."""
 
