@@ -4103,6 +4103,60 @@ def _q_meta_blocking_wnp(sf_dir: str):
             .groupby("w").aggregate(Count(alias_name="n_edges")))
 
 
+def _q_kn_logprob(sf_dir: str):
+    """Interpolated Kneser–Ney bigram scoring (stages/index.py
+    kneser_ney_logprob): per-doc mean ln P_KN with absolute discount
+    0.75 (exact in binary — numpy and DuckDB agree at every step
+    before the ln; 6dp rounding covers the ln ulp)."""
+    from textgraphs_ray.stages.index import kneser_ney_logprob
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return kneser_ney_logprob(docs)
+
+
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
+    mean unigram log-probability under the corpus's own LM →
+    per-LANGUAGE equi-depth terciles (head/middle/tail) → bucket
+    census with min/max logprob (order-independent — no float-sum
+    associativity risk).  Composes stages/tfidf.py unigram_logprob,
+    one hash-partitioned lang join, and stats.py grouped_ntile."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from textgraphs_ray.stages.join import shuffle_join
+    from textgraphs_ray.stages.stats import grouped_ntile
+    from textgraphs_ray.stages.tfidf import unigram_logprob
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    lp = unigram_logprob(docs)
+    langs = docs.select_columns(["doc_id", "lang"])
+    lpl = shuffle_join(
+        lp, langs, "doc_id", "doc_id", 32,
+        project=lambda m: pd.DataFrame({
+            "doc_id": m["doc_id"], "lang": m["lang"],
+            "logprob": m["logprob"]}))
+    bucketed = grouped_ntile(lpl, value_col="logprob",
+                             id_col="doc_id", group_col="lang", k=3)
+    return (bucketed.groupby(["lang", "bucket"])
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("logprob", alias_name="lo"),
+                       Max("logprob", alias_name="hi")))
+
+
+def _q_wl_census(sf_dir: str):
+    """Two-round Weisfeiler–Lehman color refinement over the minute
+    co-activity graph (stages/wl.py) → color-class size census
+    (class_size, n_classes).  Colors are md5 of (own color | sorted
+    neighbor multiset) — byte-identical to the oracle's unrolled
+    string_agg construction, so the census hash-matches exactly."""
+    from textgraphs_ray.stages.wl import wl_class_census, wl_colors
+
+    edges = _coactivity_edges(sf_dir)
+    return wl_class_census(wl_colors(edges, rounds=2))
+
+
 def _q_block_filtering(sf_dir: str):
     """Block Filtering census (stages/metablock.py): every record
     keeps its ceil(0.75·|B_r|) SMALLEST word-3-shingle blocks (ties by
@@ -4247,6 +4301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "kn_logprob": _q_kn_logprob,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "wl_census": _q_wl_census,
         "block_filtering": _q_block_filtering,
         "meta_blocking_cnp": _q_meta_blocking_cnp,
         "meta_blocking_wep": _q_meta_blocking_wep,
@@ -4487,6 +4544,99 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "kn_logprob": """
+            WITH d AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '') AS ws
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM d, LATERAL unnest(range(1, len(ws))) AS t(i)
+            ), c12 AS (
+              SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, sum(c) AS c FROM c12 GROUP BY 1
+            ), n1f AS (
+              SELECT w1, count(*) AS t FROM c12 GROUP BY 1
+            ), n1p AS (
+              SELECT w2, count(*) AS t FROM c12 GROUP BY 1
+            ), nbt AS (SELECT count(*) AS t FROM c12)
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(
+                     greatest(c12.c - 0.75e0, 0) / c1.c
+                     + 0.75e0 * n1f.t / c1.c
+                       * (CAST(n1p.t AS DOUBLE) / nbt.t))), 6)
+                       AS logprob
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                 JOIN n1f USING (w1) JOIN n1p USING (w2)
+                 CROSS JOIN nbt
+            GROUP BY bg.doc_id
+        """,
+        "ccnet_buckets": """
+            WITH w AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> '')) AS term
+              FROM documents
+            ), tc AS (
+              SELECT term, count(*) AS n FROM w GROUP BY term
+            ), tot AS (SELECT count(*) AS total FROM w),
+            scored AS (
+              SELECT w.doc_id, ln(tc.n * 1.0 / tot.total) AS lpv
+              FROM w JOIN tc USING (term) CROSS JOIN tot
+            ), lp AS (
+              SELECT doc_id, round(avg(lpv), 6) AS logprob
+              FROM scored GROUP BY doc_id
+            ), j AS (
+              SELECT d.lang, lp.doc_id, lp.logprob
+              FROM lp JOIN documents d USING (doc_id)
+            ), b AS (
+              SELECT lang, logprob,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY logprob, doc_id) AS bucket
+              FROM j)
+            SELECT lang, bucket, count(*) AS n_docs,
+                   min(logprob) AS lo, max(logprob) AS hi
+            FROM b GROUP BY lang, bucket
+        """,
+        "wl_census": """
+            WITH m0 AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), e0 AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM m0 a JOIN m0 b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+            ), sym AS (
+              SELECT u AS a, v AS b FROM e0
+              UNION ALL SELECT v, u FROM e0
+            ), c0 AS (
+              SELECT a AS node, CAST(count(*) AS VARCHAR) AS color
+              FROM sym GROUP BY a
+            ), c1 AS (
+              SELECT s.a AS node,
+                     md5(own.color || '|' ||
+                         string_agg(nb.color, ',' ORDER BY nb.color))
+                         AS color
+              FROM sym s
+              JOIN c0 own ON own.node = s.a
+              JOIN c0 nb ON nb.node = s.b
+              GROUP BY s.a, own.color
+            ), c2 AS (
+              SELECT s.a AS node,
+                     md5(own.color || '|' ||
+                         string_agg(nb.color, ',' ORDER BY nb.color))
+                         AS color
+              FROM sym s
+              JOIN c1 own ON own.node = s.a
+              JOIN c1 nb ON nb.node = s.b
+              GROUP BY s.a, own.color
+            ), cls AS (
+              SELECT color, count(*) AS n FROM c2 GROUP BY color)
+            SELECT n AS class_size, count(*) AS n_classes
+            FROM cls GROUP BY n
         """,
         "block_filtering": """
             WITH ws AS (

@@ -100,3 +100,26 @@ def test_ntile_matches_sql_semantics(ray_session, k, n):
            for r in ntile(ds, value_col="v", id_col="id",
                           k=k).take_all()}
     assert got == _sql_ntile(vals, k)
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_grouped_ntile_matches_per_group_sql(ray_session, k):
+    import numpy as np
+
+    from textgraphs_ray.stages.stats import grouped_ntile
+
+    rng = np.random.default_rng(k)
+    rows = [(i, ["en", "zh", "fr"][i % 3], int(v))
+            for i, v in enumerate(rng.integers(0, 5, 120))]
+    ds = _ds(rows, cols=("id", "g", "v")).repartition(4)
+    got = {(r["g"], r["id"]): r["bucket"]
+           for r in grouped_ntile(ds, value_col="v", id_col="id",
+                                  group_col="g", k=k).take_all()}
+    want = {}
+    for gname in ("en", "zh", "fr"):
+        ids = [i for i, g, _ in rows if g == gname]
+        vals = [v for _, g, v in rows if g == gname]
+        ref = _sql_ntile(vals, k)
+        for local, i in enumerate(ids):
+            want[(gname, i)] = ref[local]
+    assert got == want

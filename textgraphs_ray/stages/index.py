@@ -372,6 +372,90 @@ def bigram_logprob(ds: "ray.data.Dataset", *, text_col: str = "text",
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+def kneser_ney_logprob(ds: "ray.data.Dataset", *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       discount: float = 0.75,
+                       stats_ds: "ray.data.Dataset | None" = None
+                       ) -> "ray.data.Dataset":
+    """→ (doc_id, n_bigrams, logprob): per-document mean
+    ``ln P_KN(w_i | w_{i-1})`` under interpolated Kneser–Ney (Kneser &
+    Ney 1995; Chen & Goodman 1999 — the smoothing KenLM popularized
+    for corpus quality filtering):
+
+    ``P_KN(w2|w1) = max(c(w1,w2) − d, 0)/c(w1,·)
+    + d · N1+(w1,·)/c(w1,·) · N1+(·,w2)/N1+(·,·)``
+
+    with absolute discount ``d`` (default 0.75 — exactly
+    representable in binary, so numpy and the DuckDB oracle agree at
+    every arithmetic step before the final ln).  The continuation
+    probability ``N1+(·,w2)/N1+(·,·)`` is what distinguishes KN from
+    plain backoff: a word's probability after an unseen history is
+    driven by how many DISTINCT contexts it follows, not its raw
+    frequency.  logprob rounded 6dp.
+
+    All statistics reduce from ONE ``bigram_counts`` table
+    (combiner-fed shuffle); the derived (pair → logprob) model
+    broadcasts under the module's ≲10^6-bigram-type contract — above
+    it, score through a hash-partitioned join on (w1, w2) like
+    ``bigram_logprob``'s join plan.  Cross-corpus scoring backs off:
+    seen-w1/seen-w2 pairs take the interpolation term alone; anything
+    else floors at ``ln(0.5 / total_bigrams)``.
+    """
+    d = float(discount)
+    big = bigram_counts(stats_ds if stats_ds is not None else ds,
+                        text_col=text_col).materialize()
+    rows = big.take_all()
+    if not rows:
+        return ds.map_batches(
+            lambda t: _empty({"doc_id": "int64", "n_bigrams": "int64",
+                              "logprob": "float64"}),
+            batch_format="pyarrow")
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1p: Counter = Counter()
+    total = 0
+    for r in rows:
+        c1[r["w1"]] += int(r["c"])
+        n1f[r["w1"]] += 1
+        n1p[r["w2"]] += 1
+        total += int(r["c"])
+    nbt = len(rows)
+    floor = float(np.log(0.5 / total))
+    pcont = {w2: t / nbt for w2, t in n1p.items()}
+    backoff = {w1: d * n1f[w1] / c1[w1] for w1 in c1}
+    logp = {(r["w1"], r["w2"]): float(np.log(
+        max(int(r["c"]) - d, 0.0) / c1[r["w1"]]
+        + backoff[r["w1"]] * pcont[r["w2"]])) for r in rows}
+    ref = ray.put((logp, backoff, pcont, floor))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        lp, bo, pc_, fl = ray.get(ref)
+        out_id, out_n, out_val = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            ws = _WORD.findall((t or "").lower())
+            if len(ws) < 2:
+                continue
+            s = 0.0
+            for p in zip(ws, ws[1:]):
+                v = lp.get(p)
+                if v is None:           # unseen pair: interpolation
+                    b = bo.get(p[0])    # term only, else the floor
+                    q = pc_.get(p[1])
+                    v = (float(np.log(b * q))
+                         if b is not None and q is not None else fl)
+                s += v
+            n = len(ws) - 1
+            out_id.append(did)
+            out_n.append(n)
+            out_val.append(round(s / n, 6))
+        return pd.DataFrame({"doc_id": out_id,
+                             "n_bigrams": np.array(out_n, np.int64),
+                             "logprob": out_val})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------
 # pairwise set similarity between corpus partitions
 

@@ -298,6 +298,98 @@ def ntile(ds: "ray.data.Dataset", *, value_col: str, id_col: str,
     return uniq.union(tied)
 
 
+def grouped_ntile(ds: "ray.data.Dataset", *, value_col: str,
+                  id_col: str, group_col: str, k: int,
+                  out_col: str = "bucket",
+                  max_distinct: int = 1_000_000) -> "ray.data.Dataset":
+    """→ (group, id, value, bucket): SQL ``ntile(k) OVER (PARTITION BY
+    group ORDER BY value, id)`` — :func:`ntile`'s plan generalized to
+    per-group bucket arithmetic.  The broadcast prefix table is keyed
+    by (group, value) and per-group row counts drive each group's
+    (base, rem) split; only tied (group, value) rows ride a shuffle.
+    Distinct (group, value) pairs are bounded by ``max_distinct`` —
+    the same broadcast contract as :func:`ntile`."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"g": t.column(group_col).to_pandas(),
+                           "v": t.column(value_col).to_pandas()})
+        c = (df.groupby(["g", "v"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({group_col: pa.array(c["g"]),
+                         value_col: pa.array(c["v"]),
+                         "c": pa.array(c["c"].to_numpy()
+                                       .astype(np.int64))})
+
+    dist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, value_col])
+            .aggregate(Sum("c", alias_name="c")).take_all())
+    if len(dist) > max_distinct:
+        raise ValueError(
+            f"{len(dist)} distinct (group, value) pairs exceed "
+            f"max_distinct={max_distinct}; bucket the value domain")
+    dist.sort(key=lambda r: (r[group_col], r[value_col]))
+    start: dict = {}
+    cnt: dict = {}
+    n_g: dict = {}
+    for r in dist:
+        gv = (r[group_col], r[value_col])
+        start[gv] = n_g.get(r[group_col], 0)
+        cnt[gv] = r["c"]
+        n_g[r[group_col]] = start[gv] + r["c"]
+    split = {g: divmod(n, k) for g, n in n_g.items()}
+    ref = ray.put((start, cnt, split))
+
+    def bucket_of(rn: np.ndarray, base: np.ndarray,
+                  rem: np.ndarray) -> np.ndarray:
+        pivot = rem * (base + 1)
+        big = (rn - 1) // (base + 1) + 1
+        small = rem + (rn - 1 - pivot) // np.maximum(base, 1) + 1
+        return np.where(rn <= pivot, big, small).astype(np.int64)
+
+    def finish(gs, ids, vs, rn) -> pa.Table:
+        _, _, sp = ray.get(ref)
+        base = np.array([sp[g][0] for g in gs], np.int64)
+        rem = np.array([sp[g][1] for g in gs], np.int64)
+        return pa.table({group_col: pa.array(gs),
+                         id_col: pa.array(ids),
+                         value_col: pa.array(vs),
+                         out_col: pa.array(bucket_of(rn, base, rem))})
+
+    def unique_rows(t: pa.Table) -> pa.Table:
+        st, ct, _ = ray.get(ref)
+        gs = t.column(group_col).to_pylist()
+        vs = t.column(value_col).to_pylist()
+        mask = np.array([ct[(g, v)] == 1 for g, v in zip(gs, vs)],
+                        dtype=bool)
+        rn = np.array([st[(g, v)] + 1 for g, v in zip(gs, vs)],
+                      np.int64)[mask]
+        ids = t.column(id_col).to_pandas()[mask].to_numpy()
+        gs = np.array(gs, dtype=object)[mask].tolist()
+        vs = t.column(value_col).to_pandas()[mask].to_numpy()
+        return finish(gs, ids, vs, rn)
+
+    def tied_rows(t: pa.Table) -> pa.Table:
+        _, ct, _ = ray.get(ref)
+        gs = t.column(group_col).to_pylist()
+        vs = t.column(value_col).to_pylist()
+        mask = pa.array([ct[(g, v)] > 1 for g, v in zip(gs, vs)])
+        return t.filter(mask)
+
+    def rank_group(g: pd.DataFrame) -> pa.Table:
+        st, _, _ = ray.get(ref)
+        g = g.sort_values(id_col, kind="stable")
+        key = (g[group_col].iloc[0], g[value_col].iloc[0])
+        rn = st[key] + np.arange(1, len(g) + 1, dtype=np.int64)
+        return finish(g[group_col].tolist(), g[id_col].to_numpy(),
+                      g[value_col].to_numpy(), rn)
+
+    uniq = ds.map_batches(unique_rows, batch_format="pyarrow")
+    tied = (ds.map_batches(tied_rows, batch_format="pyarrow")
+            .groupby([group_col, value_col])
+            .map_groups(rank_group, batch_format="pandas"))
+    return uniq.union(tied)
+
+
 def percent_rank(ds: "ray.data.Dataset", *, value_col: str, id_col: str,
                  out_col: str = "pr",
                  max_distinct: int = 1_000_000) -> "ray.data.Dataset":
