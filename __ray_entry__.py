@@ -4103,6 +4103,54 @@ def _q_meta_blocking_wnp(sf_dir: str):
             .groupby("w").aggregate(Count(alias_name="n_edges")))
 
 
+def _q_regr_group(sf_dir: str):
+    """Per-group ordinary-least-squares regression of extended price
+    (cents) on quantity — slope, intercept, R² from EXACT integer
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²): per-batch int64
+    partials fold on the driver as Python bigints (Σy² at scale
+    overflows int64 aggregation — the anova_f precedent), and the only
+    floating point is the final division chain, mirrored expression by
+    expression in the HUGEINT oracle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        x = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.rint(df["l_extendedprice"].to_numpy()
+                    * 100.0).astype(np.int64)
+        agg = (pd.DataFrame({
+            "f": df["l_returnflag"].to_numpy(), "x": x, "y": y,
+            "xy": x * y, "xx": x * x, "yy": y * y})
+            .groupby("f", sort=False)
+            .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                 sxy=("xy", "sum"), sxx=("xx", "sum"),
+                 syy=("yy", "sum")).reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["f"], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
+            a[i] += int(r[k])
+    flags, slopes, intercepts, r2s = [], [], [], []
+    for f in sorted(acc):
+        n, sx, sy, sxy, sxx, syy = acc[f]
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        slope = float(num) / float(denx)
+        flags.append(f)
+        slopes.append(round(slope, 6))
+        intercepts.append(round(
+            (float(sy) - slope * float(sx)) / float(n), 6))
+        r2s.append(round(slope * (float(num) / float(deny)), 6))
+    return pd.DataFrame({"l_returnflag": flags, "slope": slopes,
+                         "intercept": intercepts, "r2": r2s})
+
+
 def _q_kn_logprob(sf_dir: str):
     """Interpolated Kneser–Ney bigram scoring (stages/index.py
     kneser_ney_logprob): per-doc mean ln P_KN with absolute discount
@@ -4301,6 +4349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "regr_group": _q_regr_group,
         "kn_logprob": _q_kn_logprob,
         "ccnet_buckets": _q_ccnet_buckets,
         "wl_census": _q_wl_census,
@@ -4544,6 +4593,35 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "regr_group": """
+            WITH b AS (
+              SELECT l_returnflag AS f,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         AS y
+              FROM lineitem
+            ), s AS (
+              SELECT f, count(*) AS n,
+                     sum(CAST(x AS HUGEINT)) AS sx,
+                     sum(CAST(y AS HUGEINT)) AS sy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(y AS HUGEINT) * y) AS syy
+              FROM b GROUP BY f
+            ), t AS (
+              SELECT f, n, sx, sy,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                     CAST(n * sxy - sx * sy AS DOUBLE) AS numd,
+                     CAST(n * syy - sy * sy AS DOUBLE) AS denyd
+              FROM s)
+            SELECT f AS l_returnflag, round(slope, 6) AS slope,
+                   round((CAST(sy AS DOUBLE) - slope
+                          * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept,
+                   round(slope * (numd / denyd), 6) AS r2
+            FROM t
         """,
         "kn_logprob": """
             WITH d AS (
