@@ -4103,6 +4103,19 @@ def _q_meta_blocking_wnp(sf_dir: str):
             .groupby("w").aggregate(Count(alias_name="n_edges")))
 
 
+def _q_jw_join(sf_dir: str):
+    """Exact Jaro–Winkler theta-join over the distinct part-name
+    domain (stages/editjoin.py jw_distinct_join): every name pair with
+    round(jw, 6) ≥ 0.88, name_a < name_b.  Above this threshold both
+    this engine's unconditional Winkler boost and DuckDB's
+    boost-above-0.7 rule are in the boosted regime, so values and the
+    emitted pair set coincide exactly (see the stage docstring)."""
+    from textgraphs_ray.stages.editjoin import jw_distinct_join
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return jw_distinct_join(ds, col="p_name", threshold=0.88)
+
+
 def _q_regr_group(sf_dir: str):
     """Per-group ordinary-least-squares regression of extended price
     (cents) on quantity — slope, intercept, R² from EXACT integer
@@ -4349,6 +4362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "jw_join": _q_jw_join,
         "regr_group": _q_regr_group,
         "kn_logprob": _q_kn_logprob,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -4593,6 +4607,14 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "jw_join": """
+            WITH dn AS (SELECT DISTINCT p_name AS nm FROM part)
+            SELECT a.nm AS name_a, b.nm AS name_b,
+                   round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+            FROM dn a JOIN dn b ON a.nm < b.nm
+            WHERE round(jaro_winkler_similarity(a.nm, b.nm), 6)
+                  >= 0.88
         """,
         "regr_group": """
             WITH b AS (

@@ -163,9 +163,11 @@ def edit_distance_join(ds: "ray.data.Dataset", *, key_col: str,
                     out_a.append(a)
                     out_b.append(b)
                     out_d.append(d)
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
-                             "id_b": pd.Series(out_b, dtype=np.int64),
-                             "dist": pd.Series(out_d, dtype=np.int64)})
+        # Arrow out: the pair stream feeds the dedup aggregate, and
+        # Ray aggregates on pandas blocks run ~20× slower
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "dist": pa.array(out_d, pa.int64())})
 
     pairs = (ds.map_batches(emit_variants, batch_format="pyarrow")
              .groupby("vh").map_groups(verify_group,
@@ -175,3 +177,65 @@ def edit_distance_join(ds: "ray.data.Dataset", *, key_col: str,
     if deduped.schema() is None or not deduped.schema().names:
         return ray.data.from_arrow(empty)
     return deduped
+
+
+def jw_distinct_join(ds: "ray.data.Dataset", *, col: str,
+                     threshold: float = 0.88,
+                     max_distinct: int = 100_000) -> "ray.data.Dataset":
+    """→ (name_a, name_b, jw): all DISTINCT-value pairs of ``col``
+    (name_a < name_b) whose Jaro–Winkler similarity rounds to at least
+    ``threshold`` at 6dp — the exact fuzzy self-join over a bounded
+    name domain (dictionary/vocabulary dedup; the strsim analogue of
+    ``phonetic_blocks``' distinct-word contract).
+
+    Distinct values census first (one groupby), then the bounded name
+    list broadcasts once (``ray.put``) and every streamed distinct
+    name scores against all lexicographically-GREATER names in one
+    ``jaro_winkler_batch`` call — each pair computed exactly once,
+    work spread across the distinct stream's blocks, no driver loop.
+    Above ``max_distinct``, block first (this is the verifier, not the
+    blocker).
+
+    Oracle parity note: this engine's JW applies the Winkler prefix
+    boost unconditionally; DuckDB's ``jaro_winkler_similarity`` only
+    boosts above Jaro 0.7.  For any pair either side reports at
+    ``threshold ≥ 0.83`` the Jaro core necessarily exceeds 0.7
+    (``jw ≤ 0.6·jaro + 0.4``), so both sides boost and the values —
+    and the emitted pair SET — coincide exactly.  Keep thresholds
+    ≥ 0.83 when comparing against the SQL oracle."""
+    from ray.data.aggregate import Count
+
+    from ..functions.strsim import jaro_winkler_batch
+
+    distinct = (ds.groupby(col).aggregate(Count(alias_name="_n"))
+                .select_columns([col]).materialize())
+    n = distinct.count()
+    if n > max_distinct:
+        raise ValueError(f"{n} distinct values exceed max_distinct="
+                         f"{max_distinct}; block before joining")
+    names = np.array(sorted(r[col] for r in distinct.take_all()),
+                     dtype=object)
+    ref = ray.put(names)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_s: list[float] = []
+        for nm in t.column(col).to_pylist():
+            cand = arr[np.searchsorted(arr, nm, side="right"):]
+            if not len(cand):
+                continue
+            s6 = np.round(jaro_winkler_batch(
+                np.full(len(cand), nm, dtype=object), cand), 6)
+            keep = s6 >= threshold
+            k = int(keep.sum())
+            if k:
+                out_a.extend([nm] * k)
+                out_b.extend(cand[keep].tolist())
+                out_s.extend(s6[keep].tolist())
+        return pa.table({"name_a": pa.array(out_a, pa.string()),
+                         "name_b": pa.array(out_b, pa.string()),
+                         "jw": pa.array(out_s, pa.float64())})
+
+    return distinct.map_batches(pairs, batch_format="pyarrow")
