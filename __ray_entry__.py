@@ -4289,6 +4289,22 @@ def _q_edit_join(sf_dir: str):
                               id_col="c_custkey", k=1)
 
 
+def _q_dl_join(sf_dir: str):
+    """Exact Damerau–Levenshtein-≤1 self-join on customer name — the
+    typo model that counts an adjacent transposition ("…01" ↔ "…10")
+    as ONE edit, which plain Levenshtein misses.  Same FastSS
+    deletion-variant blocking as edit_join (the variant cover extends
+    to single transpositions — stage docstring); at distance ≤ 1 OSA
+    ≡ unrestricted DL ≡ DuckDB's damerau_levenshtein, so the θ-join
+    oracle is exact."""
+    from textgraphs_ray.stages.editjoin import edit_distance_join
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    return edit_distance_join(ds, key_col="c_name",
+                              id_col="c_custkey", k=1, metric="osa")
+
+
 def _q_throttle_dedup(sf_dir: str):
     """Event-stream throttling dedup: keep an event iff the same
     user's PREVIOUS event (ts, event_id order) is more than 12 h
@@ -4362,6 +4378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "dl_join": _q_dl_join,
         "jw_join": _q_jw_join,
         "regr_group": _q_regr_group,
         "kn_logprob": _q_kn_logprob,
@@ -4607,6 +4624,15 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "dl_join": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(damerau_levenshtein(a.c_name, b.c_name)
+                        AS BIGINT) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
         """,
         "jw_join": """
             WITH dn AS (SELECT DISTINCT p_name AS nm FROM part)

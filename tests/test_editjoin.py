@@ -87,3 +87,35 @@ def test_join_duplicate_strings_and_empty(ray_session):
     res = edit_distance_join(empty, key_col="name", id_col="id", k=1)
     assert res.count() == 0
     assert set(res.schema().names) == {"id_a", "id_b", "dist"}
+
+
+def test_osa_metric_catches_transpositions(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from textgraphs_ray.stages.editjoin import edit_distance_join
+
+    df = pd.DataFrame({"id": [1, 2, 3],
+                       "k": ["name#01", "name#10", "other"]})
+    ds = ray.data.from_pandas(df)
+    lev = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_join(ds, key_col="k", id_col="id",
+                                       k=1).take_all()}
+    osa = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_join(ds, key_col="k", id_col="id",
+                                       k=1, metric="osa").take_all()}
+    assert (1, 2) not in lev        # transposition is Levenshtein 2
+    assert osa == {(1, 2): 1}       # but OSA/Damerau 1
+
+
+def test_osa_metric_k_guard(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from textgraphs_ray.stages.editjoin import edit_distance_join
+
+    ds = ray.data.from_pandas(pd.DataFrame({"id": [1], "k": ["x"]}))
+    with pytest.raises(ValueError):
+        edit_distance_join(ds, key_col="k", id_col="id", k=2,
+                           metric="osa")

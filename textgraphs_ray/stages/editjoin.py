@@ -117,14 +117,32 @@ def lev_within(a: str, b: str, k: int) -> int | None:
 
 
 def edit_distance_join(ds: "ray.data.Dataset", *, key_col: str,
-                       id_col: str, k: int = 1) -> "ray.data.Dataset":
+                       id_col: str, k: int = 1,
+                       metric: str = "levenshtein"
+                       ) -> "ray.data.Dataset":
     """→ (id_a, id_b, dist): every distinct-row pair with
-    ``levenshtein(key_a, key_b) ≤ k`` and ``id_a < id_b`` — exact.
+    ``dist(key_a, key_b) ≤ k`` and ``id_a < id_b`` — exact.
 
-    ``dist`` is int64 Levenshtein, matching DuckDB's ``levenshtein``.
+    ``metric="levenshtein"`` (any ``k``) matches DuckDB's
+    ``levenshtein``; ``metric="osa"`` (``k = 1`` only) counts an
+    adjacent transposition as ONE edit — at distance ≤ 1 OSA,
+    unrestricted Damerau–Levenshtein, and DuckDB's
+    ``damerau_levenshtein`` all coincide, so the oracle is exact.
+    The deletion-variant cover extends to the transposition case:
+    for ``s = x·ab·y`` and ``t = x·ba·y``, deleting the ``a`` from
+    each side yields the same string ``x·b·y``, so every OSA ≤ 1 pair
+    still shares a variant (the FastSS guarantee only promises this
+    for Levenshtein, hence the ``k = 1`` restriction).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if metric not in ("levenshtein", "osa"):
+        raise ValueError(f"metric must be 'levenshtein' or 'osa', "
+                         f"got {metric!r}")
+    if metric == "osa" and k != 1:
+        raise ValueError("metric='osa' is only exact at k=1 (the "
+                         "deletion-variant cover is proven for "
+                         "single-edit transpositions)")
     empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                        ("dist", pa.int64())]).empty_table()
     if ds.schema() is None:
@@ -153,11 +171,21 @@ def edit_distance_join(ds: "ray.data.Dataset", *, key_col: str,
         # could duplicate (id, key) rows within one group — drop them
         _, uniq = np.unique(ids, return_index=True)
         out_a, out_b, out_d = [], [], []
+        if metric == "osa":
+            from ..functions.strsim import osa_within
+
+            def dist_fn(x: str, y: str):
+                return (1 if (x != y and osa_within(x, y, 1))
+                        else None)
+        else:
+            def dist_fn(x: str, y: str):
+                return lev_within(x, y, k)
+
         for ii in range(len(uniq)):
             i = uniq[ii]
             for jj in range(ii + 1, len(uniq)):
                 j = uniq[jj]
-                d = lev_within(keys[i], keys[j], k)
+                d = dist_fn(keys[i], keys[j])
                 if d is not None and d > 0:
                     a, b = sorted((int(ids[i]), int(ids[j])))
                     out_a.append(a)
