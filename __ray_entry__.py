@@ -4289,6 +4289,22 @@ def _q_edit_join(sf_dir: str):
                               id_col="c_custkey", k=1)
 
 
+def _q_contamination_frac(sf_dir: str):
+    """Graded decontamination (stages/decontam.py
+    contamination_fraction): per-document FRACTION of word 8-grams
+    shared with the src0 benchmark slice — the GPT-3-style report
+    behind thresholded contamination filtering.  Broadcast hash array
+    + one stateless vectorized scan; docs with < 8 tokens have no
+    grams and are dropped on both sides."""
+    from textgraphs_ray.stages.decontam import contamination_fraction
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    bench = docs.filter(expr="source == 'src0'")
+    train = docs.filter(expr="source != 'src0'")
+    return contamination_fraction(train, bench, n=8)
+
+
 def _q_dl_join(sf_dir: str):
     """Exact Damerau–Levenshtein-≤1 self-join on customer name — the
     typo model that counts an adjacent transposition ("…01" ↔ "…10")
@@ -4378,6 +4394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "contamination_frac": _q_contamination_frac,
         "dl_join": _q_dl_join,
         "jw_join": _q_jw_join,
         "regr_group": _q_regr_group,
@@ -4624,6 +4641,28 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "contamination_frac": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, source,
+                     array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, unnest(generate_series(1, len(w) - 7)) AS t(i)
+              WHERE len(w) >= 8
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE source = 'src0'
+            ), sc AS (
+              SELECT g.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                         AS n_hits
+              FROM grams g LEFT JOIN bench b USING (g)
+              WHERE g.source <> 'src0' GROUP BY g.doc_id)
+            SELECT doc_id, n_grams, CAST(n_hits AS BIGINT) AS n_hits,
+                   round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS frac
+            FROM sc
         """,
         "dl_join": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

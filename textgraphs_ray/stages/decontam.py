@@ -140,3 +140,60 @@ def decontaminate(docs_ds: "ray.data.Dataset",
         Decontaminator, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_args=(ref,),
         fn_constructor_kwargs={"n": n, "text_col": text_col})
+
+
+class ContaminationFraction(Decontaminator):
+    """Per-document contaminated-gram FRACTION — the graded form of
+    :class:`Decontaminator` (GPT-3-style decontamination reports and
+    thresholded filtering need the ratio, not just the any-hit flag).
+    Same broadcast + one vectorized pass; both the gram census and the
+    hit count come from the single ``_gram_hashes_flat`` call.  Rows
+    with fewer than ``n`` tokens have no grams and are dropped (the
+    fraction is undefined), matching the SQL oracle's inner gram
+    census."""
+
+    def __init__(self, hashes_ref, *, n: int = 8,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> None:
+        super().__init__(hashes_ref, n=n, text_col=text_col)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        gram_h, doc_idx = _gram_hashes_flat(texts, self.n)
+        n_grams = np.bincount(doc_idx,
+                              minlength=len(texts)).astype(np.int64)
+        n_hits = np.zeros(len(texts), np.int64)
+        if len(gram_h) and len(self.sorted_h):
+            pos = np.searchsorted(self.sorted_h, gram_h)
+            pos[pos == len(self.sorted_h)] = len(self.sorted_h) - 1
+            hit = self.sorted_h[pos] == gram_h
+            n_hits = np.bincount(doc_idx[hit],
+                                 minlength=len(texts)).astype(np.int64)
+        keep = n_grams > 0
+        ids = batch.column(self.id_col).to_numpy(
+            zero_copy_only=False)[keep]
+        ng = n_grams[keep]
+        nh = n_hits[keep]
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "n_grams": pa.array(ng),
+            "n_hits": pa.array(nh),
+            "frac": pa.array(np.round(nh / ng, 6))})
+
+
+def contamination_fraction(docs_ds: "ray.data.Dataset",
+                           bench_ds: "ray.data.Dataset", *, n: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           concurrency=(1, 8)) -> "ray.data.Dataset":
+    """→ (id, n_grams, n_hits, frac): fraction of each training row's
+    word n-grams present in the benchmark set — build-once broadcast +
+    single stateless scan, like :func:`decontaminate`."""
+    hashes = benchmark_gram_hashes(bench_ds, n=n, text_col=text_col)
+    ref = ray.put(hashes)
+    return docs_ds.map_batches(
+        ContaminationFraction, batch_format="pyarrow",
+        concurrency=concurrency, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"n": n, "text_col": text_col,
+                               "id_col": id_col})
