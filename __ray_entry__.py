@@ -4289,6 +4289,44 @@ def _q_edit_join(sf_dir: str):
                               id_col="c_custkey", k=1)
 
 
+def _q_cume_dist(sf_dir: str):
+    """SQL ``cume_dist() OVER (PARTITION BY user_id ORDER BY
+    minute(ts))`` — the tie-aware cumulative distribution (every peer
+    in a tie group takes the group's LAST position / n).  Minute
+    bucketing makes ties real.  One coarse user-hash shuffle; inside a
+    partition the whole computation is three vectorized pandas
+    transforms (size, position, tie-group max)."""
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int32)
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "mn": mn.cast(pa.int64()),
+                         "_up": pa.array(part)})
+
+    def cume(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "mn", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        n = g.groupby("user_id", sort=False)["mn"].transform("size")
+        pos = g.groupby("user_id", sort=False).cumcount()
+        g = g.assign(_pos=pos)
+        last = (g.groupby(["user_id", "mn"], sort=False)["_pos"]
+                .transform("max"))
+        cd = (last.to_numpy() + 1) / n.to_numpy()
+        return pa.table({"user_id": pa.array(g["user_id"].to_numpy()),
+                         "event_id": pa.array(g["event_id"].to_numpy()),
+                         "cd": pa.array(np.round(cd, 6))})
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("_up").map_groups(cume, batch_format="pandas"))
+
+
 def _q_contamination_frac(sf_dir: str):
     """Graded decontamination (stages/decontam.py
     contamination_fraction): per-document FRACTION of word 8-grams
@@ -4394,6 +4432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "cume_dist": _q_cume_dist,
         "contamination_frac": _q_contamination_frac,
         "dl_join": _q_dl_join,
         "jw_join": _q_jw_join,
@@ -4641,6 +4680,13 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "cume_dist": """
+            SELECT user_id, event_id,
+                   round(cume_dist() OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_trunc('minute', ts)), 6) AS cd
+            FROM events
         """,
         "contamination_frac": """
             WITH toks AS (
