@@ -4289,6 +4289,19 @@ def _q_edit_join(sf_dir: str):
                               id_col="c_custkey", k=1)
 
 
+def _q_me_join(sf_dir: str):
+    """Symmetrized Monge–Elkan join over distinct part names
+    (stages/editjoin.py monge_elkan_join): mean-of-best-token-JW in
+    both directions, averaged — the hybrid matcher for multi-token
+    names.  Token-level JW uses Winkler's original boost-above-0.7
+    rule, matching DuckDB's jaro_winkler_similarity at EVERY value,
+    so no threshold restriction applies (unlike jw_join)."""
+    from textgraphs_ray.stages.editjoin import monge_elkan_join
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return monge_elkan_join(ds, col="p_name", threshold=0.72)
+
+
 def _q_cume_dist(sf_dir: str):
     """SQL ``cume_dist() OVER (PARTITION BY user_id ORDER BY
     minute(ts))`` — the tie-aware cumulative distribution (every peer
@@ -4432,6 +4445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        "me_join": _q_me_join,
         "cume_dist": _q_cume_dist,
         "contamination_frac": _q_contamination_frac,
         "dl_join": _q_dl_join,
@@ -4680,6 +4694,40 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "me_join": """
+            WITH dn AS (SELECT DISTINCT p_name AS nm FROM part),
+            pr AS (
+              SELECT a.nm AS a, b.nm AS b
+              FROM dn a JOIN dn b ON a.nm < b.nm
+            ), wa AS (
+              SELECT a, b, string_split(a, ' ') AS w FROM pr
+            ), wb AS (
+              SELECT a, b, string_split(b, ' ') AS w FROM pr
+            ), ta AS (
+              SELECT a, b, w[i] AS tok, i
+              FROM wa, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+            ), tb AS (
+              SELECT a, b, w[i] AS tok, i
+              FROM wb, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+            ), ba AS (
+              SELECT ta.a, ta.b, ta.i,
+                     max(jaro_winkler_similarity(ta.tok, tb.tok)) AS m
+              FROM ta JOIN tb ON ta.a = tb.a AND ta.b = tb.b
+              GROUP BY ta.a, ta.b, ta.i
+            ), meab AS (
+              SELECT a, b, avg(m) AS me_ab FROM ba GROUP BY a, b
+            ), bb AS (
+              SELECT tb.a, tb.b, tb.i,
+                     max(jaro_winkler_similarity(tb.tok, ta.tok)) AS m
+              FROM tb JOIN ta ON ta.a = tb.a AND ta.b = tb.b
+              GROUP BY tb.a, tb.b, tb.i
+            ), meba AS (
+              SELECT a, b, avg(m) AS me_ba FROM bb GROUP BY a, b)
+            SELECT meab.a AS name_a, meab.b AS name_b,
+                   round((me_ab + me_ba) / 2, 6) AS me
+            FROM meab JOIN meba USING (a, b)
+            WHERE round((me_ab + me_ba) / 2, 6) >= 0.72
         """,
         "cume_dist": """
             SELECT user_id, event_id,

@@ -110,8 +110,17 @@ def jaro(s1: str, s2: str) -> float:
     return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, *, prefix_weight: float = 0.1) -> float:
+def jaro_winkler(s1: str, s2: str, *, prefix_weight: float = 0.1,
+                 boost_threshold: float = 0.0) -> float:
+    """``boost_threshold=0.0`` (the engine's ER-scoring default)
+    applies the Winkler prefix boost unconditionally;
+    ``boost_threshold=0.7`` is Winkler's original rule — and what
+    DuckDB's ``jaro_winkler_similarity`` implements — boosting only
+    when the Jaro core exceeds 0.7 (the two coincide whenever the
+    result is ≥ 0.83; see ``stages/editjoin.jw_distinct_join``)."""
     j = jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for c1, c2 in zip(s1[:4], s2[:4]):
         if c1 == c2:
@@ -121,7 +130,8 @@ def jaro_winkler(s1: str, s2: str, *, prefix_weight: float = 0.1) -> float:
     return j + prefix * prefix_weight * (1.0 - j)
 
 
-def jaro_winkler_batch(a: list[str], b: list[str]) -> np.ndarray:
+def jaro_winkler_batch(a: list[str], b: list[str], *,
+                       boost_threshold: float = 0.0) -> np.ndarray:
     """JW over aligned pair lists with distinct-pair memoization."""
     cache: dict[tuple[str, str], float] = {}
     out = np.empty(len(a), dtype=np.float64)
@@ -129,7 +139,8 @@ def jaro_winkler_batch(a: list[str], b: list[str]) -> np.ndarray:
         k = (x, y) if x <= y else (y, x)
         v = cache.get(k)
         if v is None:
-            v = jaro_winkler(k[0], k[1])
+            v = jaro_winkler(k[0], k[1],
+                             boost_threshold=boost_threshold)
             cache[k] = v
         out[i] = v
     return out

@@ -267,3 +267,77 @@ def jw_distinct_join(ds: "ray.data.Dataset", *, col: str,
                          "jw": pa.array(out_s, pa.float64())})
 
     return distinct.map_batches(pairs, batch_format="pyarrow")
+
+
+def monge_elkan_join(ds: "ray.data.Dataset", *, col: str,
+                     threshold: float = 0.85,
+                     max_distinct: int = 100_000) -> "ray.data.Dataset":
+    """→ (name_a, name_b, me): symmetrized Monge–Elkan similarity
+    (Monge & Elkan 1996) over the distinct-value domain of ``col`` —
+    ``ME(a→b)`` is the mean over a's tokens of each token's BEST
+    Jaro–Winkler match among b's tokens; the join emits pairs with
+    ``round((ME(a→b) + ME(b→a))/2, 6) ≥ threshold``, name_a < name_b.
+    The hybrid matcher for multi-token names where word order and
+    per-word typos both vary ("widget red" ≈ "red widgit").
+
+    Same bounded-domain plan as :func:`jw_distinct_join` (distinct
+    census → broadcast → each name scores all greater names), with
+    token-level vectorization: one ``jaro_winkler_batch`` call per
+    a-token against the flattened candidate token stream, then
+    segment max/mean via ``reduceat``.  Token-level JW uses Winkler's
+    ORIGINAL boost-above-0.7 rule (``boost_threshold=0.7``) so every
+    value — including sub-0.7 ones that enter the means — matches
+    DuckDB's ``jaro_winkler_similarity`` exactly."""
+    from ray.data.aggregate import Count
+
+    from ..functions.strsim import jaro_winkler_batch
+
+    distinct = (ds.groupby(col).aggregate(Count(alias_name="_n"))
+                .select_columns([col]).materialize())
+    n = distinct.count()
+    if n > max_distinct:
+        raise ValueError(f"{n} distinct values exceed max_distinct="
+                         f"{max_distinct}; block before joining")
+    names = np.array(sorted(r[col] for r in distinct.take_all()),
+                     dtype=object)
+    ref = ray.put(names)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        toks = [nm.split(" ") for nm in arr]
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_s: list[float] = []
+        for nm in t.column(col).to_pylist():
+            lo = int(np.searchsorted(arr, nm, side="right"))
+            if lo >= len(arr):
+                continue
+            cand_toks = toks[lo:]
+            lens = np.array([len(c) for c in cand_toks], np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            flat_b = np.array([w for c in cand_toks for w in c],
+                              dtype=object)
+            ta = nm.split(" ")
+            # (|ta|, |flat_b|) token-level JW, one batch call per row
+            sims = np.stack([jaro_winkler_batch(
+                np.full(len(flat_b), w, dtype=object), flat_b,
+                boost_threshold=0.7) for w in ta])
+            # ME(a→b): per-candidate max over b-tokens, mean over ta
+            per_cand_max = np.stack([np.maximum.reduceat(row, starts)
+                                     for row in sims])
+            me_ab = per_cand_max.mean(axis=0)
+            # ME(b→a): per b-token max over a-tokens, mean per cand
+            best_for_b = sims.max(axis=0)
+            me_ba = np.add.reduceat(best_for_b, starts) / lens
+            me = np.round((me_ab + me_ba) / 2.0, 6)
+            keep = me >= threshold
+            k = int(keep.sum())
+            if k:
+                out_a.extend([nm] * k)
+                out_b.extend(arr[lo:][keep].tolist())
+                out_s.extend(me[keep].tolist())
+        return pa.table({"name_a": pa.array(out_a, pa.string()),
+                         "name_b": pa.array(out_b, pa.string()),
+                         "me": pa.array(out_s, pa.float64())})
+
+    return distinct.map_batches(pairs, batch_format="pyarrow")
