@@ -5233,7 +5233,7 @@ def _oracle_sqls() -> dict[str, str]:
             ), agg AS (
               SELECT user_id, isl, max(e) - min(s) AS len
               FROM g GROUP BY user_id, isl)
-            SELECT user_id, sum(len) AS covered_us,
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_us,
                    count(*) AS n_islands
             FROM agg GROUP BY user_id
         """,
@@ -5244,8 +5244,9 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "json_extract_agg": """
             SELECT event_type,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
-                       AS k_sum,
+                   CAST(sum(coalesce(
+                       CAST(json_extract(props, '$.k') AS BIGINT), 0))
+                       AS BIGINT) AS k_sum,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,

@@ -173,20 +173,25 @@ def test_salted_join_parity_on_skewed_keys():
     rng = np.random.default_rng(11)
     keys = np.where(rng.random(500) < 0.9, 7,
                     rng.integers(0, 20, 500)).astype(np.int64)
+    # string columns on BOTH sides: the round-3 crash (pa.nulls fed a
+    # numpy dtype from a pandas-block schema) only fired when a string
+    # column needed null-padding through the union
     left = rd.from_arrow(pa.table({
         "k": pa.array(keys),
-        "v": pa.array(np.arange(500, dtype=np.int64))}))
+        "v": pa.array(np.arange(500, dtype=np.int64)),
+        "name": pa.array([f"cust#{i}" for i in range(500)])}))
     right = rd.from_arrow(pa.table({
         "rk": pa.array([5, 7, 9, 13], pa.int64()),
-        "w": pa.array([50, 70, 90, 130], pa.int64())}))
+        "w": pa.array([50, 70, 90, 130], pa.int64()),
+        "tag": pa.array(["e", "g", "i", "m"])}))
 
     def rows(ds, cols):
         return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
 
-    for how, cols in (("inner", ["k", "v", "w"]),
-                      ("left", ["k", "v"]),
-                      ("semi", ["k", "v"]),
-                      ("anti", ["k", "v"])):
+    for how, cols in (("inner", ["k", "v", "name", "w", "tag"]),
+                      ("left", ["k", "v", "name"]),
+                      ("semi", ["k", "v", "name"]),
+                      ("anti", ["k", "v", "name"])):
         base = shuffle_join(left, right, "k", "rk", 4, how=how)
         salted = salted_join(left, right, "k", "rk", 4, salts=3,
                              how=how)

@@ -432,14 +432,17 @@ def salted_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     if salts < 1:
         raise ValueError("salts must be >= 1")
 
-    def tag_left(t: pa.Table) -> pd.DataFrame:
+    def tag_left(t: pa.Table) -> pa.Table:
+        # Arrow out: shuffle_join reads schema().types to null-pad the
+        # union, and a pandas block's numpy dtypes crash pa.nulls on
+        # string columns (repo invariant: arrow blocks through shuffles)
         df = t.to_pandas()
         df["_sk"] = (df[left_on].astype(str) + "\x1f"
                      + pd.Series(np.arange(len(df)) % salts,
                                  index=df.index).astype(str))
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def tag_right(t: pa.Table) -> pd.DataFrame:
+    def tag_right(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         reps = []
         for s in range(salts):
@@ -449,7 +452,7 @@ def salted_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         out = pd.concat(reps, ignore_index=True)
         if right_on == left_on:
             out = out.drop(columns=[right_on])
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def proj2(m: pd.DataFrame) -> pd.DataFrame:
         m = m.drop(columns=["_sk"])
