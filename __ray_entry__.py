@@ -3597,9 +3597,9 @@ def _walks_oracle_sql(length: int = 4) -> str:
         , s{i} AS (
           SELECT f.walk_id, a.dst AS node
           FROM s{i - 1} f JOIN adj a ON a.src = f.node
-           AND a.rnk = ((f.walk_id * 1315423911
+           AND a.rnk = (((f.walk_id % 1000003) * 1315423911
                          + {i} * 2654435761
-                         + f.node * 97) % 1000003) % a.deg
+                         + (f.node % 1000003) * 97) % 1000003) % a.deg
         )""")
     sel = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0"]
     for i in range(1, length + 1):

@@ -55,7 +55,7 @@ def _brute_pairs(rows, k):
     for i, (ia, sa) in enumerate(rows):
         for ib, sb in rows[i + 1:]:
             d = _lev_full(sa, sb)
-            if 0 < d <= k:
+            if d <= k:
                 out.add((min(ia, ib), max(ia, ib), d))
     return out
 
@@ -78,9 +78,10 @@ def test_join_brute_force_parity_k1_k2(ray_session):
 
 
 def test_join_duplicate_strings_and_empty(ray_session):
-    # identical keys (dist 0) are excluded; near keys found once
+    # identical keys (dist 0) ARE emitted — exact duplicates are the
+    # most important ER matches; near keys found once each
     rows = [(1, "anvil"), (2, "anvil"), (3, "anvik"), (4, "zzzz")]
-    assert _join_pairs(rows, 1) == {(1, 3, 1), (2, 3, 1)}
+    assert _join_pairs(rows, 1) == {(1, 2, 0), (1, 3, 1), (2, 3, 1)}
     empty = rd.from_arrow(pa.table({
         "id": pa.array([], pa.int64()),
         "name": pa.array([], pa.string())}))

@@ -1173,6 +1173,66 @@ def test_rebel_generator_wiring():
     assert out2.to_pylist()[0]["iri"] == "mrebel:made_up_rel"
 
 
+def test_rebel_decode_keeps_marker_tokens():
+    """The real-model decode path (make_rebel_decode) must batch_decode
+    RAW token ids with special tokens KEPT: a fake HF pipeline whose
+    tokenizer vocabulary includes the <triplet>/<per>/<loc> markers
+    round-trips them to parse_rebel_triplets and yields a triple.  The
+    broken default (pipeline text output = skip_special_tokens=True)
+    would strip the markers and parse zero triples — both shapes are
+    pinned here."""
+    import pyarrow as pa
+
+    from textgraphs_ray.stages.relations import (RebelGenerator,
+                                                 make_rebel_decode,
+                                                 parse_rebel_triplets)
+
+    # id→token table for a miniature mREBEL-style vocabulary
+    vocab = {0: "<s>", 1: "</s>", 2: "<triplet>", 3: "<per>",
+             4: "<loc>", 10: "Werner Herzog", 11: "Munich",
+             12: "place of birth"}
+    special = {0, 1, 2, 3, 4}
+
+    class FakeTokenizer:
+        def batch_decode(self, ids_batch, skip_special_tokens=False):
+            return [" ".join(vocab[i] for i in ids
+                             if not (skip_special_tokens
+                                     and i in special))
+                    for ids in ids_batch]
+
+    class FakePipe:
+        tokenizer = FakeTokenizer()
+
+        def __call__(self, texts, **kwargs):
+            # the reference decode contract (rel.py:145-171)
+            assert kwargs.get("return_tensors") is True
+            assert kwargs.get("return_text") is False
+            assert kwargs.get("decoder_start_token_id") == 250058
+            assert kwargs.get("tgt_lang") == "<triplet>"
+            ids = [0, 2, 10, 3, 11, 4, 12, 1]
+            return [{"translation_token_ids": ids} for _ in texts]
+
+    decode = make_rebel_decode(FakePipe())
+    decoded = decode(["Herzog was born in Munich."])
+    assert "<triplet>" in decoded[0]          # markers survived
+    trips = parse_rebel_triplets(decoded[0])
+    assert trips == [{"head": "Werner Herzog", "head_type": "per",
+                      "tail": "Munich", "tail_type": "loc",
+                      "type": "place of birth"}]
+
+    # and through the full stage: non-zero triples end to end
+    out = RebelGenerator(generator=decode)(
+        pa.table({"doc_id": ["d0"],
+                  "text": ["Herzog was born in Munich."]}))
+    assert out.num_rows == 1
+
+    # the failure mode this guards: skip_special_tokens strips the
+    # markers and the SAME ids parse to zero triples
+    stripped = FakeTokenizer().batch_decode(
+        [[0, 2, 10, 3, 11, 4, 12, 1]], skip_special_tokens=True)
+    assert parse_rebel_triplets(stripped[0]) == []
+
+
 def test_mixture_sample_rates():
     """α-sampling: skewed sources rebalance toward n_s^α; clamped rates
     keep every row of tiny sources; selection is deterministic."""

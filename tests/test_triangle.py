@@ -322,6 +322,22 @@ class TestGreedyMIS:
         # 0-1-2-3-4 chain: greedy takes 0, 2, 4
         assert self._run([(0, 1), (1, 2), (2, 3), (3, 4)]) == {0, 2, 4}
 
+    def test_round_budget_exhaustion_raises(self):
+        # an id chain needs one round per taken node; with the budget
+        # capped below that, the fixpoint must FAIL LOUDLY rather than
+        # silently return an independent-but-non-maximal set
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from textgraphs_ray.stages.triangle import \
+            maximal_independent_set
+        edges = [(i, i + 1) for i in range(8)]
+        e = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b in edges], pa.int64())})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            maximal_independent_set(rd.from_arrow(e), max_rounds=1)
+
     def test_star_takes_min_id(self):
         # greedy by ascending id always takes the smallest node first
         assert self._run([(0, 5), (0, 6), (0, 7)]) == {0}

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Min
@@ -50,14 +51,20 @@ def _both_directions(batch: pa.Table) -> pa.Table:
 
 
 def _label_signature(labels_ds: "ray.data.Dataset") -> int:
-    """Order-free XOR signature of the (node, label) assignment."""
+    """Order-free XOR signature of the (node, label) assignment.
+
+    Vectorized end to end: one Arrow cast + element-wise join builds
+    the per-row "node\\x1flabel" keys in C++, one ``hash64`` call
+    hashes the batch — no per-row Python in the closure loop (this
+    runs every round of the flagship chain).  Only signature
+    EQUALITY across rounds matters, so any deterministic per-row
+    hash keeps the convergence check byte-identical."""
 
     def sig_batch(t: pa.Table) -> pa.Table:
-        vals = hash64([
-            f"{n}\x1f{l}"
-            for n, l in zip(t.column("node").to_pylist(),
-                            t.column("label").to_pylist())
-        ])
+        joined = pc.binary_join_element_wise(
+            pc.cast(t.column("node"), pa.string()),
+            pc.cast(t.column("label"), pa.string()), "\x1f")
+        vals = hash64(joined.to_numpy(zero_copy_only=False))
         s = np.bitwise_xor.reduce(vals) if len(vals) else np.uint64(0)
         return pa.table({"sig": pa.array([int(s)], pa.uint64())})
 

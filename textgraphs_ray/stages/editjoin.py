@@ -175,18 +175,23 @@ def edit_distance_join(ds: "ray.data.Dataset", *, key_col: str,
             from ..functions.strsim import osa_within
 
             def dist_fn(x: str, y: str):
-                return (1 if (x != y and osa_within(x, y, 1))
-                        else None)
+                if x == y:
+                    return 0
+                return 1 if osa_within(x, y, 1) else None
         else:
             def dist_fn(x: str, y: str):
                 return lev_within(x, y, k)
 
+        # dist-0 (identical-key) pairs ARE emitted — exact duplicates
+        # are the highest-value ER matches, and identical keys share
+        # every deletion variant so their recall is structural (the
+        # SQL oracles' `levenshtein(...) <= k` predicate includes them)
         for ii in range(len(uniq)):
             i = uniq[ii]
             for jj in range(ii + 1, len(uniq)):
                 j = uniq[jj]
                 d = dist_fn(keys[i], keys[j])
-                if d is not None and d > 0:
+                if d is not None:
                     a, b = sorted((int(ids[i]), int(ids[j])))
                     out_a.append(a)
                     out_b.append(b)

@@ -262,6 +262,27 @@ except ImportError:
     HAVE_TRANSFORMERS = False
 
 
+def make_rebel_decode(pipe) -> "callable":
+    """Build the texts→decoded-strings closure around an HF translation
+    pipeline, decoding the way the reference does (``rel.py:145-171``):
+    generate raw token ids (``return_tensors=True``, mREBEL's
+    ``decoder_start_token_id=250058``) and ``tokenizer.batch_decode``
+    them with special tokens KEPT — the pipeline's default text output
+    strips the ``<triplet>``/entity-type markers
+    :func:`parse_rebel_triplets` keys on, silently yielding zero
+    triples.  Factored out of :class:`RebelGenerator` so the decode
+    shape is pinned by a fake-pipeline test without model downloads."""
+
+    def generate(texts: list) -> list:
+        outs = pipe(texts, decoder_start_token_id=250058,
+                    src_lang="en_XX", tgt_lang="<triplet>",
+                    return_tensors=True, return_text=False)
+        return pipe.tokenizer.batch_decode(
+            [o["translation_token_ids"] for o in outs])
+
+    return generate
+
+
 class RebelGenerator:
     """Real mREBEL seq2seq kernel (reference ``rel.py:28-106``): the HF
     generation pipeline loads ONCE per actor in ``__init__`` (the
@@ -293,22 +314,7 @@ class RebelGenerator:
 
             pipe = pipeline("translation_xx_to_yy", model=model_name,
                             tokenizer=model_name)
-
-            # Generate raw token ids and batch_decode them WITHOUT
-            # skip_special_tokens: the default pipeline text output
-            # strips the <triplet>/entity-type marker tokens that
-            # parse_rebel_triplets keys on, silently yielding zero
-            # triples (reference rel.py:145-171 decodes the same way:
-            # decoder_start_token_id=250058, tgt_lang="<triplet>",
-            # return_tensors=True, then tokenizer.batch_decode).
-            def generate(texts: list) -> list:
-                outs = pipe(texts, decoder_start_token_id=250058,
-                            src_lang="en_XX", tgt_lang="<triplet>",
-                            return_tensors=True, return_text=False)
-                return pipe.tokenizer.batch_decode(
-                    [o["translation_token_ids"] for o in outs])
-
-            self.generate = generate
+            self.generate = make_rebel_decode(pipe)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()

@@ -548,7 +548,16 @@ def maximal_independent_set(edges: "ray.data.Dataset", *,
         cur = (cur.map_batches(keep, batch_format="pyarrow")
                .repartition(num_partitions).materialize())
 
-    if alive is not None and len(alive) and cur.count() == 0:
+    if cur.count() > 0:
+        # round budget exhausted with edges left: the partial set is
+        # independent but NOT maximal and no longer equals the pinned
+        # sequential greedy — fail loudly instead of silently skipping
+        # the survivors (the docstring's O(n)-rounds adversarial case)
+        raise RuntimeError(
+            f"maximal_independent_set did not converge in "
+            f"{max_rounds} rounds ({cur.count()} edges remain) — "
+            f"raise max_rounds or salt the adversarial id chain")
+    if alive is not None and len(alive):
         # survivors with no remaining edges are independent of every
         # taken node (else they\'d have been dropped) and of each other
         mis_parts.append(alive)

@@ -6,10 +6,15 @@ arithmetic chooser so the walk is a pure function of the graph:
 
   at step ``t`` from node ``v`` the walk moves to the neighbor at
   sorted-adjacency index
-      ((walk_id·1315423911 + t·2654435761 + v·97) % 1000003) % deg(v)
+      (((walk_id % P)·1315423911 + t·2654435761 + (v % P)·97) % P)
+          % deg(v),  P = 1000003
 
-— plain int64 modular arithmetic a SQL engine replays exactly (all
-operands non-negative, products < 2^63 for node ids < 2^45).  The
+— plain int64 modular arithmetic a SQL engine replays exactly.  Ids
+reduce mod P BEFORE the multiply on both the Ray and SQL sides, so
+no product exceeds (P−1)·1315423911 < 2^51 and the chooser is
+overflow-free for ANY int64 id (an unreduced walk_id·1315423911
+wraps silently in numpy above ids ≈ 2^32.7, and numpy's wrapped
+negative ``%`` differs from SQL's, which raises instead).  The
 distribution is uniform-ish per step, which is all embedding-corpus
 generation needs; swap the chooser for a seeded PRNG when
 verifiability is not required.
@@ -60,13 +65,18 @@ def random_walks(edges: "ray.data.Dataset", *, length: int = 4,
             "src": pa.array(np.concatenate([a, b]).astype(np.int64)),
             "dst": pa.array(np.concatenate([b, a]).astype(np.int64))})
 
-    def ranked(g: pd.DataFrame) -> pd.DataFrame:
+    def ranked(g: pd.DataFrame) -> pa.Table:
+        # Arrow out (repo invariant: UDF output feeding a shuffle) —
+        # pandas blocks here let repartition's EMPTY blocks poison
+        # int64 → float64 through the hop joins, silently corrupting
+        # node ids above 2^53 and breaking the walk joins
         d = np.sort(np.unique(g["dst"].to_numpy()))
-        return pd.DataFrame({
-            "src": np.full(len(d), g["src"].iloc[0], dtype=np.int64),
-            "rank": np.arange(len(d), dtype=np.int64),
-            "dst": d,
-            "deg": np.full(len(d), len(d), dtype=np.int64)})
+        return pa.table({
+            "src": pa.array(np.full(len(d), g["src"].iloc[0],
+                                    dtype=np.int64)),
+            "rank": pa.array(np.arange(len(d), dtype=np.int64)),
+            "dst": pa.array(d.astype(np.int64)),
+            "deg": pa.array(np.full(len(d), len(d), dtype=np.int64))})
 
     adj = (edges.map_batches(sym, batch_format="pyarrow")
            .groupby("src").map_groups(ranked, batch_format="pandas")
@@ -96,7 +106,10 @@ def random_walks(edges: "ray.data.Dataset", *, length: int = 4,
             wid = df["walk_id"].to_numpy()
             vv = df["src"].to_numpy()
             deg = df["deg"].to_numpy()
-            idx = ((wid * _A + step * _B + vv * _C) % _P) % deg
+            # reduce mod _P before the multiply: overflow-free for any
+            # int64 id (module doc), same residue as the unreduced form
+            idx = (((wid % _P) * _A + step * _B + (vv % _P) * _C)
+                   % _P) % deg
             keep = df["rank"].to_numpy() == idx
             return pd.DataFrame({
                 "walk_id": wid[keep],
