@@ -2805,10 +2805,10 @@ def _q_k_core(sf_dir: str):
     linked when they appear in the same order) — at sf0.001 the
     65-core (188 nodes) is strictly smaller than the naive degree
     filter (191): the cascade is exercised.  Iterative fixpoint — one
-    degree groupby per round with a shrinking broadcast drop set — so
-    no single SQL oracle exists; correctness is pinned by the
-    networkx golden test (tests/test_triangle.py) and the
-    typed-empty-result contract."""
+    degree groupby per round with a shrinking broadcast drop set;
+    value-hash oracle-gated via the unrolled-peel SQL replay
+    (_k_core_oracle_sql) plus the networkx golden test
+    (tests/test_triangle.py)."""
     from textgraphs_ray.stages.triangle import cooccurrence_edges, k_core
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -3570,6 +3570,141 @@ def _q_random_walks(sf_dir: str):
     return random_walks(edges, length=4)
 
 
+def _mis_oracle_sql(rounds: int = 12) -> str:
+    """Unrolled parallel-fixpoint replay of the greedy-by-id MIS over
+    the same-minute co-activity graph (stages/triangle.py
+    maximal_independent_set; bfs_hops-style unrolling — the recursion
+    is non-monotone so a recursive CTE can't express it directly).
+    Per round: local id-minima join the set (``GROUP BY u HAVING
+    u < min(v)`` over the symmetrized remaining edges), they and their
+    neighbors leave the edge set.  MIS = all taken locals + nodes
+    never touched by any round's drop set (isolated-by-attrition
+    survivors).  ``rounds`` must cover the graph's fixpoint depth —
+    measured 1/3/5 rounds at sf0.001/0.01/0.1 (O(log n) growth), so
+    12 is ample headroom; the Ray side raises if ITS budget (200) is
+    ever exhausted, so a mismatch can only mean rounds < true depth."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    # references the previous one 3x — unmaterialized, the expansion
+    # is exponential in `rounds` (observed: "Too many open files")
+    parts = ["""
+        WITH m AS MATERIALIZED (
+          SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+          FROM events
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT a.user_id AS u, b.user_id AS v
+          FROM m a JOIN m b ON a.mn = b.mn AND a.user_id < b.user_id
+        ), s0 AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        ), alln AS (SELECT DISTINCT u AS node FROM s0)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        , l{i} AS MATERIALIZED (
+          SELECT u AS node FROM s{i - 1} GROUP BY u HAVING u < min(v)
+        ), d{i} AS MATERIALIZED (
+          SELECT node FROM l{i}
+          UNION
+          SELECT s.v FROM s{i - 1} s JOIN l{i} l ON s.u = l.node
+        ), s{i} AS MATERIALIZED (
+          SELECT s.u, s.v FROM s{i - 1} s
+          WHERE s.u NOT IN (SELECT node FROM d{i})
+            AND s.v NOT IN (SELECT node FROM d{i})
+        )""")
+    taken = "\n          UNION ".join(
+        f"SELECT node FROM l{i}" for i in range(1, rounds + 1))
+    dropped = "\n          UNION ".join(
+        f"SELECT node FROM d{i}" for i in range(1, rounds + 1))
+    return "".join(parts) + f"""
+        , taken AS ({taken}), dropped AS ({dropped})
+        SELECT node FROM taken
+        UNION
+        SELECT node FROM alln
+        WHERE node NOT IN (SELECT node FROM dropped)
+    """
+
+
+def _k_core_oracle_sql(k: int = 65, rounds: int = 10) -> str:
+    """Unrolled degree-peel replay of k_core over the part co-order
+    graph (stages/triangle.py k_core; same bfs_hops-style unrolling
+    and MATERIALIZED-CTE discipline as _mis_oracle_sql).  Per round:
+    degree census over the symmetrized surviving edges, nodes under
+    ``k`` and their edges leave.  Extra rounds past the fixpoint are
+    idempotent (empty drop set), so ``rounds`` only needs to cover
+    the peel depth — measured 3/1/2 at sf0.001/0.01/0.1; an
+    insufficient ``rounds`` surfaces as a value mismatch, never a
+    silent pass."""
+    parts = ["""
+        WITH sp AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM sp a JOIN sp b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+        ), s0 AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        , deg{i} AS MATERIALIZED (
+          SELECT u AS node, count(*) AS d FROM s{i - 1} GROUP BY u
+        ), low{i} AS MATERIALIZED (
+          SELECT node FROM deg{i} WHERE d < {k}
+        ), s{i} AS MATERIALIZED (
+          SELECT s.u, s.v FROM s{i - 1} s
+          WHERE s.u NOT IN (SELECT node FROM low{i})
+            AND s.v NOT IN (SELECT node FROM low{i})
+        )""")
+    return "".join(parts) + f"""
+        SELECT u AS node, count(*)::BIGINT AS degree
+        FROM s{rounds} GROUP BY u
+    """
+
+
+def _k_truss_oracle_sql(k: int = 4, rounds: int = 16) -> str:
+    """Unrolled support-peel replay of k_truss over the same-minute
+    co-activity graph (stages/triangle.py k_truss; the third
+    unrolled-fixpoint oracle after _mis_oracle_sql /
+    _k_core_oracle_sql).  Per round: per-edge triangle support =
+    common-neighbor count via a two-hop join over the symmetrized
+    survivors; an INNER join against ``sup >= k-2`` drops
+    under-supported edges (zero-support edges vanish from the census,
+    which IS the drop).  Measured 1/9/1 peel rounds at
+    sf0.001/0.01/0.1; extra rounds are idempotent.  Output matches
+    the engine: (u, v, support) with support re-derived in the final
+    truss."""
+    parts = ["""
+        WITH m AS MATERIALIZED (
+          SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+          FROM events
+        ), s0 AS MATERIALIZED (
+          SELECT DISTINCT a.user_id AS u, b.user_id AS v
+          FROM m a JOIN m b ON a.mn = b.mn AND a.user_id < b.user_id
+        )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        , y{i} AS MATERIALIZED (
+          SELECT u, v FROM s{i - 1} UNION ALL SELECT v, u FROM s{i - 1}
+        ), p{i} AS MATERIALIZED (
+          SELECT e.u, e.v, count(*) AS sup
+          FROM s{i - 1} e
+          JOIN y{i} n1 ON n1.u = e.u
+          JOIN y{i} n2 ON n2.u = e.v AND n2.v = n1.v
+          GROUP BY e.u, e.v
+        ), s{i} AS MATERIALIZED (
+          SELECT u, v FROM p{i} WHERE sup >= {k - 2}
+        )""")
+    return "".join(parts) + f"""
+        , yf AS MATERIALIZED (
+          SELECT u, v FROM s{rounds} UNION ALL SELECT v, u FROM s{rounds}
+        )
+        SELECT e.u, e.v, count(*)::BIGINT AS support
+        FROM s{rounds} e
+        JOIN yf n1 ON n1.u = e.u
+        JOIN yf n2 ON n2.u = e.v AND n2.v = n1.v
+        GROUP BY e.u, e.v
+    """
+
+
 def _walks_oracle_sql(length: int = 4) -> str:
     """Unrolled deterministic-walk replay (see stages/walks.py)."""
     head = """
@@ -3982,8 +4117,9 @@ def _q_mis(sf_dir: str):
     co-activity graph (stages/triangle.py maximal_independent_set):
     the deterministic one-representative-per-neighborhood picker.
     Parallel local-minima fixpoint ≡ the sequential ascending-id
-    greedy (non-monotone recursion — no SQL oracle; equality with the
-    sequential greedy is pytest-pinned in tests/test_triangle.py)."""
+    greedy (pytest-pinned in tests/test_triangle.py); value-hash
+    oracle-gated via the unrolled-rounds SQL replay
+    (_mis_oracle_sql — bfs_hops-style unrolling)."""
     from textgraphs_ray.stages.triangle import (cooccurrence_edges,
                                                 maximal_independent_set)
 
@@ -4681,6 +4817,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["hits_oracle"] = _hits_oracle_sql()
     sqls["hits_oracle_distributed"] = sqls["hits_oracle"]
     sqls["random_walks"] = _walks_oracle_sql()
+    sqls["mis"] = _mis_oracle_sql()
+    sqls["k_core"] = _k_core_oracle_sql()
+    sqls["k_truss"] = _k_truss_oracle_sql()
     return sqls
 
 
