@@ -1679,22 +1679,12 @@ def _pagerank_oracle_sql(iters: int = _PAGERANK_SQL_ITERS) -> str:
             + f"\n        SELECT key, round(pr, 6) AS pr FROM it{iters}")
 
 
-def _q_connected_components(sf_dir: str,
-                            driver_threshold: int = 2_000_000):
-    """Hash-verified transitive closure (stages/cluster.py
-    propagate_labels — the ER chain's heart, otherwise covered only by
-    rows + property tests): connected components of a two-relation
-    graph — customer→group-of-5 edges (from customer) and
-    customer→order edges (from orders).  Components are bounded
-    (~5 customers + their orders, diameter 4) at ANY scale factor, so
-    the recursive-CTE oracle's reachability set stays
-    sum(component²) ≈ 80·N rows, never the giant-component blowup a
-    denser graph (e.g. order–part) produces.  cluster_id = min key of
-    the component on both sides (min-label roots; ASCII lexicographic
-    in Python and SQL alike)."""
+def _cc_graph(sf_dir: str):
+    """(nodes, edges) of the bounded two-relation closure graph shared
+    by ``connected_components`` and ``cluster_split``: customer→
+    group-of-5 and customer→order edges (see _q_connected_components
+    for why components stay bounded at any scale factor)."""
     from ray.data.aggregate import Count
-
-    from textgraphs_ray.stages.cluster import propagate_labels
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
@@ -1730,8 +1720,116 @@ def _q_connected_components(sf_dir: str,
              .groupby("key").aggregate(Count(alias_name="_n")))
     nodes = nodes.map_batches(lambda t: t.select(["key"]),
                               batch_format="pyarrow")
+    return nodes, edges
+
+
+def _q_connected_components(sf_dir: str,
+                            driver_threshold: int = 2_000_000):
+    """Hash-verified transitive closure (stages/cluster.py
+    propagate_labels — the ER chain's heart, otherwise covered only by
+    rows + property tests): connected components of a two-relation
+    graph — customer→group-of-5 edges (from customer) and
+    customer→order edges (from orders).  Components are bounded
+    (~5 customers + their orders, diameter 4) at ANY scale factor, so
+    the recursive-CTE oracle's reachability set stays
+    sum(component²) ≈ 80·N rows, never the giant-component blowup a
+    denser graph (e.g. order–part) produces.  cluster_id = min key of
+    the component on both sides (min-label roots; ASCII lexicographic
+    in Python and SQL alike)."""
+    from textgraphs_ray.stages.cluster import propagate_labels
+
+    nodes, edges = _cc_graph(sf_dir)
     return propagate_labels(nodes, edges,
                             driver_threshold=driver_threshold)
+
+
+def _q_cluster_split(sf_dir: str):
+    """Leakage-safe train/test split hashed on the TRANSITIVE dup
+    cluster (stages/sampling.py leakage_safe_split = the ER closure +
+    md5-variate hash_split keyed on cluster_id): every member of a
+    connected component inherits ONE split, so near-duplicate chains
+    never straddle the train/test fence — the near-dup generalization
+    of ``split_assign``'s exact-dup keeper hashing.  Runs on the same
+    bounded two-relation graph as ``connected_components`` and shares
+    its recursive-CTE closure replay, extended with the standard
+    UBIGINT md5 CASE."""
+    from textgraphs_ray.stages.sampling import leakage_safe_split
+
+    nodes, edges = _cc_graph(sf_dir)
+    return leakage_safe_split(nodes, edges,
+                              splits={"train": 0.8, "test": 0.2})
+
+
+def _q_split_leakage(sf_dir: str):
+    """Leakage AUDIT: duplicate pairs straddling the train/test fence
+    under a naive per-row split vs the dup-cluster split, as two
+    (plan, n_pairs, n_cross) rows.  Duplicate groups are md5
+    fingerprints of the 24-char document prefix (the driver corpus's
+    planted-collision convention — full texts are all distinct);
+    n_pairs = Σ C(s,2); the naive plan hashes each doc_id (cross
+    pairs > 0 whenever a dup group splits — 25 pairs / several cross
+    at sf0.01), the cluster plan hashes the group keeper (cross pairs
+    structurally 0 — the audit proves it rather than asserting it).
+    Physical plan: stateless fingerprint+variate scan → ONE fp
+    groupby (Count/Sum/Min combiner-first) → per-group pair
+    arithmetic in a bounded map_batches → one tiny plan groupby."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    from textgraphs_ray.stages.sampling import md5_frac
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fps(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        fp = [hashlib.md5((x or "")[:24].encode()).hexdigest()
+              for x in texts]
+        naive = (md5_frac(ids) < 0.8).astype(np.int64)
+        return pa.table({"fp": pa.array(fp, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "naive": pa.array(naive)})
+
+    g = (ds.map_batches(fps, batch_format="pyarrow")
+         .groupby("fp").aggregate(Count(alias_name="s"),
+                                  Sum("naive", alias_name="t_naive"),
+                                  Min("doc_id", alias_name="keeper")))
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        tn = t.column("t_naive").to_numpy(zero_copy_only=False)
+        keep_train = md5_frac(t.column("keeper").to_pylist()) < 0.8
+        tc = np.where(keep_train, s, 0)
+        n_pairs = int((s * (s - 1) // 2).sum())
+        return pa.table({
+            "plan": pa.array(["naive", "cluster"], pa.string()),
+            "n_pairs": pa.array([n_pairs, n_pairs], pa.int64()),
+            "n_cross": pa.array([int((tn * (s - tn)).sum()),
+                                 int((tc * (s - tc)).sum())],
+                                pa.int64())})
+
+    return (g.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby("plan").aggregate(
+                Sum("n_pairs", alias_name="n_pairs"),
+                Sum("n_cross", alias_name="n_cross")))
+
+
+def _q_gopher_gate(sf_dir: str):
+    """Composite Gopher-style quality gate (stages/text.py
+    GopherGate): word count, mean word length, distinct-stopword hits
+    and most-frequent-word fraction per document plus the int 0/1
+    verdict, all in ONE stateless actor pass — thresholds gate the
+    ROUNDED signals so the SQL replay is structural."""
+    from textgraphs_ray.stages.text import GopherGate
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(GopherGate, batch_format="pyarrow",
+                         concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "mean_wl",
+                            "stop_hits", "top_frac", "passes"]),
+        batch_format="pyarrow")
 
 
 def _q_connected_components_distributed(sf_dir: str):
@@ -4581,6 +4679,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original head; this round rotates the previously
         # driver-unchecked queries (plus the new forced-plan
         # variants) into the window.  All entries stay present.
+        # -- new in round 4 --
+        "cluster_split": _q_cluster_split,
+        "split_leakage": _q_split_leakage,
+        "gopher_gate": _q_gopher_gate,
         "me_join": _q_me_join,
         "cume_dist": _q_cume_dist,
         "contamination_frac": _q_contamination_frac,
@@ -6932,6 +7034,96 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT src AS key, min(dst) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "cluster_split": """
+            WITH RECURSIVE edges AS (
+              SELECT 'c' || CAST(c_custkey AS VARCHAR) AS a,
+                     'g' || CAST(c_custkey // 5 AS VARCHAR) AS b
+              FROM customer
+              UNION ALL
+              SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                     'o' || CAST(o_orderkey AS VARCHAR)
+              FROM orders
+            ), sym AS (
+              SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ), nodes AS (
+              SELECT DISTINCT a AS key FROM sym
+            ), reach(src, dst) AS (
+              SELECT key, key FROM nodes
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+            ), lab AS (
+              SELECT src AS key, min(dst) AS cluster_id
+              FROM reach GROUP BY src
+            )
+            SELECT key, cluster_id,
+                   CASE WHEN ('0x' || substr(md5(cluster_id), 1, 8))
+                                 ::UBIGINT / 4294967296.0 < 0.8
+                        THEN 'train' ELSE 'test' END AS split
+            FROM lab
+        """,
+        "split_leakage": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(substr(coalesce(text, ''), 1, 24)) AS fp
+              FROM documents
+            ), g AS (
+              SELECT fp, count(*) AS s,
+                     count(*) FILTER (WHERE
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                             ::UBIGINT / 4294967296.0 < 0.8) AS tn,
+                     min(doc_id) AS keeper
+              FROM f GROUP BY fp
+            ), gc AS (
+              SELECT s, tn,
+                     CASE WHEN ('0x' || substr(md5(keeper::VARCHAR),
+                                               1, 8))
+                               ::UBIGINT / 4294967296.0 < 0.8
+                          THEN s ELSE 0 END AS tc
+              FROM g)
+            SELECT 'naive' AS plan,
+                   CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_pairs,
+                   CAST(sum(tn * (s - tn)) AS BIGINT) AS n_cross
+            FROM gc
+            UNION ALL
+            SELECT 'cluster',
+                   CAST(sum(s * (s - 1) // 2) AS BIGINT),
+                   CAST(sum(tc * (s - tc)) AS BIGINT)
+            FROM gc
+        """,
+        "gopher_gate": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text,
+                         '')), '[a-z]+')) AS word
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS c
+              FROM w GROUP BY doc_id, word
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_words,
+                     round(sum(c * length(word))
+                           / CAST(sum(c) AS DOUBLE), 6) AS mean_wl,
+                     CAST(count(*) FILTER (WHERE word IN
+                         ('a', 'the', 'of', 'to', 'and')) AS BIGINT)
+                         AS stop_hits,
+                     round(max(c) / CAST(sum(c) AS DOUBLE), 6)
+                         AS top_frac
+              FROM wc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_words, 0) AS n_words,
+                   coalesce(a.mean_wl, 0.0) AS mean_wl,
+                   coalesce(a.stop_hits, 0) AS stop_hits,
+                   coalesce(a.top_frac, 0.0) AS top_frac,
+                   CAST(coalesce(
+                       a.n_words BETWEEN 20 AND 90
+                       AND a.mean_wl >= 3.5 AND a.mean_wl <= 6.0
+                       AND a.stop_hits >= 1
+                       AND a.top_frac <= 0.2, FALSE) AS BIGINT)
+                       AS passes
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "similarity_join": """
             WITH tok AS (

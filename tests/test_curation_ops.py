@@ -237,3 +237,90 @@ class TestHashSplitValidation:
         with pytest.raises(ValueError, match="sum"):
             hash_split(_ds([{"doc_id": 1}]),
                        splits={"train": 0.8, "val": 0.3})
+
+
+class TestLeakageSafeSplit:
+    def _graph(self):
+        # components: {a,b,c} (chain), {d,e}, singleton {f}
+        nodes = _ds([{"key": k} for k in "abcdef"])
+        edges = _ds([{"key_a": "a", "key_b": "b"},
+                     {"key_a": "b", "key_b": "c"},
+                     {"key_a": "d", "key_b": "e"}])
+        return nodes, edges
+
+    def test_components_move_atomically(self):
+        from textgraphs_ray.stages.sampling import leakage_safe_split
+
+        nodes, edges = self._graph()
+        out = leakage_safe_split(
+            nodes, edges,
+            splits={"train": 0.5, "test": 0.5}).take_all()
+        assert len(out) == 6
+        by_cluster: dict = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        # every component has exactly ONE split — the leakage fence
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # min-label roots: chain abc labels to 'a', pair de to 'd'
+        got = {r["key"]: r["cluster_id"] for r in out}
+        assert got["a"] == got["b"] == got["c"] == "a"
+        assert got["d"] == got["e"] == "d"
+        assert got["f"] == "f"
+
+    def test_matches_hash_split_of_cluster_id(self):
+        from textgraphs_ray.stages.sampling import (hash_split,
+                                                    leakage_safe_split,
+                                                    md5_frac)
+
+        nodes, edges = self._graph()
+        out = {r["key"]: r["split"]
+               for r in leakage_safe_split(
+                   nodes, edges,
+                   splits={"train": 0.8, "test": 0.2}).take_all()}
+        # the split IS the md5 variate of the component label
+        for key, cid in (("a", "a"), ("d", "d"), ("f", "f")):
+            want = "train" if md5_frac([cid])[0] < 0.8 else "test"
+            assert out[key] == want
+
+
+class TestGopherGate:
+    def _run(self, texts, **kw):
+        from textgraphs_ray.stages.text import GopherGate
+
+        batch = pa.table({"doc_id": pa.array(range(len(texts)),
+                                             pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+        return GopherGate(**kw)(batch).to_pylist()
+
+    def test_signals_and_verdict(self):
+        rows = self._run(
+            ["the quick brown fox jumps over a lazy dog again today "
+             "with more words padding the gate minimum for this doc "
+             "plus extra tokens here now"],
+            min_words=20, max_words=90)
+        r = rows[0]
+        assert r["n_words"] == 26
+        assert r["stop_hits"] >= 2          # 'the', 'a'
+        assert r["passes"] == 1
+
+    def test_each_rule_fails_independently(self):
+        # too short
+        assert self._run(["a b"], min_words=20)[0]["passes"] == 0
+        # mean word length out of band (all 1-char words)
+        short = " ".join(["a"] * 30)
+        r = self._run([short], min_wl=3.5)[0]
+        assert r["mean_wl"] == 1.0 and r["passes"] == 0
+        # no stopwords
+        text = " ".join(f"tok{i} word{i} item{i}" for i in range(10))
+        r = self._run([text], min_stop_hits=1)[0]
+        assert r["stop_hits"] == 0 and r["passes"] == 0
+        # single-word repetition
+        spam = " ".join(["the"] + ["spam"] * 39)
+        r = self._run([spam], max_top_frac=0.2)[0]
+        assert r["top_frac"] == round(39 / 40, 6) and r["passes"] == 0
+
+    def test_empty_and_null_docs_emit_zeros(self):
+        rows = self._run(["", None])
+        for r in rows:
+            assert (r["n_words"], r["stop_hits"], r["passes"]) == (0, 0, 0)
+            assert r["mean_wl"] == 0.0 and r["top_frac"] == 0.0

@@ -90,6 +90,40 @@ def hash_split(ds: "ray.data.Dataset", *, splits: dict[str, float],
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def leakage_safe_split(nodes: "ray.data.Dataset",
+                       edges: "ray.data.Dataset", *,
+                       splits: dict[str, float],
+                       num_partitions: int = 16,
+                       driver_threshold: int = 2_000_000,
+                       out_col: str = "split") -> "ray.data.Dataset":
+    """→ (key, cluster_id, split): train/val/test assignment hashed on
+    the TRANSITIVE duplicate-cluster id — the near-duplicate
+    generalization of hashing the exact-dup keeper (``split_assign``).
+
+    A naive per-row split leaks: two near-duplicate documents land on
+    opposite sides of the train/test fence and the eval set scores
+    memorization (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — public).  Exact-dup keeper hashing only
+    closes the fence for byte-identical copies; near-dup pairs (from
+    MinHash/SimHash/embedding blocking) form CHAINS, so the unit that
+    must move atomically is the connected component.  Composition:
+    :func:`textgraphs_ray.stages.cluster.propagate_labels` (the ER
+    closure — min-label components over ``nodes(key)`` /
+    ``edges(key_a, key_b)``) then :func:`hash_split` keyed on
+    ``cluster_id``, so every member of a component inherits one md5
+    variate.  Both stages are the flagship chain's own operators —
+    distributed closure above ``driver_threshold`` edges, stateless
+    SQL-replayable assignment — and the output is resumable/rerun
+    invariant like every md5-variate sampler here."""
+    from .cluster import propagate_labels
+
+    labels = propagate_labels(nodes, edges,
+                              num_partitions=num_partitions,
+                              driver_threshold=driver_threshold)
+    return hash_split(labels, splits=splits, key_col="cluster_id",
+                      out_col=out_col)
+
+
 def stratified_sample(ds: "ray.data.Dataset", *, group_col: str,
                       n: int, id_col: str = "doc_id",
                       columns: list | None = None) -> "ray.data.Dataset":

@@ -228,6 +228,74 @@ class RepetitionScorer:
                 .append_column("word_dup_ratio", pa.array(word_dup)))
 
 
+class GopherGate:
+    """Composite Gopher-style quality gate (Rae et al. 2021 §A1.1,
+    public): ONE stateless pass emits every rule input AND the
+    verdict, so downstream keeps the verdict column while audits keep
+    the signals.  Rules (each individually SQL-replayable, so the
+    whole gate value-hash oracles):
+
+    - ``n_words`` in ``[min_words, max_words]``
+    - ``mean_wl`` (mean word length, 6dp) in ``[min_wl, max_wl]``
+    - ``stop_hits`` (DISTINCT stopwords present) ``>= min_stop_hits``
+    - ``top_frac`` (most-frequent-word fraction, 6dp) ``<= max_top_frac``
+      — the single-word repetition rule
+    - ``passes`` = all of the above, emitted as int64 0/1
+
+    Words are ``[a-z]+`` runs of the lowercased text (one compiled
+    regex per actor, reused per batch).  The gate compares the ROUNDED
+    float signals so parity with the SQL oracle is structural, not
+    float-sum-order luck.  Zero-word documents emit zeros and fail.
+    Thresholds are constructor args — the defaults are calibrated to
+    discriminate on the synthetic corpus, not Gopher's web-scale
+    values; pass Gopher's own (50/100k words, 3-10 chars, 2 stopword
+    hits) for a real corpus."""
+
+    def __init__(self, *, text_col: str = "text",
+                 min_words: int = 20, max_words: int = 90,
+                 min_wl: float = 3.5, max_wl: float = 6.0,
+                 stopwords: tuple = ("a", "the", "of", "to", "and"),
+                 min_stop_hits: int = 1,
+                 max_top_frac: float = 0.2) -> None:
+        self.text_col = text_col
+        self.min_words, self.max_words = min_words, max_words
+        self.min_wl, self.max_wl = min_wl, max_wl
+        self.stopwords = frozenset(stopwords)
+        self.min_stop_hits = min_stop_hits
+        self.max_top_frac = max_top_frac
+        self.word_re = re.compile(r"[a-z]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        mean_wl = np.zeros(n, np.float64)
+        stop_hits = np.zeros(n, np.int64)
+        top_frac = np.zeros(n, np.float64)
+        for i, t in enumerate(texts):
+            words = self.word_re.findall((t or "").lower())
+            if not words:
+                continue
+            arr = np.asarray(words, dtype=object)
+            uniq, counts = np.unique(arr, return_counts=True)
+            total = len(words)
+            n_words[i] = total
+            mean_wl[i] = round(
+                sum(len(w) for w in words) / float(total), 6)
+            stop_hits[i] = sum(1 for w in uniq if w in self.stopwords)
+            top_frac[i] = round(int(counts.max()) / float(total), 6)
+        passes = ((n_words >= self.min_words)
+                  & (n_words <= self.max_words)
+                  & (mean_wl >= self.min_wl) & (mean_wl <= self.max_wl)
+                  & (stop_hits >= self.min_stop_hits)
+                  & (top_frac <= self.max_top_frac)).astype(np.int64)
+        return (batch.append_column("n_words", pa.array(n_words))
+                .append_column("mean_wl", pa.array(mean_wl))
+                .append_column("stop_hits", pa.array(stop_hits))
+                .append_column("top_frac", pa.array(top_frac))
+                .append_column("passes", pa.array(passes)))
+
+
 class Scrubber:
     """C4-style cleaning: mask URLs and e-mail addresses (``<URL>`` /
     ``<EMAIL>``), collapse runs of whitespace.  Patterns are chosen to
