@@ -4672,13 +4672,41 @@ def _q_window_rank(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# ---- gate-window rotation: the driver checks only the FIRST 50
+# queries() entries per round.  r01-r03 verified 108 distinct entries;
+# this round's window = the 3 new round-4 queries, the 2 repaired
+# driver rows (interval_union / json_extract_agg HUGEINT casts), the
+# crash-fixed join_groupby_salted, the 3 graph queries upgraded from
+# rows-only to value-hash oracles (mis / k_core / k_truss), and 41
+# never-driver-checked oracle-backed entries.  Every entry stays
+# registered; queries() reorders the full dict so the window leads.
+_GATE_HEAD = [
+    "cluster_split", "split_leakage", "gopher_gate",
+    "join_groupby_salted", "interval_union", "json_extract_agg",
+    "mis", "k_core", "k_truss",
+    "source_jaccard", "mad_outliers", "phonetic_blocks", "cube_agg",
+    "snm_pairs", "selection_quantile", "string_agg",
+    "hopping_distinct", "outer_join", "rolling_time_sum",
+    "mode_per_group", "adamic_adar", "bfs_hops", "decontaminate",
+    "triangles", "knn_lsh_oracle", "pagerank_oracle",
+    "similarity_join", "connected_components", "nb_lang",
+    "mixture_sample", "weighted_sample", "importance_sample",
+    "pack_greedy", "shard_stats", "multi_join", "rolling_avg",
+    "topk_group", "pivot", "p90_agg", "curate_oracle",
+    "hist_quantile", "stratified_sample", "interleave",
+    "bottomk_sample", "repetition", "tfidf_topk", "unigram_logprob",
+    "scrub", "salted_agg", "split_assign",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    q = _all_queries()
+    return {**{k: q[k] for k in _GATE_HEAD},
+            **{k: v for k, v in q.items() if k not in _GATE_HEAD}}
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # ---- gate-window rotation: the driver checks only the
-        # FIRST 50 entries per round.  r01/r02 verified the
-        # original head; this round rotates the previously
-        # driver-unchecked queries (plus the new forced-plan
-        # variants) into the window.  All entries stay present.
         # -- new in round 4 --
         "cluster_split": _q_cluster_split,
         "split_leakage": _q_split_leakage,

@@ -189,3 +189,72 @@ def test_hll_merge_equals_single_pass(n, cut_frac, seed):
     # makes linear counting undercount by ~1, which dwarfs the
     # relative bound long before the sketch's variance regime applies.
     assert abs(est - n) <= max(2.0, n * 5 * 1.04 / 64)
+
+
+# --- GopherGate signals ≡ pure-python reference --------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.sampled_from("abcdefg THE.a9 "), max_size=120),
+    min_size=1, max_size=8))
+def test_gopher_gate_matches_reference(texts):
+    """The batch kernel equals a word-at-a-time reference on arbitrary
+    text (mixed case, digits, punctuation, empties)."""
+    import re
+
+    from textgraphs_ray.stages.text import GopherGate
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got = GopherGate()(batch).to_pylist()
+    for t, r in zip(texts, got):
+        words = re.findall(r"[a-z]+", (t or "").lower())
+        if not words:
+            assert (r["n_words"], r["passes"]) == (0, 0)
+            continue
+        assert r["n_words"] == len(words)
+        assert r["mean_wl"] == round(
+            sum(map(len, words)) / len(words), 6)
+        assert r["stop_hits"] == len(
+            set(words) & {"a", "the", "of", "to", "and"})
+        assert r["top_frac"] == round(
+            max(words.count(w) for w in set(words)) / len(words), 6)
+        want = int(20 <= r["n_words"] <= 90
+                   and 3.5 <= r["mean_wl"] <= 6.0
+                   and r["stop_hits"] >= 1 and r["top_frac"] <= 0.2)
+        assert r["passes"] == want
+
+
+# --- leakage_safe_split fence property ------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                max_size=30))
+def test_leakage_split_fence_on_random_graphs(ray_session, raw_edges):
+    """On ANY graph, no edge (≈ dup pair) straddles the split fence,
+    and the assignment equals md5_frac of the brute-force component
+    label."""
+    import ray.data as rd
+
+    from textgraphs_ray.stages.sampling import (leakage_safe_split,
+                                                md5_frac)
+
+    edges = sorted({(f"n{min(a, b)}", f"n{max(a, b)}")
+                    for a, b in raw_edges if a != b})
+    nodes = sorted({x for e in edges for x in e} | {"n99"})
+    out = leakage_safe_split(
+        rd.from_arrow(pa.table({"key": pa.array(nodes)})),
+        rd.from_arrow(pa.table({
+            "key_a": pa.array([a for a, _ in edges], pa.string()),
+            "key_b": pa.array([b for _, b in edges], pa.string())})),
+        splits={"train": 0.7, "test": 0.3}).take_all()
+    split_of = {r["key"]: r["split"] for r in out}
+    assert set(split_of) == set(nodes)
+    for a, b in edges:                       # the fence
+        assert split_of[a] == split_of[b], (a, b)
+    comp = _brute_components(nodes, edges)
+    for n in nodes:                          # exact md5 rule
+        want = "train" if md5_frac([comp[n]])[0] < 0.7 else "test"
+        assert split_of[n] == want, n
