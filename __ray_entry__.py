@@ -1832,6 +1832,97 @@ def _q_gopher_gate(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_welch_t(sf_dir: str):
+    """Welch's unequal-variance t-test between every source pair
+    (stages/stats.py welch_t_pairs): per-source (n, Σx, Σx²) exact
+    int64 sufficient statistics from ONE combiner-fed groupby over
+    doc char counts; the k(k−1)/2 driver pair loop computes t and the
+    Welch–Satterthwaite df from the same integers the SQL replay
+    sums, float op-order mirrored term by term — 6dp bit-parity."""
+    from textgraphs_ray.stages.stats import welch_t_pairs
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+    return welch_t_pairs(ds, value_col="n_chars", group_col="source")
+
+
+def _q_ks_test(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov distance between every
+    source pair's doc-length ECDF (stages/stats.py ks_pairs): one
+    (value, source) count groupby is the only pass; the max CDF gap
+    folds on the driver as exact integer cross-differences
+    |c_a·n_b − c_b·n_a| (ties → smallest value), one division at the
+    end — the SQL window replay is bit-parity."""
+    from textgraphs_ray.stages.stats import ks_pairs
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+    return ks_pairs(ds, value_col="n_chars", group_col="source")
+
+
+def _q_gini_group(sf_dir: str):
+    """Gini concentration of order value within each priority class
+    (stages/stats.py gini_group): one groupby shuffle, in-group
+    ascending sort feeding the exact integer rank-weighted identity
+    (prices scaled to cents) — tie-invariant, so the SQL
+    row_number() replay hash-matches."""
+    from textgraphs_ray.stages.stats import gini_group
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "cents": pa.array(cents)})
+
+    return gini_group(ds.map_batches(to_cents, batch_format="pyarrow"),
+                      value_col="cents", group_col="o_orderpriority")
+
+
+def _scc_edges(sf_dir: str):
+    """Directed transition graph: consecutive-line part hops within
+    each order of a deterministic 1-in-11 order sample, part space
+    coarsened mod 1009 — both bounds keep the closure (and its
+    recursive-CTE oracle, whose reach×edges join grows with graph
+    density) tractable at every sf while the edge extraction still
+    streams the full table."""
+    from textgraphs_ray.stages.scc import order_transition_edges
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_partkey"])
+    def sample(t: pa.Table) -> pa.Table:
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % 11 == 0))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    return order_transition_edges(sampled, bucket_col="l_orderkey",
+                                  seq_col="l_linenumber",
+                                  item_col="l_partkey", mod=1009)
+
+
+def _q_scc(sf_dir: str):
+    """Strongly connected components of the order-transition part
+    graph (stages/scc.py scc): mutual-reachability clusters of a
+    DIRECTED graph — driver Kosaraju plan over the bounded deduped
+    edge list; canonical min-member labels, value-hash gated against
+    the recursive-CTE mutual-reachability replay."""
+    from textgraphs_ray.stages.scc import scc
+
+    return scc(_scc_edges(sf_dir))
+
+
+def _q_scc_distributed(sf_dir: str):
+    """Forced-plan sibling of ``scc``: the forward–backward min-label
+    coloring loop (every step a Dataset op — shuffle_join label
+    attach, min groupby, pinned repartition per round).
+    Output-identical; shares the driver plan's oracle, putting the
+    distributed directed closure itself under the value-hash gate."""
+    from textgraphs_ray.stages.scc import scc_distributed
+
+    return scc_distributed(_scc_edges(sf_dir))
+
+
 def _q_connected_components_distributed(sf_dir: str):
     """Forced-plan sibling: ``driver_threshold=0`` routes through the
     distributed join + groupby-min + pointer-jump loop instead of the
@@ -4681,6 +4772,7 @@ def _q_window_rank(sf_dir: str):
 # never-driver-checked oracle-backed entries.  Every entry stays
 # registered; queries() reorders the full dict so the window leads.
 _GATE_HEAD = [
+    "scc", "scc_distributed", "welch_t", "ks_test", "gini_group",
     "cluster_split", "split_leakage", "gopher_gate",
     "join_groupby_salted", "interval_union", "json_extract_agg",
     "mis", "k_core", "k_truss",
@@ -4694,8 +4786,7 @@ _GATE_HEAD = [
     "pack_greedy", "shard_stats", "multi_join", "rolling_avg",
     "topk_group", "pivot", "p90_agg", "curate_oracle",
     "hist_quantile", "stratified_sample", "interleave",
-    "bottomk_sample", "repetition", "tfidf_topk", "unigram_logprob",
-    "scrub", "salted_agg", "split_assign",
+    "bottomk_sample", "repetition",
 ]
 
 
@@ -4708,6 +4799,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new in round 4 --
+        "scc": _q_scc,
+        "scc_distributed": _q_scc_distributed,
+        "welch_t": _q_welch_t,
+        "ks_test": _q_ks_test,
+        "gini_group": _q_gini_group,
         "cluster_split": _q_cluster_split,
         "split_leakage": _q_split_leakage,
         "gopher_gate": _q_gopher_gate,
@@ -4938,7 +5034,8 @@ def oracle_sql() -> dict[str, str]:
                         ("group_zscore_joinplan", "group_zscore"),
                         ("join_groupby_salted", "join_groupby"),
                         ("connected_components_distributed",
-                         "connected_components")):
+                         "connected_components"),
+                        ("scc_distributed", "scc")):
         sqls[alias] = sqls[base]
     sqls["pagerank_oracle"] = _pagerank_oracle_sql()
     sqls["pagerank_oracle_distributed"] = sqls["pagerank_oracle"]
@@ -4955,6 +5052,126 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "scc": """
+            WITH RECURSIVE seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), nodes AS (
+              SELECT u AS n FROM e UNION SELECT v FROM e
+            ), reach(a, b) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.a, e2.v FROM reach r JOIN e e2 ON e2.u = r.b
+            ), mut AS (
+              SELECT r1.a AS n, r1.b AS m
+              FROM reach r1 JOIN reach r2
+                ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT nodes.n AS node,
+                   CAST(least(nodes.n, coalesce(min(mut.m), nodes.n))
+                        AS BIGINT) AS scc_id
+            FROM nodes LEFT JOIN mut ON mut.n = nodes.n
+            GROUP BY nodes.n
+        """,
+        "welch_t": """
+            WITH g AS (
+              SELECT source AS g, count(*) AS n,
+                     sum(CAST(n_chars AS BIGINT)) AS s1,
+                     sum(CAST(n_chars AS BIGINT)
+                         * CAST(n_chars AS BIGINT)) AS s2
+              FROM documents GROUP BY source
+            ), p AS (
+              SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+                     (CAST(a.s2 AS DOUBLE)
+                      - CAST(a.s1 * a.s1 AS DOUBLE) / a.n)
+                         / (a.n - 1) AS va,
+                     (CAST(b.s2 AS DOUBLE)
+                      - CAST(b.s1 * b.s1 AS DOUBLE) / b.n)
+                         / (b.n - 1) AS vb,
+                     CAST(a.s1 AS DOUBLE) / a.n AS ma,
+                     CAST(b.s1 AS DOUBLE) / b.n AS mb
+              FROM g a JOIN g b ON a.g < b.g
+              WHERE a.n >= 2 AND b.n >= 2
+            )
+            SELECT g_a, g_b, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round((ma - mb) / sqrt(va / n_a + vb / n_b), 6)
+                       AS t_stat,
+                   round((va / n_a + vb / n_b)
+                         * (va / n_a + vb / n_b)
+                         / ((va / n_a) * (va / n_a) / (n_a - 1)
+                            + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6)
+                       AS df
+            FROM p WHERE va / n_a + vb / n_b > 0
+        """,
+        "ks_test": """
+            WITH vals AS (
+              SELECT DISTINCT CAST(n_chars AS BIGINT) AS v
+              FROM documents
+            ), cnt AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+                     count(*) AS c
+              FROM documents GROUP BY source, v
+            ), tot AS (
+              SELECT source AS g, count(*) AS n
+              FROM documents GROUP BY source
+            ), grid AS (
+              SELECT t.g, t.n, vals.v, coalesce(c.c, 0) AS c
+              FROM tot t CROSS JOIN vals
+              LEFT JOIN cnt c ON c.g = t.g AND c.v = vals.v
+            ), cum AS (
+              SELECT g, n, v,
+                     sum(c) OVER (PARTITION BY g ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS cc
+              FROM grid
+            ), diffs AS (
+              SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+                     a.v AS v, abs(a.cc * b.n - b.cc * a.n) AS num
+              FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+            ), best AS (
+              SELECT g_a, g_b, n_a, n_b, max(num) AS best
+              FROM diffs GROUP BY g_a, g_b, n_a, n_b
+            )
+            SELECT d.g_a, d.g_b, CAST(d.n_a AS BIGINT) AS n_a,
+                   CAST(d.n_b AS BIGINT) AS n_b,
+                   round(CAST(b.best AS DOUBLE)
+                         / (CAST(d.n_a AS DOUBLE)
+                            * CAST(d.n_b AS DOUBLE)), 6) AS ks,
+                   CAST(min(d.v) AS BIGINT) AS at_v
+            FROM diffs d
+            JOIN best b USING (g_a, g_b)
+            WHERE d.num = b.best
+            GROUP BY d.g_a, d.g_b, d.n_a, d.n_b, b.best
+        """,
+        "gini_group": """
+            WITH w AS (
+              SELECT o_orderpriority AS grp,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS x
+              FROM orders
+            ), r AS (
+              SELECT grp, x,
+                     row_number() OVER (PARTITION BY grp ORDER BY x)
+                         AS i
+              FROM w
+            ), a AS (
+              SELECT grp, count(*) AS n, sum(x) AS sx,
+                     sum(i * x) AS six
+              FROM r GROUP BY grp
+            )
+            SELECT grp, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n = 0 OR sx = 0 THEN 0.0
+                        ELSE round(
+                            CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * CAST(sx AS DOUBLE)), 6)
+                   END AS gini
+            FROM a
+        """,
         "edit_join": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)

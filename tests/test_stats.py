@@ -273,3 +273,123 @@ def test_selection_quantile_empty(ray_session):
     out = selection_quantile(lambda: rd.from_arrow(t),
                              value_col="x", q=0.5, lo=0, hi=100)
     assert out.iloc[0]["n"] == 0
+
+
+# ---------------------------------------------------------------------------
+# welch_t_pairs / ks_pairs / gini_group (round 4)
+
+
+def _welch_expected(xs, ys):
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = (sum(v * v for v in xs) - sum(xs) ** 2 / na) / (na - 1)
+    vb = (sum(v * v for v in ys) - sum(ys) ** 2 / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1)
+                      + (vb / nb) ** 2 / (nb - 1))
+    return round(t, 6), round(df, 6)
+
+
+def test_welch_t_pairs_formula():
+    from textgraphs_ray.stages.stats import welch_t_pairs
+
+    xs = [10, 12, 9, 14, 11, 13]
+    ys = [20, 25, 22, 30]
+    df = welch_t_pairs(_mk(["a"] * len(xs) + ["b"] * len(ys),
+                           xs + ys),
+                       value_col="x", group_col="g")
+    assert list(df["g_a"]) == ["a"] and list(df["g_b"]) == ["b"]
+    t, dof = _welch_expected(xs, ys)
+    assert df["t_stat"][0] == pytest.approx(t, abs=1e-9)
+    assert df["df"][0] == pytest.approx(dof, abs=1e-6)
+
+
+def test_welch_t_pairs_skips_singletons():
+    from textgraphs_ray.stages.stats import welch_t_pairs
+
+    df = welch_t_pairs(_mk(["a", "a", "b"], [1, 2, 9]),
+                       value_col="x", group_col="g")
+    assert len(df) == 0
+
+
+def _ks_expected(xs, ys):
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    best, at = -1, None
+    for v in vals:
+        ca = sum(1 for x in xs if x <= v)
+        cb = sum(1 for y in ys if y <= v)
+        num = abs(ca * nb - cb * na)
+        if num > best:
+            best, at = num, v
+    return round(best / (na * nb), 6), at
+
+
+def test_ks_pairs_brute_force():
+    from textgraphs_ray.stages.stats import ks_pairs
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 30, 80).tolist()
+    ys = (rng.integers(5, 40, 50)).tolist()
+    df = ks_pairs(_mk(["a"] * len(xs) + ["b"] * len(ys), xs + ys),
+                  value_col="x", group_col="g")
+    ks, at = _ks_expected(xs, ys)
+    assert len(df) == 1
+    assert df["ks"][0] == pytest.approx(ks, abs=1e-9)
+    assert df["at_v"][0] == at
+    assert (df["n_a"][0], df["n_b"][0]) == (len(xs), len(ys))
+
+
+def test_ks_pairs_identical_distributions():
+    from textgraphs_ray.stages.stats import ks_pairs
+
+    xs = [1, 2, 3, 4] * 5
+    df = ks_pairs(_mk(["a"] * 20 + ["b"] * 20, xs + xs),
+                  value_col="x", group_col="g")
+    assert df["ks"][0] == 0.0
+
+
+def test_ks_pairs_all_group_pairs():
+    from textgraphs_ray.stages.stats import ks_pairs
+
+    df = ks_pairs(_mk(["a", "a", "b", "b", "c", "c"],
+                      [1, 2, 3, 4, 5, 6]),
+                  value_col="x", group_col="g")
+    assert sorted(zip(df["g_a"], df["g_b"])) == [
+        ("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def _gini_expected(xs):
+    x = sorted(xs)
+    n, sx = len(x), sum(x)
+    six = sum((i + 1) * v for i, v in enumerate(x))
+    return round((2 * six - (n + 1) * sx) / (n * sx), 6)
+
+
+def test_gini_group_formula():
+    from textgraphs_ray.stages.stats import gini_group
+
+    a = [10, 10, 10, 10]          # perfectly equal -> 0
+    b = [0, 0, 0, 100]            # concentrated -> (n-1)/n
+    got = {r["grp"]: (r["n"], r["gini"])
+           for r in gini_group(_mk(["a"] * 4 + ["b"] * 4, a + b),
+                               value_col="x",
+                               group_col="g").take_all()}
+    assert got["a"] == (4, 0.0)
+    assert got["b"] == (4, pytest.approx(0.75, abs=1e-9))
+    assert got["b"][1] == _gini_expected(b)
+
+
+def test_gini_group_zero_sum_and_random():
+    from textgraphs_ray.stages.stats import gini_group
+
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 10_000, 300).tolist()
+    got = {r["grp"]: r["gini"]
+           for r in gini_group(_mk(["z"] * 3 + ["r"] * 300,
+                                   [0, 0, 0] + xs),
+                               value_col="x",
+                               group_col="g").take_all()}
+    assert got["z"] == 0.0
+    assert got["r"] == pytest.approx(_gini_expected(xs), abs=1e-9)

@@ -631,3 +631,151 @@ def percentile_cont_exact(ds_fn, *, value_col: str, q: float,
         p = v1 * (1 - f) + v2 * f
     return pd.DataFrame({"n": np.array([n], np.int64),
                          "p": np.array([p])})
+
+
+def welch_t_pairs(ds: "ray.data.Dataset", *, value_col: str,
+                  group_col: str,
+                  max_groups: int = 10_000) -> pd.DataFrame:
+    """→ (g_a, g_b, n_a, n_b, t_stat, df) for every group pair
+    g_a < g_b: Welch's unequal-variance t statistic and its
+    Welch–Satterthwaite degrees of freedom — the "did this source's
+    doc-length distribution shift?" test that doesn't assume equal
+    variances.  ``value_col`` must be integral: per-group (n, Σx, Σx²)
+    sufficient statistics reduce through ONE combiner-fed groupby as
+    exact int64 (SQL: HUGEINT), so every downstream double is computed
+    from identical integers on both engines — the anova_f precedent.
+    The k(k−1)/2 pair loop runs on the driver over the bounded group
+    census (``max_groups`` guard); the data passes ONCE."""
+    stats = _group_sums(ds, value_col=value_col, group_col=group_col)
+    rows = sorted(stats.take_all(), key=lambda r: r[group_col])
+    if len(rows) > max_groups:
+        raise ValueError(f"{len(rows)} groups exceed max_groups="
+                         f"{max_groups}")
+
+    def var_mean(r) -> tuple[float, float]:
+        n, s1, s2 = r["n"], r["s1"], r["s2"]
+        # float op order mirrors the SQL text exactly
+        v = (float(s2) - float(s1 * s1) / n) / (n - 1)
+        return v, float(s1) / n
+
+    ga, gb, na, nb, ts, dfs = [], [], [], [], [], []
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            if a["n"] < 2 or b["n"] < 2:
+                continue
+            va_, ma = var_mean(a)
+            vb_, mb = var_mean(b)
+            se2 = va_ / a["n"] + vb_ / b["n"]
+            if se2 <= 0:
+                continue
+            t = (ma - mb) / np.sqrt(se2)
+            df = (se2 * se2) / (
+                (va_ / a["n"]) * (va_ / a["n"]) / (a["n"] - 1)
+                + (vb_ / b["n"]) * (vb_ / b["n"]) / (b["n"] - 1))
+            ga.append(a[group_col])
+            gb.append(b[group_col])
+            na.append(a["n"])
+            nb.append(b["n"])
+            ts.append(round(float(t), 6))
+            dfs.append(round(float(df), 6))
+    return pd.DataFrame({
+        "g_a": ga, "g_b": gb,
+        "n_a": np.array(na, np.int64), "n_b": np.array(nb, np.int64),
+        "t_stat": np.array(ts), "df": np.array(dfs)})
+
+
+def ks_pairs(ds: "ray.data.Dataset", *, value_col: str,
+             group_col: str,
+             max_cells: int = 2_000_000) -> pd.DataFrame:
+    """→ (g_a, g_b, n_a, n_b, ks, at_v) for every group pair
+    g_a < g_b: the exact two-sample Kolmogorov–Smirnov statistic
+    max_v |F_a(v) − F_b(v)| over the empirical CDFs of ``value_col``,
+    plus the smallest value attaining it — the distribution-shift
+    detector behind "did the crawl's length profile drift this
+    snapshot?".  ONE combiner-fed (value, group) count groupby is the
+    only pass over the data; the driver folds the bounded
+    (ndv × groups ≤ ``max_cells``) census with EXACT integer
+    cross-differences |c_a·n_b − c_b·n_a| (ties in the max broken by
+    smallest value, deterministically), dividing once at the end —
+    bit-parity with the SQL window replay."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "v": t.column(value_col).to_numpy(zero_copy_only=False),
+            "g": t.column(group_col).to_pandas()})
+        agg = (df.groupby(["v", "g"], sort=False).size()
+               .reset_index(name="c"))
+        return pa.table({"v": pa.array(agg["v"].to_numpy(np.int64)),
+                         "g": pa.array(agg["g"]),
+                         "c": pa.array(agg["c"].to_numpy(np.int64))})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["v", "g"]).aggregate(_Sum("c", alias_name="c"))
+             .take_all())
+    if len(cells) > max_cells:
+        raise ValueError(f"{len(cells)} (value, group) cells exceed "
+                         f"max_cells={max_cells}")
+    piv: dict = {}
+    totals: dict = {}
+    for r in cells:
+        piv.setdefault(r["v"], {})[r["g"]] = r["c"]
+        totals[r["g"]] = totals.get(r["g"], 0) + r["c"]
+    groups = sorted(totals)
+    values = sorted(piv)
+    cum = {g: np.cumsum([piv[v].get(g, 0) for v in values])
+           for g in groups}
+    ga, gb, na, nb, ks, atv = [], [], [], [], [], []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            num = np.abs(cum[a] * totals[b] - cum[b] * totals[a])
+            best = int(num.max())
+            at = values[int(np.argmax(num))]   # first max ⇒ min value
+            ga.append(a)
+            gb.append(b)
+            na.append(totals[a])
+            nb.append(totals[b])
+            ks.append(round(float(best) / float(totals[a] * totals[b]),
+                            6))
+            atv.append(at)
+    return pd.DataFrame({
+        "g_a": ga, "g_b": gb,
+        "n_a": np.array(na, np.int64), "n_b": np.array(nb, np.int64),
+        "ks": np.array(ks), "at_v": np.array(atv, np.int64)})
+
+
+def gini_group(ds: "ray.data.Dataset", *, value_col: str,
+               group_col: str) -> "ray.data.Dataset":
+    """→ (group, n, gini): the Gini concentration coefficient of a
+    non-negative integral ``value_col`` within each group — the
+    "is this source's size distribution dominated by a few giant
+    docs?" inequality gauge.  ONE groupby shuffle; inside each group a
+    vectorized ascending sort feeds the exact integer identity
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) — the rank-weighted sum is
+    tie-invariant (equal values contribute x·Σi whatever their
+    order), so the statistic is deterministic and the SQL
+    row_number() replay is bit-parity.  Groups must individually fit
+    a worker (the map_groups contract); the rank weighting never
+    leaves the group."""
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        x = np.sort(g[value_col].to_numpy(np.int64))
+        n = len(x)
+        sx = int(x.sum())
+        if n and int(x.max()) > (2 ** 62) // n:
+            # numpy int64 would wrap where SQL HUGEINT doesn't —
+            # exact arbitrary-precision fallback for huge values
+            six = sum((i + 1) * int(val) for i, val in enumerate(x))
+        else:
+            six = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+        if n == 0 or sx == 0:
+            gini = 0.0
+        else:
+            gini = float(2 * six - (n + 1) * sx) / (float(n) * float(sx))
+        return pa.table({
+            "grp": pa.array([g[group_col].iloc[0]]),
+            "n": pa.array([n], pa.int64()),
+            "gini": pa.array([round(gini, 6)], pa.float64())})
+
+    return (ds.groupby(group_col)
+            .map_groups(fold, batch_format="pandas"))
