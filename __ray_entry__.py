@@ -1923,6 +1923,90 @@ def _q_scc_distributed(sf_dir: str):
     return scc_distributed(_scc_edges(sf_dir))
 
 
+def _sssp_edges(sf_dir: str):
+    """Weighted sibling of the SCC transition graph: same 1-in-11
+    order sample and mod-1009 part coarsening, each edge carrying
+    w = min destination l_quantity over contributing transitions
+    (integral doubles, cast exact on both sides)."""
+    from textgraphs_ray.stages.scc import order_transition_edges
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_partkey", "l_quantity"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % 11 == 0))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    return order_transition_edges(sampled, bucket_col="l_orderkey",
+                                  seq_col="l_linenumber",
+                                  item_col="l_partkey", mod=1009,
+                                  weight_col="l_quantity")
+
+
+def _q_sssp(sf_dir: str):
+    """Hop-bounded weighted single-source shortest path
+    (stages/scc.py sssp): dist(v) = min total weight over source→v
+    paths of ≤ 4 edges on the weighted order-transition graph,
+    source = the min node id (computed the same way the SQL replay's
+    scalar subquery does).  Driver Bellman–Ford kernel over the
+    bounded edge collect; the 4-hop bound is part of the semantics,
+    mirrored by the recursive walk's hop guard."""
+    from ray.data.aggregate import Min as _Min
+
+    from textgraphs_ray.stages.scc import sssp
+
+    edges = _sssp_edges(sf_dir)
+    src = edges.aggregate(_Min("u", alias_name="s"))["s"]
+    return sssp(edges, source=int(src), max_hops=4)
+
+
+def _q_sssp_distributed(sf_dir: str):
+    """Forced-plan sibling of ``sssp``: every relaxation round is one
+    shuffle_join (dist ⋈ edges) + min groupby with per-round pinned
+    blocks — the distributed Bellman–Ford.  Output-identical; shares
+    the driver plan's oracle."""
+    from ray.data.aggregate import Min as _Min
+
+    from textgraphs_ray.stages.scc import sssp_distributed
+
+    edges = _sssp_edges(sf_dir)
+    src = edges.aggregate(_Min("u", alias_name="s"))["s"]
+    return sssp_distributed(edges, source=int(src), max_hops=4)
+
+
+def _q_unpivot(sf_dir: str):
+    """UNPIVOT (wide→long melt) of the four lineitem measures — the
+    relational-surface inverse of ``pivot``: one output row per
+    (line, measure), values rounded to 4dp doubles.  Pure per-batch
+    column stacking (four zero-copy projections concatenated), no
+    shuffle, embarrassingly parallel at any scale."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount", "l_tax"])
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = t.column("l_linenumber").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        outs = []
+        for mcol in measures:
+            vals = np.round(t.column(mcol).to_numpy(
+                zero_copy_only=False).astype(np.float64), 4)
+            outs.append(pa.table({
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_linenumber": pa.array(ln),
+                "measure": pa.array(np.repeat(mcol, n)),
+                "value": pa.array(vals)}))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def _q_connected_components_distributed(sf_dir: str):
     """Forced-plan sibling: ``driver_threshold=0`` routes through the
     distributed join + groupby-min + pointer-jump loop instead of the
@@ -4772,6 +4856,7 @@ def _q_window_rank(sf_dir: str):
 # never-driver-checked oracle-backed entries.  Every entry stays
 # registered; queries() reorders the full dict so the window leads.
 _GATE_HEAD = [
+    "sssp", "sssp_distributed", "unpivot",
     "scc", "scc_distributed", "welch_t", "ks_test", "gini_group",
     "cluster_split", "split_leakage", "gopher_gate",
     "join_groupby_salted", "interval_union", "json_extract_agg",
@@ -4799,6 +4884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new in round 4 --
+        "sssp": _q_sssp,
+        "sssp_distributed": _q_sssp_distributed,
+        "unpivot": _q_unpivot,
         "scc": _q_scc,
         "scc_distributed": _q_scc_distributed,
         "welch_t": _q_welch_t,
@@ -5035,7 +5123,8 @@ def oracle_sql() -> dict[str, str]:
                         ("join_groupby_salted", "join_groupby"),
                         ("connected_components_distributed",
                          "connected_components"),
-                        ("scc_distributed", "scc")):
+                        ("scc_distributed", "scc"),
+                        ("sssp_distributed", "sssp")):
         sqls[alias] = sqls[base]
     sqls["pagerank_oracle"] = _pagerank_oracle_sql()
     sqls["pagerank_oracle_distributed"] = sqls["pagerank_oracle"]
@@ -5052,6 +5141,44 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "sssp": """
+            WITH RECURSIVE seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p,
+                     CAST(l_quantity AS BIGINT) AS q
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e AS (
+              SELECT a.p AS u, b.p AS v, min(b.q) AS w
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p GROUP BY a.p, b.p
+            ), src AS (
+              SELECT min(u) AS s FROM e
+            ), walk(node, d, h) AS (
+              SELECT s, CAST(0 AS BIGINT), 0 FROM src
+              UNION
+              SELECT e.v, walk.d + e.w, walk.h + 1
+              FROM walk JOIN e ON e.u = walk.node
+              WHERE walk.h < 4
+            )
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY node
+        """,
+        "unpivot": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+                       AS l_linenumber,
+                   m.measure,
+                   round(CASE m.measure
+                       WHEN 'l_quantity' THEN l_quantity
+                       WHEN 'l_extendedprice' THEN l_extendedprice
+                       WHEN 'l_discount' THEN l_discount
+                       ELSE l_tax END, 4) AS value
+            FROM lineitem
+            CROSS JOIN (
+              SELECT 'l_quantity' AS measure UNION ALL
+              SELECT 'l_extendedprice' UNION ALL
+              SELECT 'l_discount' UNION ALL
+              SELECT 'l_tax') m
+        """,
         "scc": """
             WITH RECURSIVE seq AS (
               SELECT l_orderkey AS o, l_linenumber AS i,

@@ -60,6 +60,7 @@ MAX_DRIVER_EDGES = 2_000_000
 def order_transition_edges(ds: "ray.data.Dataset", *,
                            bucket_col: str, seq_col: str,
                            item_col: str, mod: int,
+                           weight_col: str | None = None,
                            num_partitions: int = 16
                            ) -> "ray.data.Dataset":
     """→ distinct directed edges (u, v): consecutive-step transitions
@@ -70,21 +71,42 @@ def order_transition_edges(ds: "ray.data.Dataset", *,
     vectorized in-group self-merge on ``seq + 1`` (duplicate seq
     values join CROSSWISE — equi-join semantics, so the SQL replay's
     ``b.i = a.i + 1`` join matches exactly), then a distinct groupby
-    on the (u, v) pair."""
+    on the (u, v) pair.
+
+    With ``weight_col``, each edge additionally carries ``w`` = the
+    MIN of the destination row's weight over every contributing
+    transition (a per-batch combiner feeds the same distinct groupby,
+    so the shuffle moves one partial min per (u, v) per group, never
+    the raw pairs) — the weighted-graph input for :func:`sssp`."""
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         seq = g[seq_col].to_numpy(np.int64)
         item = (g[item_col].to_numpy(np.int64) % mod)
         a = pd.DataFrame({"i": seq, "u": item})
-        b = pd.DataFrame({"i": seq - 1, "v": item})
+        cols = {"i": seq - 1, "v": item}
+        if weight_col is not None:
+            cols["w"] = g[weight_col].to_numpy(np.int64)
+        b = pd.DataFrame(cols)
         m = a.merge(b, on="i")
         m = m[m["u"] != m["v"]]
+        out = {"u": pa.array(m["u"].to_numpy(np.int64)),
+               "v": pa.array(m["v"].to_numpy(np.int64))}
+        if weight_col is not None:
+            # per-group combiner: one partial min per (u, v)
+            m = (m.groupby(["u", "v"], sort=False)["w"].min()
+                 .reset_index())
+            out = {"u": pa.array(m["u"].to_numpy(np.int64)),
+                   "v": pa.array(m["v"].to_numpy(np.int64)),
+                   "w": pa.array(m["w"].to_numpy(np.int64))}
         # Arrow out: this feeds a distinct groupby (repo invariant)
-        return pa.table({"u": pa.array(m["u"].to_numpy(np.int64)),
-                         "v": pa.array(m["v"].to_numpy(np.int64))})
+        return pa.table(out)
 
     raw = (ds.groupby(bucket_col)
            .map_groups(pairs, batch_format="pandas"))
+    if weight_col is not None:
+        return (raw.groupby(["u", "v"])
+                .aggregate(Min("w", alias_name="w"))
+                .repartition(num_partitions).materialize())
     return (raw.groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
             .select_columns(["u", "v"])
             .repartition(num_partitions).materialize())
@@ -360,3 +382,92 @@ def scc_distributed(edges: "ray.data.Dataset", *, u: str = "u",
         return ray.data.from_arrow(empty)
     out = pa.concat_tables(settled).sort_by("node")
     return ray.data.from_arrow(out)
+
+
+def sssp(edges: "ray.data.Dataset", *, source: int, max_hops: int,
+         u: str = "u", v: str = "v", w: str = "w",
+         max_edges: int = MAX_DRIVER_EDGES) -> "ray.data.Dataset":
+    """→ (node, dist): hop-bounded single-source shortest path over a
+    DIRECTED weighted edge list — ``dist(v)`` = min total weight over
+    paths source→v with at most ``max_hops`` edges (the weighted
+    upgrade of :func:`~.triangle.bfs_hops`; reference parity target is
+    the hop-distance analytics of textgraphs `graph.py`, extended to
+    weights).  The hop bound is part of the SEMANTICS, mirrored by the
+    SQL replay's recursive walk bound — on a graph whose shortest-path
+    trees are shallower than ``max_hops`` it equals true SSSP.
+
+    Driver-kernel plan: bounded edge collect (``max_edges``, the
+    ``_driver_union_find`` contract) + ``max_hops`` vectorized
+    Bellman–Ford relaxation rounds in numpy.  Route bigger graphs
+    through :func:`sssp_distributed` (output-identical, parity-tested,
+    shares this plan's oracle)."""
+    pinned = edges.select_columns([u, v, w]).materialize()
+    n = pinned.count()
+    if n > max_edges:
+        raise ValueError(f"{n} edges exceed max_edges={max_edges}; "
+                         f"use sssp_distributed")
+    parts = [t for t in (ray.get(r) for r in pinned.to_arrow_refs())
+             if t.num_rows]
+    if not parts:
+        out = pa.table({"node": pa.array([source], pa.int64()),
+                        "dist": pa.array([0], pa.int64())})
+        return ray.data.from_arrow(out)
+    tbl = pa.concat_tables(parts)
+    ua = tbl.column(u).to_numpy(zero_copy_only=False).astype(np.int64)
+    va = tbl.column(v).to_numpy(zero_copy_only=False).astype(np.int64)
+    wa = tbl.column(w).to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([ua, va, [source]]),
+                           return_inverse=True)
+    ui, vi = inv[:len(ua)], inv[len(ua):-1]
+    INF = np.iinfo(np.int64).max // 4
+    dist = np.full(len(nodes), INF, np.int64)
+    dist[inv[-1]] = 0
+    for _ in range(max_hops):
+        # relax every edge against the CURRENT dist: after round h,
+        # dist = min cost over paths with <= h edges (Bellman-Ford)
+        cand = dist[ui] + wa
+        nxt = dist.copy()
+        np.minimum.at(nxt, vi, cand)
+        if np.array_equal(nxt, dist):
+            break
+        dist = nxt
+    keep = dist < INF
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes[keep]),
+        "dist": pa.array(dist[keep])}))
+
+
+def sssp_distributed(edges: "ray.data.Dataset", *, source: int,
+                     max_hops: int, u: str = "u", v: str = "v",
+                     w: str = "w",
+                     num_partitions: int = 16) -> "ray.data.Dataset":
+    """→ (node, dist): distributed plan for :func:`sssp` — each
+    relaxation round is one ``shuffle_join`` (dist ⋈ edges on the
+    source endpoint, emitting ``dist + w`` at the destination) and one
+    min groupby, blocks re-pinned per round (the closure-loop
+    invariant).  Early-exits when a round changes nothing (dist values
+    only decrease, so the (count, sum) pair is a fixpoint witness).
+    Per-round state is one (node, dist) table — never the payload."""
+    e = (edges.select_columns([u, v, w])
+         .rename_columns({u: "u", v: "v", w: "w"})
+         .repartition(num_partitions).materialize())
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+        "dist": pa.array([0], pa.int64())}))
+    prev = None
+    for _ in range(max_hops):
+        moved = shuffle_join(
+            e, dist, "u", "node", num_partitions,
+            project=lambda m: pd.DataFrame({
+                "node": m["v"].to_numpy(np.int64),
+                "dist": m["dist"].to_numpy(np.int64)
+                        + m["w"].to_numpy(np.int64)}))
+        dist = (dist.union(moved)
+                .groupby("node").aggregate(Min("dist", alias_name="dist"))
+                .repartition(num_partitions).materialize())
+        wit = (dist.count(),
+               dist.aggregate(Sum("dist", alias_name="s"))["s"])
+        if wit == prev:
+            break
+        prev = wit
+    return dist
