@@ -4845,6 +4845,76 @@ def _q_window_rank(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# round-4 batch 2: one-to-one assignment (ER's last mile)
+
+
+def _ps_pairs(sf_dir: str):
+    """Weighted bipartite part–supplier pair stream: u = part id
+    coarsened mod 1009, v = supplier id offset by 100000 (disjoint id
+    spaces so u < v always), w = Σ l_quantity as exact int64.
+    Per-batch combiner pre-sums each (u, v) before the one global
+    groupby — the exchange moves one row per pair per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = (t.column("l_partkey").to_numpy(zero_copy_only=False)
+             % 1009).astype(np.int64)
+        s = (t.column("l_suppkey").to_numpy(zero_copy_only=False)
+             + 100000).astype(np.int64)
+        q = np.round(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        key = p * 1_000_000 + s
+        order = np.argsort(key, kind="stable")
+        key, q = key[order], q[order]
+        first = np.concatenate([[True], key[1:] != key[:-1]])
+        idx = np.flatnonzero(first)
+        return pa.table({"u": pa.array(key[first] // 1_000_000),
+                         "v": pa.array(key[first] % 1_000_000),
+                         "w": pa.array(np.add.reduceat(q, idx))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Sum("w", alias_name="w")))
+
+
+def _q_mutual_match(sf_dir: str):
+    """Reciprocal-top-1 linkage filter (stages/matching.py
+    mutual_best_pairs): keep a part–supplier pair iff it is the
+    best-weight incident pair of BOTH endpoints under the strict
+    total order (w DESC, u, v).  Doubled stream → per-batch combiner
+    → one groupby argmax → one count-2 groupby; no joins."""
+    from textgraphs_ray.stages.matching import mutual_best_pairs
+
+    return mutual_best_pairs(_ps_pairs(sf_dir))
+
+
+def _q_greedy_matching(sf_dir: str):
+    """Greedy 1-1 maximum-weight matching, driver plan
+    (stages/matching.py greedy_weight_matching): sequential scan by
+    (w DESC, u, v) over the bounded collected pair list; accept when
+    both endpoints are free.  Value-hash gated against the unrolled
+    locally-dominant SQL replay."""
+    from textgraphs_ray.stages.matching import greedy_weight_matching
+
+    return greedy_weight_matching(_ps_pairs(sf_dir), plan="driver")
+
+
+def _q_greedy_matching_distributed(sf_dir: str):
+    """Forced-alternate physical plan for `greedy_matching`: the
+    parallel locally-dominant fixpoint (per round, mutual-best pairs
+    retire with their endpoints) — equals the sequential greedy under
+    the strict total pair order; shares the driver plan's oracle."""
+    from textgraphs_ray.stages.matching import greedy_weight_matching
+
+    return greedy_weight_matching(_ps_pairs(sf_dir),
+                                  plan="distributed",
+                                  num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
 
 
 # ---- gate-window rotation: the driver checks only the FIRST 50
@@ -4856,6 +4926,7 @@ def _q_window_rank(sf_dir: str):
 # never-driver-checked oracle-backed entries.  Every entry stays
 # registered; queries() reorders the full dict so the window leads.
 _GATE_HEAD = [
+    "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "sssp", "sssp_distributed", "unpivot",
     "scc", "scc_distributed", "welch_t", "ks_test", "gini_group",
     "cluster_split", "split_leakage", "gopher_gate",
@@ -4884,6 +4955,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new in round 4 --
+        "mutual_match": _q_mutual_match,
+        "greedy_matching": _q_greedy_matching,
+        "greedy_matching_distributed": _q_greedy_matching_distributed,
         "sssp": _q_sssp,
         "sssp_distributed": _q_sssp_distributed,
         "unpivot": _q_unpivot,
@@ -5136,11 +5210,79 @@ def oracle_sql() -> dict[str, str]:
     sqls["mis"] = _mis_oracle_sql()
     sqls["k_core"] = _k_core_oracle_sql()
     sqls["k_truss"] = _k_truss_oracle_sql()
+    sqls["greedy_matching"] = _greedy_matching_oracle_sql()
+    sqls["greedy_matching_distributed"] = sqls["greedy_matching"]
     return sqls
+
+
+def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
+    """Unrolled locally-dominant replay of the greedy 1-1 matching
+    over the part–supplier pair table (stages/matching.py
+    greedy_weight_matching; _mis_oracle_sql-style unrolling — the
+    fixpoint is non-monotone).  Per round: each node's best incident
+    pair under (w DESC, u, v) via one window, pairs that are best at
+    BOTH endpoints join the matching, their endpoints' other pairs
+    retire.  Equals the sequential greedy scan under the strict total
+    pair order (Preis 1999).  ``rounds`` must cover the fixpoint
+    depth — measured 4/5/5 rounds at sf0.001/0.01/0.1; the Ray side
+    raises if ITS budget (50) is exhausted, so a mismatch can only
+    mean rounds < true depth."""
+    parts = ["""
+        WITH s0 AS MATERIALIZED (
+          SELECT CAST(l_partkey % 1009 AS BIGINT) AS u,
+                 CAST(l_suppkey + 100000 AS BIGINT) AS v,
+                 CAST(sum(l_quantity) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2
+        )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        , b{i} AS MATERIALIZED (
+          SELECT n, u, v FROM (
+            SELECT n, u, v, row_number() OVER (
+              PARTITION BY n ORDER BY w DESC, u, v) AS rn
+            FROM (SELECT u AS n, u, v, w FROM s{i - 1}
+                  UNION ALL
+                  SELECT v AS n, u, v, w FROM s{i - 1}) t) q
+          WHERE rn = 1
+        ), l{i} AS MATERIALIZED (
+          SELECT s.u, s.v, s.w FROM s{i - 1} s
+          JOIN b{i} ba ON ba.n = s.u AND ba.u = s.u AND ba.v = s.v
+          JOIN b{i} bb ON bb.n = s.v AND bb.u = s.u AND bb.v = s.v
+        ), m{i} AS MATERIALIZED (
+          SELECT u AS node FROM l{i} UNION SELECT v FROM l{i}
+        ), s{i} AS MATERIALIZED (
+          SELECT u, v, w FROM s{i - 1}
+          WHERE u NOT IN (SELECT node FROM m{i})
+            AND v NOT IN (SELECT node FROM m{i})
+        )""")
+    taken = "\n          UNION ALL ".join(
+        f"SELECT u, v, w FROM l{i}" for i in range(1, rounds + 1))
+    return "".join(parts) + f"""
+        SELECT u, v, w FROM ({taken})
+    """
 
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "mutual_match": """
+            WITH pr AS (
+              SELECT CAST(l_partkey % 1009 AS BIGINT) AS u,
+                     CAST(l_suppkey + 100000 AS BIGINT) AS v,
+                     CAST(sum(l_quantity) AS BIGINT) AS w
+              FROM lineitem GROUP BY 1, 2
+            ), d AS (
+              SELECT u AS n, u, v, w FROM pr
+              UNION ALL SELECT v AS n, u, v, w FROM pr
+            ), b AS (
+              SELECT n, u, v, w FROM (
+                SELECT n, u, v, w, row_number() OVER (
+                  PARTITION BY n ORDER BY w DESC, u, v) AS rn
+                FROM d) q
+              WHERE rn = 1
+            )
+            SELECT u, v, w FROM b GROUP BY u, v, w
+            HAVING count(*) = 2
+        """,
         "sssp": """
             WITH RECURSIVE seq AS (
               SELECT l_orderkey AS o, l_linenumber AS i,
