@@ -4902,6 +4902,55 @@ def _q_greedy_matching(sf_dir: str):
     return greedy_weight_matching(_ps_pairs(sf_dir), plan="driver")
 
 
+def _intervals(sf_dir: str, event_type: str):
+    """Per-event inclusive interval [s, e] in epoch seconds: s =
+    floor(ts_us / 1e6), e = s + (event_id % 3600) + 60 — the duration
+    is a deterministic pure-integer function of the row so the SQL
+    replay is exact with no float rounding anywhere."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), event_type))
+        s = (t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        e = s + eid % 3600 + 60
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": pa.array(eid),
+                         "s": pa.array(s), "e": pa.array(e)})
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def _q_interval_overlap(sf_dir: str):
+    """Keyed interval-overlap join (stages/join.py
+    interval_overlap_join): click intervals × view intervals of the
+    same user that overlap in time → (user_id, a_id, b_id, overlap).
+    Grid-cell blocking (1800 s cells, fan-out ≤ 3 at these durations)
+    with anchor-cell dedup — each match emitted exactly once, no
+    distinct shuffle."""
+    from textgraphs_ray.stages.join import interval_overlap_join
+
+    return interval_overlap_join(
+        _intervals(sf_dir, "click"), _intervals(sf_dir, "view"),
+        key="user_id", id_col="event_id", start="s", end="e",
+        cell=1800)
+
+
+def _q_knn_classify(sf_dir: str):
+    """Majority-vote kNN classifier (stages/similarity.py
+    knn_classify): modal label among the 5 cosine-nearest neighbors
+    (self excluded, ties → smallest label) for the first 100 vectors.
+    Float64 scoring end-to-end so the discrete vote agrees with the
+    SQL replay's float64 cosine at ~1e-15 rank precision."""
+    from textgraphs_ray.stages.similarity import knn_classify
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_classify(ds, k=5, n_queries=100)
+
+
 def _q_greedy_matching_distributed(sf_dir: str):
     """Forced-alternate physical plan for `greedy_matching`: the
     parallel locally-dominant fixpoint (per round, mutual-best pairs
@@ -4927,6 +4976,7 @@ def _q_greedy_matching_distributed(sf_dir: str):
 # registered; queries() reorders the full dict so the window leads.
 _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
+    "interval_overlap", "knn_classify",
     "sssp", "sssp_distributed", "unpivot",
     "scc", "scc_distributed", "welch_t", "ks_test", "gini_group",
     "cluster_split", "split_leakage", "gopher_gate",
@@ -4958,6 +5008,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mutual_match": _q_mutual_match,
         "greedy_matching": _q_greedy_matching,
         "greedy_matching_distributed": _q_greedy_matching_distributed,
+        "interval_overlap": _q_interval_overlap,
+        "knn_classify": _q_knn_classify,
         "sssp": _q_sssp,
         "sssp_distributed": _q_sssp_distributed,
         "unpivot": _q_unpivot,
@@ -5264,6 +5316,49 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "interval_overlap": """
+            WITH iv AS (
+              SELECT event_type, user_id, event_id,
+                     epoch_us(ts) // 1000000 AS s,
+                     epoch_us(ts) // 1000000
+                       + event_id % 3600 + 60 AS e
+              FROM events
+              WHERE event_type IN ('click', 'view')
+            ), a AS (SELECT * FROM iv WHERE event_type = 'click'),
+               b AS (SELECT * FROM iv WHERE event_type = 'view')
+            SELECT a.user_id AS user_id, a.event_id AS a_id,
+                   b.event_id AS b_id,
+                   CAST(least(a.e, b.e) - greatest(a.s, b.s)
+                        AS BIGINT) AS overlap
+            FROM a JOIN b ON a.user_id = b.user_id
+             AND a.s <= b.e AND b.s <= a.e
+        """,
+        "knn_classify": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS q_emb
+              FROM (SELECT * FROM embeddings ORDER BY vec_id
+                    LIMIT 100)
+            ), ranked AS (
+              SELECT q.q_id, e.vec_id, e.label,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_cosine_similarity(
+                                  q.q_emb::DOUBLE[],
+                                  e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rn
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.q_id
+            ), votes AS (
+              SELECT q_id, label, count(*) AS c
+              FROM ranked WHERE rn <= 5 GROUP BY q_id, label
+            ), best AS (
+              SELECT q_id, label, c, row_number() OVER (
+                PARTITION BY q_id ORDER BY c DESC, label ASC) AS rn2
+              FROM votes
+            )
+            SELECT q_id AS vec_id, CAST(label AS BIGINT) AS pred_label,
+                   CAST(c AS BIGINT) AS votes
+            FROM best WHERE rn2 = 1
+        """,
         "mutual_match": """
             WITH pr AS (
               SELECT CAST(l_partkey % 1009 AS BIGINT) AS u,

@@ -462,3 +462,94 @@ def salted_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         left.map_batches(tag_left, batch_format="pyarrow"),
         right.map_batches(tag_right, batch_format="pyarrow"),
         "_sk", "_sk", num_partitions, project=proj2, how=how)
+
+
+def interval_overlap_join(a: "ray.data.Dataset", b: "ray.data.Dataset",
+                          *, key: str, id_col: str, start: str,
+                          end: str, cell: int,
+                          out_a: str = "a_id", out_b: str = "b_id",
+                          out_col: str = "overlap"
+                          ) -> "ray.data.Dataset":
+    """Keyed interval-overlap join: every (a, b) pair sharing ``key``
+    with ``a.start <= b.end AND b.start <= a.end`` → (key, a_id,
+    b_id, overlap = min(ends) − max(starts)).
+
+    Blocking is a time grid of width ``cell`` per key: each interval
+    replicates to every cell it spans (fan-out bounded by
+    length/cell + 1 — pick ``cell`` near the typical interval length),
+    and a pair is emitted ONLY in its anchor cell, the one containing
+    ``max(starts)``.  Every overlapping pair shares that cell (both
+    intervals cover max(starts)), so each match is seen exactly once —
+    no post-join dedup shuffle.  Inside a (key, cell) group the check
+    is one vectorized |A|×|B| mask; per-task memory is bounded by one
+    cell's traffic per key — sub-bucket a hot key by salting the cell
+    id at web scale.
+
+    ``start``/``end`` must be int64 (same units as ``cell``),
+    inclusive endpoints, ``end >= start``.  Extends
+    :func:`range_join`'s equi-key-free bucketing to two genuine
+    interval sides (reference has no interval operator; this is the
+    sessions/spans overlap primitive its event analytics lack).
+    """
+    c = int(cell)
+    if c <= 0:
+        raise ValueError(f"cell must be positive, got {cell}")
+
+    def tag(role: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column(key).cast(pa.int64())
+            i = t.column(id_col).cast(pa.int64())
+            s = t.column(start).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            e = t.column(end).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            lo = s // c
+            hi = e // c
+            reps = (hi - lo + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s)), reps)
+            # cell ids: lo[i] .. hi[i] per interval, flattened
+            offs = np.arange(len(idx)) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            cells = lo[idx] + offs
+            kk = k.to_numpy(zero_copy_only=False)[idx]
+            return pa.table({
+                "_g": pa.array(kk * (1 << 32) + cells),
+                "_c": pa.array(cells),
+                "_role": pa.array(np.full(len(idx), role, np.int8)),
+                "k": pa.array(kk),
+                "i": i.to_numpy(zero_copy_only=False)[idx],
+                "s": pa.array(s[idx]),
+                "e": pa.array(e[idx])})
+        return fn
+
+    tagged = (a.map_batches(tag(0), batch_format="pyarrow")
+              .union(b.map_batches(tag(1), batch_format="pyarrow")))
+    out_schema = pa.schema([(key, pa.int64()), (out_a, pa.int64()),
+                            (out_b, pa.int64()), (out_col, pa.int64())])
+
+    def per_cell(g: pd.DataFrame) -> pa.Table:
+        aa = g[g["_role"] == 0]
+        bb = g[g["_role"] == 1]
+        if len(aa) == 0 or len(bb) == 0:
+            return out_schema.empty_table()
+        cid = int(g["_c"].iloc[0])
+        sa = aa["s"].to_numpy(np.int64)
+        ea = aa["e"].to_numpy(np.int64)
+        sb = bb["s"].to_numpy(np.int64)
+        eb = bb["e"].to_numpy(np.int64)
+        anchor = np.maximum(sa[:, None], sb[None, :])
+        m = ((sa[:, None] <= eb[None, :]) & (sb[None, :] <= ea[:, None])
+             & (anchor // c == cid))
+        ai, bi = np.nonzero(m)
+        if len(ai) == 0:
+            return out_schema.empty_table()
+        ov = (np.minimum(ea[ai], eb[bi])
+              - np.maximum(sa[ai], sb[bi]))
+        return pa.Table.from_arrays(
+            [pa.array(aa["k"].to_numpy(np.int64)[ai]),
+             pa.array(aa["i"].to_numpy(np.int64)[ai]),
+             pa.array(bb["i"].to_numpy(np.int64)[bi]),
+             pa.array(ov)], schema=out_schema)
+
+    return tagged.groupby("_g").map_groups(per_cell,
+                                           batch_format="pandas")

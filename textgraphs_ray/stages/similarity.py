@@ -608,3 +608,70 @@ def knn_pq(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
 
     parts = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(parts, k, num_queries=qn.shape[0])
+
+
+def knn_classify(ds: "ray.data.Dataset", *, k: int = 5,
+                 n_queries: int = 100, emb_col: str = "embedding",
+                 id_col: str = "vec_id", label_col: str = "label"
+                 ) -> pa.Table:
+    """Majority-vote kNN classifier: for each of the first
+    ``n_queries`` vectors (by id), the modal label among its ``k``
+    nearest neighbors by cosine (self excluded), ties → smallest
+    label.  → (vec_id, pred_label, votes).
+
+    One stateless broadcast scan: the query matrix ships via
+    ``ray.put`` once; each batch scores its rows against all queries
+    in FLOAT64 (so the ranking agrees with a float64 SQL oracle to
+    ~1e-15 — the vote is discrete, so rank jitter inside the top-k
+    only matters across label boundaries) and emits its per-query
+    top-(k+1) partials WITH labels.  The driver merge folds
+    blocks·Q·(k+1) bounded rows; the vote is a vectorized bincount.
+    At web scale raise the partial merge to the distributed
+    groupby(query) plan `_merge_topk` already implements.
+    """
+    qrows = (ds.sort(id_col).limit(n_queries)
+             .select_columns([id_col, emb_col]).take_all())
+    q_ids = np.array([r[id_col] for r in qrows], np.int64)
+    qm = np.stack([np.asarray(r[emb_col], np.float64) for r in qrows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, qn))
+    kk = k + 1  # self may rank first; drop it in the merge
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qmat = ray.get(q_ref)
+        emb = embeddings_to_ndarray(batch.column(emb_col),
+                                    dtype=np.float64)
+        ids = ids_to_ndarray(batch.column(id_col))
+        labs = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = en @ qmat.T  # (N, Q)
+        take = min(kk, sims.shape[0])
+        out_q, out_id, out_lab, out_sim = [], [], [], []
+        for c in range(qmat.shape[0]):
+            idx = np.argpartition(-sims[:, c], take - 1)[:take]
+            out_q.extend([qi[c]] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_lab.extend(labs[idx].tolist())
+            out_sim.extend(sims[idx, c].tolist())
+        return pa.table({"q": pa.array(out_q, pa.int64()),
+                         "nb": pa.array(out_id, pa.int64()),
+                         "lab": pa.array(out_lab, pa.int64()),
+                         "sim": pa.array(out_sim, pa.float64())})
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["q"] != parts["nb"]]
+    parts = parts.sort_values(["q", "sim", "nb"],
+                              ascending=[True, False, True],
+                              kind="stable")
+    top = parts.groupby("q", sort=True).head(k)
+    votes = (top.groupby(["q", "lab"], sort=False).size()
+             .reset_index(name="c")
+             .sort_values(["q", "c", "lab"],
+                          ascending=[True, False, True],
+                          kind="stable")
+             .groupby("q", sort=True).head(1))
+    return pa.table({
+        "vec_id": pa.array(votes["q"].to_numpy(np.int64)),
+        "pred_label": pa.array(votes["lab"].to_numpy(np.int64)),
+        "votes": pa.array(votes["c"].to_numpy(np.int64))})
