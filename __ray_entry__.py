@@ -4951,6 +4951,47 @@ def _q_knn_classify(sf_dir: str):
     return knn_classify(ds, k=5, n_queries=100)
 
 
+def _q_skew_kurt(sf_dir: str):
+    """Population skewness + excess kurtosis of doc length per source
+    (stages/stats.py skew_kurt_group): exact int64 power sums through
+    one combiner-fed groupby; scalar float finish parenthesized
+    term-for-term like the SQL replay (sqrt not pow), 6dp."""
+    from textgraphs_ray.stages.stats import skew_kurt_group
+
+    return skew_kurt_group(_docs(sf_dir, columns=["source", "n_chars"]),
+                           value_col="n_chars", group_col="source")
+
+
+def _q_entropy_agg(sf_dir: str):
+    """Shannon entropy (bits) of each user cohort's event-type mix
+    (stages/stats.py entropy_group): one (group, class) count groupby;
+    the per-group fold accumulates −p·log2 p in class-ascending order
+    to mirror the SQL ordered aggregate."""
+    from textgraphs_ray.stages.stats import entropy_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(uid % 100),
+                         "event_type": t.column("event_type")})
+
+    return entropy_group(ds.map_batches(bucket, batch_format="pyarrow"),
+                         class_col="event_type", group_col="g")
+
+
+def _q_ari(sf_dir: str):
+    """Adjusted Rand Index between the source- and lang-partitions of
+    the documents (stages/stats.py adjusted_rand): contingency cells
+    via one combiner-fed groupby, exact integer pair sums, one float
+    division at the end mirroring the SQL expression tree."""
+    from textgraphs_ray.stages.stats import adjusted_rand
+
+    return adjusted_rand(_docs(sf_dir, columns=["source", "lang"]),
+                         a_col="source", b_col="lang")
+
+
 def _q_greedy_matching_distributed(sf_dir: str):
     """Forced-alternate physical plan for `greedy_matching`: the
     parallel locally-dominant fixpoint (per round, mutual-best pairs
@@ -4977,6 +5018,7 @@ def _q_greedy_matching_distributed(sf_dir: str):
 _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
+    "skew_kurt", "entropy_agg", "ari",
     "sssp", "sssp_distributed", "unpivot",
     "scc", "scc_distributed", "welch_t", "ks_test", "gini_group",
     "cluster_split", "split_leakage", "gopher_gate",
@@ -5010,6 +5052,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "greedy_matching_distributed": _q_greedy_matching_distributed,
         "interval_overlap": _q_interval_overlap,
         "knn_classify": _q_knn_classify,
+        "skew_kurt": _q_skew_kurt,
+        "entropy_agg": _q_entropy_agg,
+        "ari": _q_ari,
         "sssp": _q_sssp,
         "sssp_distributed": _q_sssp_distributed,
         "unpivot": _q_unpivot,
@@ -5316,6 +5361,80 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "skew_kurt": """
+            WITH s AS (
+              SELECT source, count(*) AS n,
+                     sum(CAST(n_chars AS BIGINT)) AS s1,
+                     sum(CAST(n_chars AS BIGINT)
+                         * CAST(n_chars AS BIGINT)) AS s2,
+                     sum(CAST(n_chars AS BIGINT)
+                         * CAST(n_chars AS BIGINT)
+                         * CAST(n_chars AS BIGINT)) AS s3,
+                     sum((CAST(n_chars AS BIGINT)
+                          * CAST(n_chars AS BIGINT))
+                         * (CAST(n_chars AS BIGINT)
+                            * CAST(n_chars AS BIGINT))) AS s4
+              FROM documents GROUP BY source
+            ), m AS (
+              SELECT source, n,
+                     s1 / CAST(n AS DOUBLE) AS mean,
+                     s2 / CAST(n AS DOUBLE) AS r2,
+                     s3 / CAST(n AS DOUBLE) AS r3,
+                     s4 / CAST(n AS DOUBLE) AS r4
+              FROM s
+            ), c AS (
+              SELECT source, n, mean, r2, r3, r4,
+                     r2 - mean * mean AS m2,
+                     r3 - 3.0 * mean * r2
+                        + 2.0 * ((mean * mean) * mean) AS m3,
+                     r4 - 4.0 * mean * r3
+                        + 6.0 * (mean * mean) * r2
+                        - 3.0 * ((mean * mean) * (mean * mean)) AS m4
+              FROM m
+            )
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   round(m3 / sqrt((m2 * m2) * m2), 6) AS skew,
+                   round(m4 / (m2 * m2) - 3.0, 6) AS kurt
+            FROM c
+        """,
+        "entropy_agg": """
+            WITH c AS (
+              SELECT user_id % 100 AS g, event_type AS cls,
+                     count(*) AS k
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT g, sum(k) AS n FROM c GROUP BY g
+            )
+            SELECT c.g, CAST(t.n AS BIGINT) AS n,
+                   round(sum(-(k / CAST(t.n AS DOUBLE))
+                             * log2(k / CAST(t.n AS DOUBLE))
+                             ORDER BY c.cls), 6) AS entropy
+            FROM c JOIN t USING (g) GROUP BY c.g, t.n
+        """,
+        "ari": """
+            WITH cell AS (
+              SELECT source AS a, lang AS b, count(*) AS k
+              FROM documents GROUP BY 1, 2
+            ), aa AS (SELECT a, sum(k) AS c FROM cell GROUP BY a),
+               bb AS (SELECT b, sum(k) AS c FROM cell GROUP BY b),
+               sums AS (
+              SELECT CAST((SELECT sum(k * (k - 1) // 2) FROM cell)
+                          AS BIGINT) AS sum_nij,
+                     CAST((SELECT sum(c * (c - 1) // 2) FROM aa)
+                          AS BIGINT) AS sum_ai,
+                     CAST((SELECT sum(c * (c - 1) // 2) FROM bb)
+                          AS BIGINT) AS sum_bj,
+                     CAST((SELECT sum(k) FROM cell) AS BIGINT) AS n
+            )
+            SELECT n, sum_nij, sum_ai, sum_bj,
+                   round((sum_nij - (sum_ai * sum_bj)
+                          / CAST(n * (n - 1) // 2 AS DOUBLE))
+                         / ((sum_ai + sum_bj) / 2.0
+                            - (sum_ai * sum_bj)
+                              / CAST(n * (n - 1) // 2 AS DOUBLE)),
+                         6) AS ari
+            FROM sums
+        """,
         "interval_overlap": """
             WITH iv AS (
               SELECT event_type, user_id, event_id,

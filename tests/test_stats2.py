@@ -1,0 +1,96 @@
+"""Skewness/kurtosis, entropy, ARI (stages/stats.py additions)."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from textgraphs_ray.stages.stats import (adjusted_rand, entropy_group,
+                                         skew_kurt_group)
+
+
+def test_skew_kurt_matches_numpy_moments():
+    rng = np.random.default_rng(3)
+    xs = {"a": rng.integers(1, 500, 300),
+          "b": rng.integers(1, 50, 120)}
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([g for g, v in xs.items() for _ in v]),
+        "x": pa.array(np.concatenate(list(xs.values())))}))
+    got = {r["g"]: r for r in skew_kurt_group(
+        ds, value_col="x", group_col="g").take_all()}
+    for g, v in xs.items():
+        v = v.astype(np.float64)
+        m = v.mean()
+        m2 = ((v - m) ** 2).mean()
+        m3 = ((v - m) ** 3).mean()
+        m4 = ((v - m) ** 4).mean()
+        assert got[g]["n"] == len(v)
+        assert abs(got[g]["skew"] - m3 / m2 ** 1.5) < 1e-5
+        assert abs(got[g]["kurt"] - (m4 / m2 ** 2 - 3.0)) < 1e-5
+
+
+def test_skew_kurt_symmetric_distribution_has_zero_skew():
+    v = np.array([1, 2, 3, 4, 5] * 10, np.int64)
+    ds = rd.from_arrow(pa.table({"g": pa.array(["s"] * len(v)),
+                                 "x": pa.array(v)}))
+    [r] = skew_kurt_group(ds, value_col="x", group_col="g").take_all()
+    assert r["skew"] == 0.0
+    assert abs(r["kurt"] - (-1.3)) < 1e-9  # uniform over 5 points
+
+
+def test_entropy_group_closed_forms():
+    # uniform over 4 classes → 2 bits; single class → 0 bits
+    rows = [("u", c) for c in "abcd" * 8] + [("s", "z")] * 7
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([r[0] for r in rows]),
+        "cls": pa.array([r[1] for r in rows])}))
+    got = {r["g"]: r for r in entropy_group(
+        ds, class_col="cls", group_col="g").take_all()}
+    assert got["u"]["n"] == 32 and got["u"]["entropy"] == 2.0
+    assert got["s"]["n"] == 7 and got["s"]["entropy"] == 0.0
+
+
+def test_entropy_group_matches_direct():
+    rng = np.random.default_rng(9)
+    cls = rng.choice(list("abcde"), 500, p=[.4, .3, .15, .1, .05])
+    ds = rd.from_arrow(pa.table({"g": pa.array(["g"] * 500),
+                                 "cls": pa.array(cls)}))
+    [r] = entropy_group(ds, class_col="cls", group_col="g").take_all()
+    want = -sum((c / 500) * math.log2(c / 500)
+                for c in np.unique(cls, return_counts=True)[1])
+    assert abs(r["entropy"] - want) < 1e-6
+
+
+def _brute_ari(a, b):
+    n = len(a)
+    s_nij = s_ai = s_bj = 0
+    same_a = same_b = same_both = 0
+    for i, j in combinations(range(n), 2):
+        sa, sb = a[i] == a[j], b[i] == b[j]
+        same_a += sa
+        same_b += sb
+        same_both += sa and sb
+    npairs = n * (n - 1) // 2
+    exp = same_a * same_b / npairs
+    return (same_both - exp) / ((same_a + same_b) / 2 - exp)
+
+
+def test_ari_identical_partitions_is_one():
+    a = ["x", "x", "y", "y", "z"] * 6
+    ds = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(a)}))
+    [r] = adjusted_rand(ds, a_col="a", b_col="b").take_all()
+    assert r["ari"] == 1.0
+
+
+def test_ari_matches_brute_pair_counting():
+    rng = np.random.default_rng(17)
+    a = rng.choice(list("pqr"), 60).tolist()
+    b = rng.choice(list("mn"), 60).tolist()
+    ds = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    [r] = adjusted_rand(ds, a_col="a", b_col="b").take_all()
+    assert abs(r["ari"] - _brute_ari(a, b)) < 1e-6
+    assert r["n"] == 60

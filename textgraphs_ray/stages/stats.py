@@ -779,3 +779,144 @@ def gini_group(ds: "ray.data.Dataset", *, value_col: str,
 
     return (ds.groupby(group_col)
             .map_groups(fold, batch_format="pandas"))
+
+
+def skew_kurt_group(ds: "ray.data.Dataset", *, value_col: str,
+                    group_col: str) -> "ray.data.Dataset":
+    """→ (group, n, skew, kurt): population skewness and EXCESS
+    kurtosis per group from exact int64 power sums (n, Σx, Σx², Σx³,
+    Σx⁴) — one combiner-fed groupby is the only shuffle; the float
+    finish touches G rows.  Central moments via the raw-moment
+    expansion, skew = m3/√(m2³) (sqrt, not pow — IEEE-correctly
+    rounded on both engines), kurt = m4/m2² − 3; every float op
+    mirrors the SQL replay's expression tree term by term, so the 6dp
+    rounding is bit-stable.  Values must be integers small enough
+    that Σx⁴ fits int64 (|x| ≤ 55k at a billion rows/group)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": t.column(group_col).to_pandas(),
+                           "x": x, "x2": x * x, "x3": x * x * x,
+                           "x4": (x * x) * (x * x)})
+        agg = df.groupby("g", sort=False).agg(
+            n=("x", "count"), s1=("x", "sum"), s2=("x2", "sum"),
+            s3=("x3", "sum"), s4=("x4", "sum"))
+        return pa.table({
+            group_col: pa.array(agg.index),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "s1": pa.array(agg["s1"].to_numpy(np.int64)),
+            "s2": pa.array(agg["s2"].to_numpy(np.int64)),
+            "s3": pa.array(agg["s3"].to_numpy(np.int64)),
+            "s4": pa.array(agg["s4"].to_numpy(np.int64))})
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s1", alias_name="s1"),
+                       Sum("s2", alias_name="s2"),
+                       Sum("s3", alias_name="s3"),
+                       Sum("s4", alias_name="s4")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import math
+        gs = t.column(group_col).to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        s3 = t.column("s3").to_numpy(zero_copy_only=False)
+        s4 = t.column("s4").to_numpy(zero_copy_only=False)
+        sk, ku = [], []
+        for i in range(len(gs)):
+            # scalar math, parenthesized EXACTLY like the SQL oracle
+            nn = float(n[i])
+            mean = s1[i] / nn
+            m2 = s2[i] / nn - mean * mean
+            m3 = (s3[i] / nn - 3.0 * mean * (s2[i] / nn)
+                  + 2.0 * ((mean * mean) * mean))
+            m4 = (s4[i] / nn - 4.0 * mean * (s3[i] / nn)
+                  + 6.0 * (mean * mean) * (s2[i] / nn)
+                  - 3.0 * ((mean * mean) * (mean * mean)))
+            sk.append(round(m3 / math.sqrt((m2 * m2) * m2), 6))
+            ku.append(round(m4 / (m2 * m2) - 3.0, 6))
+        return pa.table({group_col: pa.array(gs),
+                         "n": pa.array(n),
+                         "skew": pa.array(sk, pa.float64()),
+                         "kurt": pa.array(ku, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def entropy_group(ds: "ray.data.Dataset", *, class_col: str,
+                  group_col: str) -> "ray.data.Dataset":
+    """→ (group, n, entropy): Shannon entropy (bits) of the class
+    distribution within each group.  One (group, class) count groupby
+    (combiner-first) + one per-group fold; the fold sums
+    −(c/n)·log2(c/n) in CLASS-ASCENDING order so the float
+    accumulation order matches the SQL replay's ordered aggregate."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"g": t.column(group_col).to_pandas(),
+                           "c": t.column(class_col).to_pandas()})
+        agg = (df.groupby(["g", "c"], sort=False).size()
+               .reset_index(name="k"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["g", "c"]).aggregate(Sum("k", alias_name="k")))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        import math
+        g = g.sort_values("c", kind="stable")
+        n = int(g["k"].sum())
+        h = 0.0
+        for k in g["k"].to_numpy(np.int64):
+            p = k / float(n)
+            h = h - p * math.log2(p)
+        return pa.table({"g": pa.array([g["g"].iloc[0]]),
+                         "n": pa.array([n], pa.int64()),
+                         "entropy": pa.array([round(h, 6)],
+                                             pa.float64())})
+
+    return counts.groupby("g").map_groups(fold, batch_format="pandas")
+
+
+def adjusted_rand(ds: "ray.data.Dataset", *, a_col: str,
+                  b_col: str) -> "ray.data.Dataset":
+    """→ one row (n, sum_nij, sum_ai, sum_bj, ari): the pair-counting
+    Adjusted Rand Index between two label columns over the same rows
+    (Hubert & Arabie 1985, public).  The contingency table comes from
+    ONE combiner-fed (a, b) count groupby; marginals and the C(·,2)
+    sums fold on the driver as exact integers — the only float is the
+    final index, whose expression tree mirrors the SQL replay."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"a": t.column(a_col).to_pandas(),
+                           "b": t.column(b_col).to_pandas()})
+        agg = (df.groupby(["a", "b"], sort=False).size()
+               .reset_index(name="k"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Sum("k", alias_name="k"))
+             .take_all())  # bounded: |A-classes| × |B-classes| cells
+    kij = np.array([r["k"] for r in cells], np.int64)
+    df = pd.DataFrame({"a": [r["a"] for r in cells],
+                           "b": [r["b"] for r in cells], "k": kij})
+    n = int(kij.sum())
+    ai = df.groupby("a")["k"].sum().to_numpy(np.int64)
+    bj = df.groupby("b")["k"].sum().to_numpy(np.int64)
+    sum_nij = int((kij * (kij - 1) // 2).sum())
+    sum_ai = int((ai * (ai - 1) // 2).sum())
+    sum_bj = int((bj * (bj - 1) // 2).sum())
+    npairs = n * (n - 1) // 2
+    # float finish mirrored against the oracle term by term
+    expected = (sum_ai * sum_bj) / float(npairs)
+    maxi = (sum_ai + sum_bj) / 2.0
+    ari = round((sum_nij - expected) / (maxi - expected), 6)
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sum_nij": pa.array([sum_nij], pa.int64()),
+        "sum_ai": pa.array([sum_ai], pa.int64()),
+        "sum_bj": pa.array([sum_bj], pa.int64()),
+        "ari": pa.array([ari], pa.float64())}))
