@@ -4992,6 +4992,38 @@ def _q_ari(sf_dir: str):
                          a_col="source", b_col="lang")
 
 
+def _q_harmonic(sf_dir: str):
+    """Hop-bounded harmonic centrality over the undirected order-
+    transition part graph (stages/centrality.py harmonic_centrality):
+    multi-source BFS as a (src, node, min-d) Dataset grown one
+    shuffle_join frontier per hop; score = exact integer Σ 12/d,
+    d ≤ 4."""
+    from textgraphs_ray.stages.centrality import harmonic_centrality
+
+    return harmonic_centrality(_scc_edges(sf_dir), hops=4)
+
+
+def _q_katz(sf_dir: str):
+    """Katz centrality, α = 1/16, three exact INTEGER rounds of
+    p_{k+1} = 16^{k+1} + Σ_in p_k ≡ 4096·x_3 (stages/centrality.py
+    katz_centrality): per round one shuffle_join routes scores along
+    edges and a union with per-node zero rows replaces the left join
+    (empty-partition-safe)."""
+    from textgraphs_ray.stages.centrality import katz_centrality
+
+    return katz_centrality(_scc_edges(sf_dir), rounds=3)
+
+
+def _q_lpa(sf_dir: str):
+    """Two synchronous label-propagation rounds over the undirected
+    transition graph (stages/centrality.py lpa_communities): modal
+    neighbor label, ties → smallest; deterministic, so the unrolled
+    SQL window replay value-hashes."""
+    from textgraphs_ray.stages.centrality import lpa_communities
+
+    return lpa_communities(_scc_edges(sf_dir), rounds=2)
+
+
 def _q_greedy_matching_distributed(sf_dir: str):
     """Forced-alternate physical plan for `greedy_matching`: the
     parallel locally-dominant fixpoint (per round, mutual-best pairs
@@ -5019,6 +5051,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
+    "harmonic", "katz", "lpa",
     "sssp", "sssp_distributed", "unpivot",
     "scc", "scc_distributed", "welch_t", "ks_test", "gini_group",
     "cluster_split", "split_leakage", "gopher_gate",
@@ -5055,6 +5088,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt": _q_skew_kurt,
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
+        "harmonic": _q_harmonic,
+        "katz": _q_katz,
+        "lpa": _q_lpa,
         "sssp": _q_sssp,
         "sssp_distributed": _q_sssp_distributed,
         "unpivot": _q_unpivot,
@@ -5361,6 +5397,103 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "harmonic": """
+            WITH RECURSIVE seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e0 AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), s AS (
+              SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+            ), nodes AS (
+              SELECT DISTINCT u AS n FROM s
+            ), walk(src, node, d) AS (
+              SELECT n, n, 0 FROM nodes
+              UNION
+              SELECT walk.src, s.v, walk.d + 1
+              FROM walk JOIN s ON s.u = walk.node
+              WHERE walk.d < 4
+            ), dist AS (
+              SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2
+            )
+            SELECT src AS node,
+                   CAST(sum(12 // d) AS BIGINT) AS harmonic_x12,
+                   count(*) AS n_reached
+            FROM dist WHERE d >= 1 GROUP BY src
+        """,
+        "katz": """
+            WITH seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e0 AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), nodes AS (
+              SELECT u AS n FROM e0 UNION SELECT v FROM e0
+            ), p0 AS (
+              SELECT n AS node, CAST(1 AS BIGINT) AS p FROM nodes
+            ), p1 AS (
+              SELECT nodes.n AS node,
+                     CAST(16 + coalesce(sum(p0.p), 0) AS BIGINT) AS p
+              FROM nodes LEFT JOIN e0 ON e0.v = nodes.n
+                         LEFT JOIN p0 ON p0.node = e0.u
+              GROUP BY nodes.n
+            ), p2 AS (
+              SELECT nodes.n AS node,
+                     CAST(256 + coalesce(sum(p1.p), 0) AS BIGINT) AS p
+              FROM nodes LEFT JOIN e0 ON e0.v = nodes.n
+                         LEFT JOIN p1 ON p1.node = e0.u
+              GROUP BY nodes.n
+            ), p3 AS (
+              SELECT nodes.n AS node,
+                     CAST(4096 + coalesce(sum(p2.p), 0) AS BIGINT) AS p
+              FROM nodes LEFT JOIN e0 ON e0.v = nodes.n
+                         LEFT JOIN p2 ON p2.node = e0.u
+              GROUP BY nodes.n
+            )
+            SELECT node, p AS katz_x4096 FROM p3
+        """,
+        "lpa": """
+            WITH seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e0 AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), s AS (
+              SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+            ), nodes AS (
+              SELECT DISTINCT u AS n FROM s
+            ), l0 AS (
+              SELECT n AS node, n AS lab FROM nodes
+            ), c1 AS (
+              SELECT s.u AS n, l0.lab, count(*) AS c
+              FROM s JOIN l0 ON l0.node = s.v GROUP BY 1, 2
+            ), l1 AS (
+              SELECT n AS node, lab FROM (
+                SELECT n, lab, row_number() OVER (
+                  PARTITION BY n ORDER BY c DESC, lab ASC) AS rn
+                FROM c1) q
+              WHERE rn = 1
+            ), c2 AS (
+              SELECT s.u AS n, l1.lab, count(*) AS c
+              FROM s JOIN l1 ON l1.node = s.v GROUP BY 1, 2
+            ), l2 AS (
+              SELECT n AS node, lab FROM (
+                SELECT n, lab, row_number() OVER (
+                  PARTITION BY n ORDER BY c DESC, lab ASC) AS rn
+                FROM c2) q
+              WHERE rn = 1
+            )
+            SELECT node, CAST(lab AS BIGINT) AS label FROM l2
+        """,
         "skew_kurt": """
             WITH s AS (
               SELECT source, count(*) AS n,

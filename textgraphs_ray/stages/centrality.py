@@ -1,0 +1,219 @@
+"""Hop-bounded harmonic centrality, Katz centrality, and synchronous
+label propagation — the remaining classical node-importance /
+community primitives over the same coarsened transition graphs the
+PageRank/HITS/SSSP family (stages/rank.py, stages/scc.py) already
+feeds.
+
+All three are pure Dataset plans — no broadcast adjacency, no driver
+graph: per round one ``shuffle_join`` (frontier/score × edges) and
+one groupby.  Node counts are bounded upstream by the ``mod``
+coarsening (see scc.order_transition_edges), so the multi-source
+distance table is ≤ nodes² rows; at web scale shard sources into
+stripes and run stripes independently (embarrassingly parallel — the
+per-source rows never interact across sources).
+
+Exactness contracts (each mirrors its unrolled SQL oracle):
+
+* harmonic: distances are hop counts ≤ ``hops``; the score is the
+  INTEGER Σ 12/d (12 = lcm(1..4) — exact for the default 4 hops).
+* Katz: α = 1/16 and the iterate is kept as the integer
+  p_k = 16^k·x_k (p_{k+1} = 16^{k+1} + Σ_in p_k), so three rounds of
+  x_{k+1} = 1 + α·Aᵀx_k are exact int64 arithmetic end to end.
+* LPA: synchronous rounds, new label = the neighbor-label mode with
+  ties → smallest label; deterministic given round count.
+
+Reference anchor: complements the reference's single ranking
+primitive (PageRank restack, `textgraphs/graph.py:215-293`) with the
+other textbook centralities (Boldi & Vigna 2014 for harmonic; Katz
+1953; Raghavan et al. 2007 for LPA — all public).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from .join import shuffle_join
+
+
+def _symmetrize(edges: "ray.data.Dataset", *, u: str = "u",
+                v: str = "v") -> "ray.data.Dataset":
+    """→ distinct directed rows (u, v) ∪ (v, u)."""
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t.column(u).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(v).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    return (edges.map_batches(both, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["u", "v"]))
+
+
+def _nodes_of(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    def us(t: pa.Table) -> pa.Table:
+        a = t.column("u").to_numpy(zero_copy_only=False)
+        b = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(
+            np.concatenate([a, b]).astype(np.int64)))})
+
+    return (edges.map_batches(us, batch_format="pyarrow")
+            .groupby("node").aggregate(Count(alias_name="_c"))
+            .select_columns(["node"]))
+
+
+def harmonic_centrality(edges: "ray.data.Dataset", *, hops: int = 4,
+                        u: str = "u", v: str = "v",
+                        num_partitions: int = 8
+                        ) -> "ray.data.Dataset":
+    """→ (node, harmonic_x12, n_reached): hop-bounded harmonic
+    centrality over the UNDIRECTED view of ``edges`` — for every
+    node, Σ 12/d over nodes within ``hops`` hops (d ≥ 1) plus the
+    reach count.  12 = lcm(1..4): the default bound keeps the score
+    an exact integer.
+
+    Multi-source BFS as data: the (src, node, d) table grows one
+    frontier per round via shuffle_join(frontier × edges) and a
+    (src, node) min-d groupby; newly-reached rows (d == round) are
+    the next frontier.  ``hops`` rounds, bounded by the coarsened
+    node domain."""
+    if hops < 1 or hops > 4:
+        raise ValueError(f"hops must be in [1, 4] (12 = lcm(1..4) "
+                         f"keeps 12/d integral), got {hops}")
+    sym = _symmetrize(edges, u=u, v=v).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        n = t.column("node")
+        return pa.table({"src": n, "node": n, "d": pa.array(
+            np.zeros(len(t), np.int64))})
+
+    known = (_nodes_of(sym).map_batches(seed, batch_format="pyarrow")
+             .materialize())
+    frontier = known
+
+    for h in range(1, hops + 1):
+        cand = shuffle_join(
+            frontier, sym, "node", "u", num_partitions,
+            project=lambda m, hh=h: pd.DataFrame({
+                "src": m["src"], "node": m["v"],
+                "d": np.full(len(m), hh, np.int64)}))
+        known = (known.union(cand)
+                 .groupby(["src", "node"])
+                 .aggregate(Min("d", alias_name="d"))
+                 .repartition(num_partitions).materialize())
+        frontier = known.filter(expr=f"d == {h}").materialize()
+        if frontier.count() == 0:
+            break
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        m = d >= 1
+        return pa.table({"node": pa.array(src[m]),
+                         "h": pa.array(12 // d[m]),
+                         "r": pa.array(np.ones(int(m.sum()),
+                                               np.int64))})
+
+    return (known.map_batches(score, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("h", alias_name="harmonic_x12"),
+                       Sum("r", alias_name="n_reached")))
+
+
+def katz_centrality(edges: "ray.data.Dataset", *, rounds: int = 3,
+                    u: str = "u", v: str = "v",
+                    num_partitions: int = 8) -> "ray.data.Dataset":
+    """→ (node, katz_x4096): three exact integer rounds of
+    x_{k+1} = 1 + (1/16)·Aᵀx_k over the DIRECTED ``edges``, reported
+    as p_3 = 4096·x_3.  Per round: shuffle_join(edges × p on the
+    source endpoint) routes each score along its out-edges, a union
+    with per-node zero rows supplies the additive base without a
+    left join (empty-partition-safe), one groupby sums."""
+    if rounds < 1 or rounds > 10:
+        raise ValueError(f"rounds must be in [1, 10], got {rounds}")
+    e = (edges.select_columns([u, v])
+         .groupby([u, v]).aggregate(Count(alias_name="_c"))
+         .select_columns([u, v]).materialize())
+    nodes = _nodes_of(e).materialize()
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "p": pa.array(
+            np.ones(len(t), np.int64))})
+
+    p = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    for k in range(1, rounds + 1):
+        base = 16 ** k
+
+        def zero(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"), "c": pa.array(
+                np.zeros(len(t), np.int64))})
+
+        contrib = shuffle_join(
+            e, p, u, "node", num_partitions,
+            project=lambda m: pd.DataFrame({"node": m[v],
+                                            "c": m["p"]}))
+        summed = (contrib.union(
+            nodes.map_batches(zero, batch_format="pyarrow"))
+            .groupby("node").aggregate(Sum("c", alias_name="c")))
+
+        def bump(t: pa.Table, b=base) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            return pa.table({"node": t.column("node"),
+                             "p": pa.array(c + b)})
+
+        p = (summed.map_batches(bump, batch_format="pyarrow")
+             .repartition(num_partitions).materialize())
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "katz_x4096": t.column("p")})
+
+    return p.map_batches(out, batch_format="pyarrow")
+
+
+def lpa_communities(edges: "ray.data.Dataset", *, rounds: int = 2,
+                    u: str = "u", v: str = "v",
+                    num_partitions: int = 8) -> "ray.data.Dataset":
+    """→ (node, label): ``rounds`` SYNCHRONOUS label-propagation
+    steps over the undirected view of ``edges``; initial label =
+    node id, new label = the modal neighbor label with ties → the
+    smallest label.  Deterministic given ``rounds`` (the classic
+    async LPA is order-dependent; the synchronous variant replays
+    exactly in SQL).  Per round: shuffle_join routes labels along
+    edges, one (node, label) count groupby, one per-node argmax."""
+    sym = _symmetrize(edges, u=u, v=v).materialize()
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "label": t.column("node")})
+
+    labels = (_nodes_of(sym).map_batches(init, batch_format="pyarrow")
+              .materialize())
+
+    for _ in range(rounds):
+        nb_lab = shuffle_join(
+            sym, labels, "v", "node", num_partitions,
+            project=lambda m: pd.DataFrame({"n": m["u"],
+                                            "lab": m["label"]}))
+        cnt = (nb_lab.groupby(["n", "lab"])
+               .aggregate(Count(alias_name="c")))
+
+        def argmax(g: pd.DataFrame) -> pa.Table:
+            g = g.sort_values(["c", "lab"], ascending=[False, True],
+                              kind="stable").head(1)
+            return pa.table({"node": pa.array(
+                g["n"].to_numpy(np.int64)), "label": pa.array(
+                g["lab"].to_numpy(np.int64))})
+
+        labels = (cnt.groupby("n").map_groups(argmax,
+                                              batch_format="pandas")
+                  .repartition(num_partitions).materialize())
+
+    return labels
