@@ -5024,6 +5024,70 @@ def _q_lpa(sf_dir: str):
     return lpa_communities(_scc_edges(sf_dir), rounds=2)
 
 
+def _q_funnel_counts(sf_dir: str):
+    """Ordered-funnel analysis view → click → purchase
+    (stages/funnel.py funnel_counts): per user the greedy strict-after
+    min-ts chain, counted per step.  One coarse user-hash partition;
+    all users chain together in O(steps) vectorized frames; disjoint
+    per-partition partials sum in one tiny groupby."""
+    from textgraphs_ray.stages.funnel import funnel_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, user_col="user_id",
+                         type_col="event_type", ts_col="ts",
+                         steps=["view", "click", "purchase"])
+
+
+def _q_clustering_coef(sf_dir: str):
+    """Local clustering coefficient over the same-minute co-activity
+    graph (stages/triangle.py clustering_coefficient): degree groupby
+    + the min-corner triangle census stitched by one left
+    shuffle_join; cc = round(2·T/(deg·(deg−1)), 6), 0.0 below degree
+    2.  Same graph as `triangles`, now per-node density instead of
+    raw counts."""
+    from textgraphs_ray.stages.triangle import (clustering_coefficient,
+                                                cooccurrence_edges)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    edges = cooccurrence_edges(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn")
+    return clustering_coefficient(edges, num_partitions=16)
+
+
+def _q_eccentricity(sf_dir: str):
+    """Hop-bounded eccentricity over the undirected transition part
+    graph (stages/centrality.py eccentricity): max hop distance (≤ 4)
+    + reach count per node, sharing the multi-source BFS distance
+    table with `harmonic` (bounded_distances); the cap is part of the
+    semantics and the recursive-CTE oracle replays it."""
+    from textgraphs_ray.stages.centrality import eccentricity
+
+    return eccentricity(_scc_edges(sf_dir), hops=4)
+
+
+def _q_mad_group(sf_dir: str):
+    """Exact grouped median + median absolute deviation of doc length
+    per source as scaled integers (med_x2 = 2·median, mad_x4 = 4·MAD;
+    stages/stats.py mad_group): two simultaneous per-group value-
+    domain binary searches (grouped_order_stats) — O(log range)
+    stateless scans each, no sort, no shuffle, constant driver
+    memory beyond the bounded group census."""
+    from textgraphs_ray.stages.stats import mad_group
+
+    base = _docs(sf_dir, columns=["source", "n_chars"]).materialize()
+    return mad_group(lambda: base, value_col="n_chars",
+                     group_col="source", lo=0, hi=1 << 20)
+
+
 def _q_greedy_matching_distributed(sf_dir: str):
     """Forced-alternate physical plan for `greedy_matching`: the
     parallel locally-dominant fixpoint (per round, mutual-best pairs
@@ -5051,6 +5115,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
+    "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
     "harmonic", "katz", "lpa",
     "sssp", "sssp_distributed", "unpivot",
     "scc", "scc_distributed", "welch_t", "ks_test", "gini_group",
@@ -5088,6 +5153,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt": _q_skew_kurt,
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
+        "funnel_counts": _q_funnel_counts,
+        "clustering_coef": _q_clustering_coef,
+        "eccentricity": _q_eccentricity,
+        "mad_group": _q_mad_group,
         "harmonic": _q_harmonic,
         "katz": _q_katz,
         "lpa": _q_lpa,
@@ -5397,6 +5466,123 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "funnel_counts": """
+            WITH u1 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), u2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN u1 ON u1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t
+              GROUP BY e.user_id
+            ), u3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN u2 ON u2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t
+              GROUP BY e.user_id
+            )
+            SELECT CAST(step AS BIGINT) AS step, step_name,
+                   CAST(n_users AS BIGINT) AS n_users
+            FROM (VALUES
+              (1, 'view', (SELECT count(*) FROM u1)),
+              (2, 'click', (SELECT count(*) FROM u2)),
+              (3, 'purchase', (SELECT count(*) FROM u3))
+            ) AS t(step, step_name, n_users)
+        """,
+        "clustering_coef": """
+            WITH m AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), E AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM m a JOIN m b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+            ), sym AS (
+              SELECT u AS node FROM E UNION ALL SELECT v FROM E
+            ), deg AS (
+              SELECT node, count(*)::BIGINT AS deg FROM sym
+              GROUP BY node
+            ), T AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM E e1
+              JOIN E e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN E e3 ON e3.u = e1.v AND e3.v = e2.v
+            ), corners AS (
+              SELECT a AS node FROM T
+              UNION ALL SELECT b FROM T
+              UNION ALL SELECT c FROM T
+            ), tri AS (
+              SELECT node, count(*)::BIGINT AS n_tri FROM corners
+              GROUP BY node
+            )
+            SELECT d.node, d.deg,
+                   coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+                   CASE WHEN d.deg >= 2 THEN round(
+                     2.0 * coalesce(t.n_tri, 0)
+                     / (d.deg * (d.deg - 1)), 6)
+                   ELSE 0.0 END AS cc
+            FROM deg d LEFT JOIN tri t ON t.node = d.node
+        """,
+        "eccentricity": """
+            WITH RECURSIVE seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e0 AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), s AS (
+              SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+            ), nodes AS (
+              SELECT DISTINCT u AS n FROM s
+            ), walk(src, node, d) AS (
+              SELECT n, n, 0 FROM nodes
+              UNION
+              SELECT walk.src, s.v, walk.d + 1
+              FROM walk JOIN s ON s.u = walk.node
+              WHERE walk.d < 4
+            ), dist AS (
+              SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2
+            )
+            SELECT src AS node, CAST(max(d) AS BIGINT) AS ecc,
+                   count(*) AS n_reached
+            FROM dist WHERE d >= 1 GROUP BY src
+        """,
+        "mad_group": """
+            WITH d AS (
+              SELECT source, n_chars AS x FROM documents
+            ), r AS (
+              SELECT source, x, row_number() OVER (
+                       PARTITION BY source ORDER BY x) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM d
+            ), med AS (
+              SELECT source, CAST(max(n) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN rn = (n + 1) // 2
+                              THEN x ELSE 0 END)
+                        + sum(CASE WHEN rn = n // 2 + 1
+                              THEN x ELSE 0 END) AS BIGINT) AS med_x2
+              FROM r GROUP BY source
+            ), dev AS (
+              SELECT d.source, abs(2 * d.x - m.med_x2) AS dx
+              FROM d JOIN med m ON m.source = d.source
+            ), r2 AS (
+              SELECT source, dx, row_number() OVER (
+                       PARTITION BY source ORDER BY dx) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM dev
+            ), mad AS (
+              SELECT source,
+                     CAST(sum(CASE WHEN rn = (n + 1) // 2
+                              THEN dx ELSE 0 END)
+                        + sum(CASE WHEN rn = n // 2 + 1
+                              THEN dx ELSE 0 END) AS BIGINT) AS mad_x4
+              FROM r2 GROUP BY source
+            )
+            SELECT m.source, m.n, m.med_x2, mad.mad_x4
+            FROM med m JOIN mad ON mad.source = m.source
+        """,
         "harmonic": """
             WITH RECURSIVE seq AS (
               SELECT l_orderkey AS o, l_linenumber AS i,

@@ -136,3 +136,40 @@ def test_lpa_two_cliques_converge_to_min_ids():
     assert got == _brute_lpa(cl1 + cl2)
     assert set(got[n] for n in range(4)) == {0}
     assert set(got[n] for n in range(10, 14)) == {10}
+
+
+def test_eccentricity_path_graph():
+    from textgraphs_ray.stages.centrality import eccentricity
+
+    # path 0-1-2-3-4-5, hops=4: node 0 reaches 1..4 (ecc 4);
+    # node 2 reaches everything, farthest d=3
+    pairs = [(i, i + 1) for i in range(5)]
+    got = {r["node"]: (r["ecc"], r["n_reached"])
+           for r in eccentricity(_edges_ds(pairs), hops=4).take_all()}
+    assert got[0] == (4, 4)
+    assert got[2] == (3, 5)
+
+
+def test_eccentricity_matches_bfs():
+    from textgraphs_ray.stages.centrality import eccentricity
+
+    pairs = _rand_digraph(11)
+    adj = _adj_undirected(pairs)
+    got = {r["node"]: (r["ecc"], r["n_reached"])
+           for r in eccentricity(_edges_ds(pairs), hops=4).take_all()}
+    want = {}
+    for s, (_, n) in _brute_harmonic(pairs, hops=4).items():
+        from collections import deque
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            if dist[x] >= 4:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        ds = [d for d in dist.values() if d >= 1]
+        want[s] = (max(ds), len(ds))
+    assert got == want

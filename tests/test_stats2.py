@@ -94,3 +94,70 @@ def test_ari_matches_brute_pair_counting():
     [r] = adjusted_rand(ds, a_col="a", b_col="b").take_all()
     assert abs(r["ari"] - _brute_ari(a, b)) < 1e-6
     assert r["n"] == 60
+
+
+# ---------------------------------------------------------------- MAD
+
+
+def _int_ds(groups, values):
+    import pyarrow as _pa
+    import ray.data as _rd
+    return _rd.from_arrow(_pa.table({
+        "g": _pa.array(list(groups), _pa.string()),
+        "x": _pa.array(list(values), _pa.int64())}))
+
+
+def _brute_med2(vals):
+    v = sorted(vals)
+    n = len(v)
+    return v[(n - 1) // 2] + v[n // 2]
+
+
+def test_grouped_median_x2_matches_sorted():
+    from textgraphs_ray.stages.stats import grouped_median_x2
+
+    rng = np.random.default_rng(23)
+    groups = [f"g{int(i)}" for i in rng.integers(0, 4, 500)]
+    values = [int(x) for x in rng.integers(0, 10_000, 500)]
+    base = _int_ds(groups, values).materialize()
+    got = grouped_median_x2(lambda: base, value_col="x",
+                            group_col="g", lo=0, hi=1 << 20)
+    for _, row in got.iterrows():
+        vals = [v for g, v in zip(groups, values) if g == row["g"]]
+        assert row["n"] == len(vals)
+        assert row["med_x2"] == _brute_med2(vals), row["g"]
+
+
+def test_mad_group_matches_brute():
+    from textgraphs_ray.stages.stats import mad_group
+
+    rng = np.random.default_rng(5)
+    groups = [f"s{int(i)}" for i in rng.integers(0, 3, 300)]
+    values = [int(x) for x in rng.integers(0, 1000, 300)]
+    base = _int_ds(groups, values).materialize()
+    got = mad_group(lambda: base, value_col="x", group_col="g",
+                    lo=0, hi=1 << 20)
+    assert list(got.columns) == ["g", "n", "med_x2", "mad_x4"]
+    for _, row in got.iterrows():
+        vals = [v for g, v in zip(groups, values) if g == row["g"]]
+        med2 = _brute_med2(vals)
+        dev2 = [abs(2 * v - med2) for v in vals]
+        assert row["med_x2"] == med2
+        assert row["mad_x4"] == _brute_med2(dev2)
+
+
+def test_mad_group_odd_even_and_ties():
+    from textgraphs_ray.stages.stats import mad_group
+
+    groups = ["a"] * 5 + ["b"] * 4 + ["c"] * 3
+    values = [1, 2, 3, 4, 100, 10, 10, 20, 20, 7, 7, 7]
+    base = _int_ds(groups, values).materialize()
+    got = mad_group(lambda: base, value_col="x", group_col="g",
+                    lo=0, hi=256).set_index("g")
+    # a: median 3 → med_x2 6; dev2 = |2x−6| = 4,2,0,2,194 →
+    # median(dev2) = 2 → mad_x4 = 4 (MAD = 1)
+    assert tuple(got.loc["a"]) == (5, 6, 4)
+    # b: med_x2 = 10+20 = 30; dev2 = 10,10,10,10 → mad_x4 = 20
+    assert tuple(got.loc["b"]) == (4, 30, 20)
+    # c: all equal → MAD 0
+    assert tuple(got.loc["c"]) == (3, 14, 0)

@@ -344,3 +344,36 @@ class TestGreedyMIS:
         assert self._run([(5, 9), (5, 8), (5, 7)]) == {5}
         # leaves beat the center when every leaf id is smaller
         assert self._run([(9, 1), (9, 2), (9, 3)]) == {1, 2, 3}
+
+
+def test_clustering_coefficient_closed_forms():
+    from textgraphs_ray.stages.triangle import clustering_coefficient
+
+    # K4 (cc = 1 everywhere) + pendant node 9 on 3 (deg 1 → cc 0)
+    pairs = [(a, b) for a, b in combinations(range(4), 2)] + [(3, 9)]
+    got = {r["node"]: (r["deg"], r["n_tri"], r["cc"])
+           for r in clustering_coefficient(_edges_ds(pairs)).take_all()}
+    assert got[0] == (3, 3, 1.0)
+    assert got[3] == (4, 3, 0.5)   # 3 closed of C(4,2)=6 wedges
+    assert got[9] == (1, 0, 0.0)
+
+
+def test_clustering_coefficient_matches_brute():
+    from textgraphs_ray.stages.triangle import clustering_coefficient
+
+    rng = np.random.default_rng(7)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 25, (150, 2)) if p[0] != p[1]})
+    tri = _brute(pairs)
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = {r["node"]: (r["deg"], r["n_tri"], r["cc"])
+           for r in clustering_coefficient(
+               _edges_ds(pairs), num_partitions=5).take_all()}
+    assert set(got) == set(deg)
+    for n, d in deg.items():
+        t = tri.get(n, 0)
+        cc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[n] == (d, t, cc), n

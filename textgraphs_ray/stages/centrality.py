@@ -36,7 +36,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .join import shuffle_join
 
@@ -68,24 +68,22 @@ def _nodes_of(edges: "ray.data.Dataset") -> "ray.data.Dataset":
             .select_columns(["node"]))
 
 
-def harmonic_centrality(edges: "ray.data.Dataset", *, hops: int = 4,
-                        u: str = "u", v: str = "v",
-                        num_partitions: int = 8
-                        ) -> "ray.data.Dataset":
-    """→ (node, harmonic_x12, n_reached): hop-bounded harmonic
-    centrality over the UNDIRECTED view of ``edges`` — for every
-    node, Σ 12/d over nodes within ``hops`` hops (d ≥ 1) plus the
-    reach count.  12 = lcm(1..4): the default bound keeps the score
-    an exact integer.
+def bounded_distances(edges: "ray.data.Dataset", *, hops: int,
+                      u: str = "u", v: str = "v",
+                      num_partitions: int = 8) -> "ray.data.Dataset":
+    """→ (src, node, d): minimum hop distance ≤ ``hops`` between
+    every node pair reachable within the bound, over the UNDIRECTED
+    view of ``edges`` (d = 0 rows for every node to itself included).
 
     Multi-source BFS as data: the (src, node, d) table grows one
     frontier per round via shuffle_join(frontier × edges) and a
     (src, node) min-d groupby; newly-reached rows (d == round) are
     the next frontier.  ``hops`` rounds, bounded by the coarsened
-    node domain."""
-    if hops < 1 or hops > 4:
-        raise ValueError(f"hops must be in [1, 4] (12 = lcm(1..4) "
-                         f"keeps 12/d integral), got {hops}")
+    node domain; per-source rows never interact across sources, so
+    at web scale shard sources into stripes and run stripes
+    independently."""
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
     sym = _symmetrize(edges, u=u, v=v).materialize()
 
     def seed(t: pa.Table) -> pa.Table:
@@ -110,6 +108,23 @@ def harmonic_centrality(edges: "ray.data.Dataset", *, hops: int = 4,
         frontier = known.filter(expr=f"d == {h}").materialize()
         if frontier.count() == 0:
             break
+    return known
+
+
+def harmonic_centrality(edges: "ray.data.Dataset", *, hops: int = 4,
+                        u: str = "u", v: str = "v",
+                        num_partitions: int = 8
+                        ) -> "ray.data.Dataset":
+    """→ (node, harmonic_x12, n_reached): hop-bounded harmonic
+    centrality over the UNDIRECTED view of ``edges`` — for every
+    node, Σ 12/d over nodes within ``hops`` hops (d ≥ 1) plus the
+    reach count.  12 = lcm(1..4): the default bound keeps the score
+    an exact integer.  Distances from :func:`bounded_distances`."""
+    if hops < 1 or hops > 4:
+        raise ValueError(f"hops must be in [1, 4] (12 = lcm(1..4) "
+                         f"keeps 12/d integral), got {hops}")
+    known = bounded_distances(edges, hops=hops, u=u, v=v,
+                              num_partitions=num_partitions)
 
     def score(t: pa.Table) -> pa.Table:
         d = t.column("d").to_numpy(zero_copy_only=False)
@@ -123,6 +138,36 @@ def harmonic_centrality(edges: "ray.data.Dataset", *, hops: int = 4,
     return (known.map_batches(score, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Sum("h", alias_name="harmonic_x12"),
+                       Sum("r", alias_name="n_reached")))
+
+
+def eccentricity(edges: "ray.data.Dataset", *, hops: int = 4,
+                 u: str = "u", v: str = "v",
+                 num_partitions: int = 8) -> "ray.data.Dataset":
+    """→ (node, ecc, n_reached): hop-bounded eccentricity over the
+    undirected view of ``edges`` — the max hop distance to any node
+    reached within ``hops`` hops, plus the reach count.  A LOWER
+    bound of the true eccentricity whenever the bound binds (same
+    capped-semantics contract as ``bfs_hops``' hop cap: the cap is
+    part of the operator and the oracle replays it); nodes with no
+    neighbor emit no row.  Shares the multi-source BFS distance
+    table with :func:`harmonic_centrality`
+    (:func:`bounded_distances`)."""
+    known = bounded_distances(edges, hops=hops, u=u, v=v,
+                              num_partitions=num_partitions)
+
+    def reach(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        m = d >= 1
+        return pa.table({"node": pa.array(src[m]),
+                         "d": pa.array(d[m]),
+                         "r": pa.array(np.ones(int(m.sum()),
+                                               np.int64))})
+
+    return (known.map_batches(reach, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Max("d", alias_name="ecc"),
                        Sum("r", alias_name="n_reached")))
 
 

@@ -920,3 +920,124 @@ def adjusted_rand(ds: "ray.data.Dataset", *, a_col: str,
         "sum_ai": pa.array([sum_ai], pa.int64()),
         "sum_bj": pa.array([sum_bj], pa.int64()),
         "ari": pa.array([ari], pa.float64())}))
+
+
+def grouped_order_stats(ds_fn, *, value_col: str, group_col: str,
+                        ranks: dict, lo: int, hi: int,
+                        max_rounds: int = 64) -> dict:
+    """→ {(group, k): value}: the 1-based k-th order statistic of
+    ``value_col`` WITHIN each group, for every (group, k) pair in
+    ``ranks`` (group → list of ranks) — SIMULTANEOUS value-domain
+    binary search, the grouped sibling of :func:`selection_order_stat`.
+
+    Every round is ONE stateless scan: all live (group, k) pairs ship
+    their mids in a single broadcast, each batch sorts once by
+    (group, value) and answers every pair's count(x ≤ mid) with two
+    ``searchsorted`` probes, and the driver folds the tiny per-block
+    partials (blocks × pairs rows — never the data).  O(log(hi−lo))
+    scans total regardless of pair count, no shuffle, no sort,
+    constant driver memory beyond the bounded pair census.  ``ds_fn``
+    must return a fresh cheap-to-rescan Dataset per call (a pruned
+    ``read_parquet``, or a materialized 2-column projection)."""
+    pairs = [(g, int(k)) for g, ks in ranks.items() for k in ks]
+    if not pairs:
+        return {}
+    state = {p: [int(lo), int(hi)] for p in pairs}
+    for _ in range(max_rounds):
+        live = [p for p in pairs if state[p][0] < state[p][1]]
+        if not live:
+            break
+        pg = np.array([g for g, _ in live], dtype=object)
+        pm = np.array([(state[p][0] + state[p][1]) // 2 for p in live],
+                      dtype=np.int64)
+        ref = ray.put((pg, pm))
+
+        def cnt(t: pa.Table) -> pa.Table:
+            g_, m_ = ray.get(ref)
+            gv = t.column(group_col).to_numpy(zero_copy_only=False)
+            xv = (t.column(value_col).to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+            order = np.lexsort((xv, gv))
+            gs, xs = gv[order], xv[order]
+            out = np.empty(len(g_), np.int64)
+            for i in range(len(g_)):
+                a = np.searchsorted(gs, g_[i], side="left")
+                b = np.searchsorted(gs, g_[i], side="right")
+                out[i] = np.searchsorted(xs[a:b], m_[i], side="right")
+            return pa.table({"p": pa.array(np.arange(len(g_))),
+                             "c": pa.array(out)})
+
+        tot = np.zeros(len(live), np.int64)
+        for r in ds_fn().map_batches(cnt,
+                                     batch_format="pyarrow").take_all():
+            tot[r["p"]] += r["c"]
+        for i, p in enumerate(live):
+            if tot[i] >= p[1]:
+                state[p][1] = int(pm[i])
+            else:
+                state[p][0] = int(pm[i]) + 1
+    return {p: state[p][0] for p in pairs}
+
+
+def grouped_median_x2(ds_fn, *, value_col: str, group_col: str,
+                      lo: int, hi: int) -> pd.DataFrame:
+    """→ (group, n, med_x2): the EXACT doubled median of an integer
+    column per group — med_x2 = x_(⌈n/2⌉) + x_(⌊n/2⌋+1) in 1-based
+    order-statistic terms, so even-n averaging stays integral (2× the
+    SQL ``median``).  Group census from one combiner scan (bounded
+    distinct groups by contract), both order statistics per group
+    from ONE simultaneous :func:`grouped_order_stats` search."""
+    parts = {}
+    for r in ds_fn().map_batches(
+            lambda t: pa.table(dict(zip(
+                ["g", "c"],
+                (lambda v, c: (pa.array(v), pa.array(c.astype(np.int64))))(
+                    *np.unique(t.column(group_col).to_numpy(
+                        zero_copy_only=False), return_counts=True))))),
+            batch_format="pyarrow").take_all():
+        parts[r["g"]] = parts.get(r["g"], 0) + int(r["c"])
+    ranks = {g: sorted({(n + 1) // 2, n // 2 + 1})
+             for g, n in parts.items()}
+    stats = grouped_order_stats(ds_fn, value_col=value_col,
+                                group_col=group_col, ranks=ranks,
+                                lo=lo, hi=hi)
+    groups = sorted(parts)
+    med2 = [stats[(g, (parts[g] + 1) // 2)]
+            + stats[(g, parts[g] // 2 + 1)] for g in groups]
+    return pd.DataFrame({
+        group_col: groups,
+        "n": np.array([parts[g] for g in groups], np.int64),
+        "med_x2": np.array(med2, np.int64)})
+
+
+def mad_group(ds_fn, *, value_col: str, group_col: str, lo: int,
+              hi: int) -> pd.DataFrame:
+    """→ (group, n, med_x2, mad_x4): exact grouped median AND median
+    absolute deviation of an integer column, both as scaled integers
+    (med_x2 = 2·median, mad_x4 = 4·MAD — the deviations |2x − med_x2|
+    are already doubled, and their median doubles again), via two
+    :func:`grouped_median_x2` selection passes.  The robust
+    scale/location summary (outlier fences at med ± c·MAD) with NO
+    sort, NO shuffle and no float until the caller divides —
+    unbounded value cardinality, bounded group census."""
+    med = grouped_median_x2(ds_fn, value_col=value_col,
+                            group_col=group_col, lo=lo, hi=hi)
+    med_map = dict(zip(med[group_col], med["med_x2"].astype(int)))
+    ref = ray.put(med_map)
+
+    def dev(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        gv = t.column(group_col).to_pandas()
+        xv = (t.column(value_col).to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        m2 = gv.map(m).to_numpy(np.int64)
+        return pa.table({group_col: t.column(group_col),
+                         "_dev2": pa.array(np.abs(2 * xv - m2))})
+
+    mad = grouped_median_x2(
+        lambda: ds_fn().map_batches(dev, batch_format="pyarrow"),
+        value_col="_dev2", group_col=group_col, lo=0,
+        hi=2 * (int(hi) - int(lo)) + 2)
+    out = med.merge(mad.rename(columns={"med_x2": "mad_x4",
+                                        "n": "_n2"}), on=group_col)
+    return out[[group_col, "n", "med_x2", "mad_x4"]]
