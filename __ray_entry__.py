@@ -5063,6 +5063,30 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_four_cycles(sf_dir: str):
+    """Exact global 4-cycle census of the same-minute co-activity
+    graph (stages/triangle.py four_cycle_count): symmetrize → per-mid
+    neighbor-pair emission on coarse partitions → one (x, z) codegree
+    groupby → c4 = Σ C(codeg, 2) / 2 (each quad seen from both
+    diagonals)."""
+    from textgraphs_ray.stages.triangle import four_cycle_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    from textgraphs_ray.stages.triangle import cooccurrence_edges
+
+    edges = cooccurrence_edges(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn")
+    return four_cycle_count(edges)
+
+
 def _q_eccentricity(sf_dir: str):
     """Hop-bounded eccentricity over the undirected transition part
     graph (stages/centrality.py eccentricity): max hop distance (≤ 4)
@@ -5115,6 +5139,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
+    "four_cycles",
     "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
     "harmonic", "katz", "lpa",
     "sssp", "sssp_distributed", "unpivot",
@@ -5153,6 +5178,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt": _q_skew_kurt,
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
+        "four_cycles": _q_four_cycles,
         "funnel_counts": _q_funnel_counts,
         "clustering_coef": _q_clustering_coef,
         "eccentricity": _q_eccentricity,
@@ -5466,6 +5492,29 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "four_cycles": """
+            WITH m AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), E AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM m a JOIN m b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+            ), sym AS (
+              SELECT u, v FROM E UNION ALL SELECT v, u FROM E
+            ), w AS (
+              SELECT s1.v AS x, s2.v AS z
+              FROM sym s1 JOIN sym s2
+                ON s1.u = s2.u AND s1.v < s2.v
+            ), cn AS (
+              SELECT x, z, count(*) AS c FROM w GROUP BY x, z
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_codeg_pairs,
+                   CAST(sum((c * (c - 1)) // 2) AS BIGINT)
+                     AS n_quad_pairs,
+                   CAST(sum((c * (c - 1)) // 2) // 2 AS BIGINT) AS c4
+            FROM cn
+        """,
         "funnel_counts": """
             WITH u1 AS (
               SELECT user_id, min(epoch_us(ts)) AS t FROM events

@@ -377,3 +377,34 @@ def test_clustering_coefficient_matches_brute():
         t = tri.get(n, 0)
         cc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
         assert got[n] == (d, t, cc), n
+
+
+def test_four_cycle_k4_and_path():
+    from textgraphs_ray.stages.triangle import four_cycle_count
+
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    row = four_cycle_count(_edges_ds(k4)).take_all()[0]
+    assert row["c4"] == 3 and row["n_quad_pairs"] == 6
+    path = [(i, i + 1) for i in range(6)]
+    assert four_cycle_count(_edges_ds(path)).take_all()[0]["c4"] == 0
+
+
+def test_four_cycle_matches_brute():
+    from textgraphs_ray.stages.triangle import four_cycle_count
+
+    rng = np.random.default_rng(31)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 18, (70, 2)) if p[0] != p[1]})
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    want = 0
+    for i, x in enumerate(nodes):
+        for z in nodes[i + 1:]:
+            c = len(adj[x] & adj[z])
+            want += c * (c - 1) // 2
+    row = four_cycle_count(_edges_ds(pairs)).take_all()[0]
+    assert row["n_quad_pairs"] == want
+    assert row["c4"] == want // 2

@@ -244,6 +244,61 @@ def triangle_counts(edges: "ray.data.Dataset", *, u: str = "u",
     return out.union(ray.data.from_arrow(empty))
 
 
+def four_cycle_count(edges: "ray.data.Dataset", *, u: str = "u",
+                     v: str = "v") -> "ray.data.Dataset":
+    """→ one row (n_codeg_pairs, n_quad_pairs, c4): the exact global
+    4-cycle census — c4 = ½·Σ_{x<z} C(codeg(x, z), 2), where codeg is
+    the common-neighbor count (each quadrilateral is seen once from
+    each of its two diagonals; K4 sanity: 6 pairs × C(2,2) = 6 → 3
+    quads).  ``edges`` distinct with ``u < v``.
+
+    Plan: symmetrize, then the (mid, neighbor) table IS a bucket
+    table — per-mid neighbor pairs via the same coarse-partition
+    segmented emission as :func:`cooccurrence_edges` (never a
+    per-mid task), one (x, z) count groupby for codegrees, one
+    integer partial-sum finish.  A hub mid emits deg² wedges — at
+    web scale orient by degree or salt hot mids exactly as the
+    triangle plan does; counts here stay exact under any split
+    because codeg sums over mids."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(u).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(v).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"mid": pa.array(np.concatenate([a, b])),
+                         "nb": pa.array(np.concatenate([b, a]))})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        m = t.column("mid").to_numpy(zero_copy_only=False)
+        part = (m.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def partition_pairs(g: pd.DataFrame) -> pa.Table:
+        return _segmented_full_pairs(g, "mid", "nb")
+
+    codeg = (edges.map_batches(sym, batch_format="pyarrow")
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(partition_pairs, batch_format="pandas")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="c")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_codeg_pairs": pa.array([len(c)], pa.int64()),
+            "n_quad_pairs": pa.array([int((c * (c - 1) // 2).sum())],
+                                     pa.int64())})
+
+    # per-block int64 partials fold on the driver (blocks × 2 ints)
+    parts = codeg.map_batches(partial, batch_format="pyarrow").take_all()
+    n_pairs = sum(r["n_codeg_pairs"] for r in parts)
+    n_quad = sum(r["n_quad_pairs"] for r in parts)
+    return ray.data.from_arrow(pa.table({
+        "n_codeg_pairs": pa.array([n_pairs], pa.int64()),
+        "n_quad_pairs": pa.array([n_quad], pa.int64()),
+        "c4": pa.array([n_quad // 2], pa.int64())}))
+
+
 def clustering_coefficient(edges: "ray.data.Dataset", *, u: str = "u",
                            v: str = "v",
                            num_partitions: int = 32
