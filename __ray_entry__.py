@@ -5063,6 +5063,45 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """Top-20 user pairs by JACCARD similarity of their active-minute
+    sets (stages/triangle.py common_neighbor_pairs weight='jaccard'):
+    J = c/(deg_u + deg_v − c); the degree census decorates the pair
+    stream via two hash-partitioned shuffle_joins — never a driver
+    broadcast; (jac DESC, u, v) total order."""
+    from textgraphs_ray.stages.triangle import common_neighbor_pairs
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    return common_neighbor_pairs(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn", k=20,
+        weight="jaccard")
+
+
+def _q_cusum(sf_dir: str):
+    """Exact CUSUM change-point per order over the line-number-
+    ordered quantity sequence (stages/stats.py cusum_change_point):
+    argmax_k |n·S_k| kept as the int64 M_k = n·P_k − k·T, ties →
+    smallest k; orders with one line emit no row.  One coarse
+    order-hash partition; every order in a partition resolves in one
+    sorted numpy pass (segment-reset prefix sums + lexsort argmax)."""
+    from textgraphs_ray.stages.stats import cusum_change_point
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+    return cusum_change_point(ds, group_col="l_orderkey",
+                              seq_col="l_linenumber",
+                              value_col="l_quantity")
+
+
 def _q_four_cycles(sf_dir: str):
     """Exact global 4-cycle census of the same-minute co-activity
     graph (stages/triangle.py four_cycle_count): symmetrize → per-mid
@@ -5139,7 +5178,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "four_cycles",
+    "jaccard_pairs", "cusum", "four_cycles",
     "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
     "harmonic", "katz", "lpa",
     "sssp", "sssp_distributed", "unpivot",
@@ -5178,6 +5217,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt": _q_skew_kurt,
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "cusum": _q_cusum,
         "four_cycles": _q_four_cycles,
         "funnel_counts": _q_funnel_counts,
         "clustering_coef": _q_clustering_coef,
@@ -5492,6 +5533,52 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "jaccard_pairs": """
+            WITH m AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), deg AS (
+              SELECT user_id, count(*) AS d FROM m GROUP BY user_id
+            ), p AS (
+              SELECT a.user_id AS u, b.user_id AS v, count(*) AS c
+              FROM m a JOIN m b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+              GROUP BY 1, 2
+            )
+            SELECT u, v,
+                   round(1.0 * c / (da.d + db.d - c), 6) AS jac
+            FROM p JOIN deg da ON da.user_id = u
+                   JOIN deg db ON db.user_id = v
+            ORDER BY jac DESC, u, v LIMIT 20
+        """,
+        "cusum": """
+            WITH d AS (
+              SELECT l_orderkey AS g, l_linenumber AS i,
+                     CAST(l_quantity AS BIGINT) AS x
+              FROM lineitem
+            ), s AS (
+              SELECT g, i, x,
+                     sum(x) OVER (PARTITION BY g ORDER BY i, x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS p,
+                     sum(x) OVER (PARTITION BY g) AS tot,
+                     count(*) OVER (PARTITION BY g) AS n,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY i, x) AS k
+              FROM d
+            ), mm AS (
+              SELECT g, n, k, n * p - k * tot AS mk
+              FROM s WHERE k < n
+            ), r AS (
+              SELECT g, n, k, mk, row_number() OVER (
+                PARTITION BY g ORDER BY abs(mk) DESC, k ASC) AS rn
+              FROM mm
+            )
+            SELECT g, CAST(n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS k_star,
+                   CAST(mk AS BIGINT) AS m_star
+            FROM r WHERE rn = 1
+        """,
         "four_cycles": """
             WITH m AS (
               SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id

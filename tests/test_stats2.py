@@ -161,3 +161,73 @@ def test_mad_group_odd_even_and_ties():
     assert tuple(got.loc["b"]) == (4, 30, 20)
     # c: all equal → MAD 0
     assert tuple(got.loc["c"]) == (3, 14, 0)
+
+
+# -------------------------------------------------------------- CUSUM
+
+
+def test_cusum_step_change_detected():
+    from textgraphs_ray.stages.stats import cusum_change_point
+
+    # group 7: 5,5,5,9,9,9 → split at k=3
+    ds = _seq_ds([(7, i + 1, x) for i, x in
+                  enumerate([5, 5, 5, 9, 9, 9])])
+    got = {r["g"]: (r["n"], r["k_star"], r["m_star"])
+           for r in cusum_change_point(
+               ds, group_col="g", seq_col="i",
+               value_col="x").take_all()}
+    n, tot = 6, 42
+    m3 = n * 15 - 3 * tot
+    assert got[7] == (6, 3, m3)
+
+
+def test_cusum_singleton_groups_drop_and_ties_to_smallest_k():
+    from textgraphs_ray.stages.stats import cusum_change_point
+
+    rows = [(1, 1, 10),              # n = 1 → no row
+            (2, 1, 4), (2, 2, 8), (2, 3, 4)]  # |M1| = |M2| → k = 1
+    got = {r["g"]: (r["k_star"], r["m_star"])
+           for r in cusum_change_point(
+               _seq_ds(rows), group_col="g", seq_col="i",
+               value_col="x").take_all()}
+    assert 1 not in got
+    assert got[2] == (1, 3 * 4 - 1 * 16)
+
+
+def test_cusum_matches_brute():
+    from textgraphs_ray.stages.stats import cusum_change_point
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g in range(30):
+        n = int(rng.integers(1, 9))
+        for i in range(n):
+            rows.append((g, i + 1, int(rng.integers(0, 100))))
+    got = {r["g"]: (r["n"], r["k_star"], r["m_star"])
+           for r in cusum_change_point(
+               _seq_ds(rows), group_col="g", seq_col="i",
+               value_col="x", num_partitions=7).take_all()}
+    want = {}
+    for g in range(30):
+        xs = [x for gg, _, x in rows if gg == g]
+        n, tot = len(xs), sum(xs)
+        if n < 2:
+            continue
+        best = None
+        p = 0
+        for k in range(1, n):
+            p += xs[k - 1]
+            mk = n * p - k * tot
+            if best is None or abs(mk) > abs(best[1]):
+                best = (k, mk)
+        want[g] = (n, best[0], best[1])
+    assert got == want
+
+
+def _seq_ds(rows):
+    import pyarrow as _pa
+    import ray.data as _rd
+    return _rd.from_arrow(_pa.table({
+        "g": _pa.array([r[0] for r in rows], _pa.int64()),
+        "i": _pa.array([r[1] for r in rows], _pa.int64()),
+        "x": _pa.array([r[2] for r in rows], _pa.int64())}))

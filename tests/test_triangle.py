@@ -408,3 +408,32 @@ def test_four_cycle_matches_brute():
     row = four_cycle_count(_edges_ds(pairs)).take_all()[0]
     assert row["n_quad_pairs"] == want
     assert row["c4"] == want // 2
+
+
+def test_jaccard_pairs_matches_brute():
+    from textgraphs_ray.stages.triangle import common_neighbor_pairs
+
+    rng = np.random.default_rng(41)
+    rows = [(int(b), int(e)) for b, e in
+            zip(rng.integers(0, 15, 400), rng.integers(0, 12, 400))]
+    ds = rd.from_arrow(pa.table({
+        "bkt": pa.array([r[0] for r in rows], pa.int64()),
+        "ent": pa.array([r[1] for r in rows], pa.int64())}))
+    got = [(r["u"], r["v"], r["jac"]) for r in
+           common_neighbor_pairs(ds, entity_col="ent",
+                                 bucket_col="bkt", k=10,
+                                 weight="jaccard").take_all()]
+    sets: dict[int, set] = {}
+    for b, e in rows:
+        sets.setdefault(e, set()).add(b)
+    ents = sorted(sets)
+    brute = []
+    for i, u in enumerate(ents):
+        for v in ents[i + 1:]:
+            c = len(sets[u] & sets[v])
+            if c:
+                brute.append((
+                    round(c / (len(sets[u]) + len(sets[v]) - c), 6),
+                    u, v))
+    brute.sort(key=lambda t: (-t[0], t[1], t[2]))
+    assert got == [(u, v, j) for j, u, v in brute[:10]]

@@ -1041,3 +1041,72 @@ def mad_group(ds_fn, *, value_col: str, group_col: str, lo: int,
     out = med.merge(mad.rename(columns={"med_x2": "mad_x4",
                                         "n": "_n2"}), on=group_col)
     return out[[group_col, "n", "med_x2", "mad_x4"]]
+
+
+def cusum_change_point(ds: "ray.data.Dataset", *, group_col: str,
+                       seq_col: str, value_col: str,
+                       num_partitions: int = 32) -> "ray.data.Dataset":
+    """→ (group, n, k_star, m_star): the exact CUSUM change-point per
+    group — for the sequence x_1..x_n ordered by ``seq_col``, the
+    interior split k maximizing |n·S_k| where S_k = Σ_{i≤k}x_i − k·x̄
+    (the classic at-most-one-change-point statistic; Page 1954).
+    Everything stays int64: M_k = n·P_k − k·T with P the prefix sum
+    and T the total, so the argmax is exact — no float until the
+    caller rescales by 1/n.  Ties break to the smallest k; m_star is
+    the SIGNED M at k_star; groups with n < 2 have no interior split
+    and emit no row.
+
+    One coarse hash partition on the group key (all of a group's rows
+    co-locate), then EVERY group in a partition resolves together in
+    one sorted numpy pass — segment-reset prefix sums + one lexsort
+    argmax, never a per-group task.  Int64 bound: |M_k| ≤ n·Σ|x| —
+    keep n·max|x| under 2⁶³ or pre-scale upstream."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = (t.column(group_col).cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        part = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(64 - 6)).astype(np.int64) % num_partitions
+        return pa.table({
+            "_part": pa.array(part), "g": pa.array(g),
+            "i": t.column(seq_col).cast(pa.int64()),
+            "x": t.column(value_col).cast(pa.int64())})
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        # (i, x) order: seq keys may repeat (duplicate line numbers
+        # observed in the wild) — adding the value as tiebreak makes
+        # the prefix-sum sequence deterministic, because remaining
+        # ties are full-row ties whose order cannot change any M_k
+        df = df.sort_values(["g", "i", "x"], kind="stable")
+        g = df["g"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        # segment bounds: starts[j] .. ends[j] rows of group j
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        n_per = ends - starts
+        n = np.repeat(n_per, n_per)
+        tot = np.repeat(np.add.reduceat(x, starts), n_per)
+        p = np.cumsum(x)
+        base = np.repeat(np.r_[0, p[ends[:-1] - 1]], n_per)
+        p = p - base                       # prefix within group
+        k = np.arange(len(g)) - np.repeat(starts, n_per) + 1
+        m = n * p - k * tot
+        keep = k < n                       # interior splits only
+        if not keep.any():
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "k_star": pa.array([], pa.int64()),
+                             "m_star": pa.array([], pa.int64())})
+        gk, kk, mk, nk = g[keep], k[keep], m[keep], n[keep]
+        order = np.lexsort((kk, -np.abs(mk), gk))
+        gs = gk[order]
+        first = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sel = order[first]
+        return pa.table({"g": pa.array(gk[sel]),
+                         "n": pa.array(nk[sel]),
+                         "k_star": pa.array(kk[sel]),
+                         "m_star": pa.array(mk[sel])})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(per_partition,
+                                         batch_format="pandas"))

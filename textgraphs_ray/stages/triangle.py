@@ -132,10 +132,11 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
     """
     import pyarrow.compute as pc
 
-    if weight not in ("count", "adamic_adar"):
-        raise ValueError(f"weight must be 'count' or 'adamic_adar', "
-                         f"got {weight!r}")
-    score_col = "n_common" if weight == "count" else "aa"
+    if weight not in ("count", "adamic_adar", "jaccard"):
+        raise ValueError(f"weight must be 'count', 'adamic_adar' or "
+                         f"'jaccard', got {weight!r}")
+    score_col = {"count": "n_common", "adamic_adar": "aa",
+                 "jaccard": "jac"}[weight]
 
     def local_distinct(t: pa.Table) -> pa.Table:
         df = t.to_pandas()[[bucket_col, entity_col]].drop_duplicates()
@@ -155,7 +156,7 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
     def partition_pairs(g: pd.DataFrame) -> pa.Table:
         out = _segmented_full_pairs(g, bucket_col, entity_col,
                                     weighted=(weight == "adamic_adar"))
-        if weight == "count":
+        if weight != "adamic_adar":
             out = out.append_column(
                 "w", pa.array(np.ones(out.num_rows)))
         return out
@@ -167,16 +168,51 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
               .groupby(["u", "v"])
               .aggregate(Sum("w", alias_name="w")))
 
-    def finish(t: pa.Table) -> pa.Table:
-        w = t.column("w").to_numpy(zero_copy_only=False)
-        if weight == "count":
-            col = pa.array(np.round(w).astype(np.int64))
-        else:
-            col = pa.array(np.round(w, 6))
-        return pa.table({"u": t.column("u"), "v": t.column("v"),
-                         score_col: col})
+    if weight == "jaccard":
+        # J(u, v) = c / (deg_u + deg_v − c) over distinct bucket
+        # memberships: the degree census decorates the pair stream
+        # via two hash-partitioned shuffle_joins (never a driver
+        # broadcast — entities are unbounded at web scale)
+        def as_deg(t: pa.Table) -> pa.Table:
+            return pa.table({"_e": t.column(entity_col),
+                             "_d": t.column("_d")})
 
-    scores = summed.map_batches(finish, batch_format="pyarrow")
+        deg = (members.groupby(entity_col)
+               .aggregate(Count(alias_name="_d"))
+               .map_batches(as_deg, batch_format="pyarrow"))
+        withu = shuffle_join(
+            summed, deg, "u", "_e", 16,
+            project=lambda m: pd.DataFrame({
+                "u": m["u"], "v": m["v"], "w": m["w"],
+                "du": m["_d"]}))
+        withv = shuffle_join(
+            withu, deg, "v", "_e", 16,
+            project=lambda m: pd.DataFrame({
+                "u": m["u"], "v": m["v"], "w": m["w"],
+                "du": m["du"], "dv": m["_d"]}))
+
+        def jfinish(t: pa.Table) -> pa.Table:
+            c = t.column("w").to_numpy(zero_copy_only=False)
+            du = (t.column("du").to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+            dv = (t.column("dv").to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+            return pa.table({
+                "u": t.column("u"), "v": t.column("v"),
+                score_col: pa.array(np.round(c / (du + dv - c), 6))})
+
+        scores = withv.map_batches(jfinish, batch_format="pyarrow")
+    else:
+        def finish(t: pa.Table) -> pa.Table:
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            if weight == "count":
+                col = pa.array(np.round(w).astype(np.int64))
+            else:
+                col = pa.array(np.round(w, 6))
+            return pa.table({"u": t.column("u"), "v": t.column("v"),
+                             score_col: col})
+
+        scores = summed.map_batches(finish, batch_format="pyarrow")
 
     def partial_topk(t: pa.Table) -> pa.Table:
         idx = pc.select_k_unstable(
