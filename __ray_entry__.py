@@ -5063,6 +5063,62 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_rich_club(sf_dir: str):
+    """Rich-club coefficient φ(k) for k = 0..8 over the same-minute
+    co-activity graph (stages/triangle.py rich_club): degree census
+    decorates the edge stream via two hash-partitioned shuffle_joins,
+    per-edge min-degree clips at k_max+1 so the driver folds a ≤ 10-
+    bin histogram regardless of the true degree range."""
+    from textgraphs_ray.stages.triangle import (cooccurrence_edges,
+                                                rich_club)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    edges = cooccurrence_edges(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn")
+    return rich_club(edges, max_k=8)
+
+
+def _q_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each order's line-ordered quantity
+    sequence (stages/stats.py autocorr_lag1): exact int64 sufficient
+    statistics over consecutive pairs, one float finish mirrored
+    term-for-term; zero-variance legs report r1 = 0.0 with the
+    statistics intact.  Same coarse-partition sorted-pass plan as
+    `cusum`."""
+    from textgraphs_ray.stages.stats import autocorr_lag1
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+    return autocorr_lag1(ds, group_col="l_orderkey",
+                         seq_col="l_linenumber",
+                         value_col="l_quantity")
+
+
+def _q_path_trigrams(sf_dir: str):
+    """Top-20 event-type trigram paths over per-user (ts, event_id)-
+    ordered streams (stages/funnel.py path_trigrams): one coarse
+    user-hash partition, double-shift with boundary masks per
+    partition (never a per-user task), per-partition pre-counts, one
+    global count groupby, partial top-k before the final sort."""
+    from textgraphs_ray.stages.funnel import path_trigrams
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return path_trigrams(ds, user_col="user_id",
+                         type_col="event_type", ts_col="ts",
+                         id_col="event_id", k=20)
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """Top-20 user pairs by JACCARD similarity of their active-minute
     sets (stages/triangle.py common_neighbor_pairs weight='jaccard'):
@@ -5178,6 +5234,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
+    "rich_club", "autocorr", "path_trigrams",
     "jaccard_pairs", "cusum", "four_cycles",
     "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
     "harmonic", "katz", "lpa",
@@ -5217,6 +5274,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt": _q_skew_kurt,
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
+        "rich_club": _q_rich_club,
+        "autocorr": _q_autocorr,
+        "path_trigrams": _q_path_trigrams,
         "jaccard_pairs": _q_jaccard_pairs,
         "cusum": _q_cusum,
         "four_cycles": _q_four_cycles,
@@ -5533,6 +5593,83 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "rich_club": """
+            WITH m AS (
+              SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+              FROM events
+            ), E AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM m a JOIN m b
+                ON a.mn = b.mn AND a.user_id < b.user_id
+            ), sym AS (
+              SELECT u, v FROM E UNION ALL SELECT v, u FROM E
+            ), deg AS (
+              SELECT u AS node, count(*) AS d FROM sym GROUP BY u
+            ), ed AS (
+              SELECT least(da.d, db.d) AS md
+              FROM E JOIN deg da ON da.node = E.u
+                     JOIN deg db ON db.node = E.v
+            ), ks AS (
+              SELECT unnest(range(0, 9)) AS k
+            ), nk AS (
+              SELECT ks.k, count(deg.node) AS n_k
+              FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
+            ), ek AS (
+              SELECT ks.k, count(ed.md) AS e_k
+              FROM ks LEFT JOIN ed ON ed.md > ks.k GROUP BY ks.k
+            )
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(nk.n_k AS BIGINT) AS n_k,
+                   CAST(ek.e_k AS BIGINT) AS e_k,
+                   CASE WHEN nk.n_k >= 2 THEN round(
+                     2.0 * ek.e_k / (nk.n_k * (nk.n_k - 1)), 6)
+                   ELSE 0.0 END AS phi
+            FROM ks JOIN nk ON nk.k = ks.k JOIN ek ON ek.k = ks.k
+        """,
+        "autocorr": """
+            WITH d AS (
+              SELECT l_orderkey AS g, l_linenumber AS i,
+                     CAST(l_quantity AS BIGINT) AS x
+              FROM lineitem
+            ), s AS (
+              SELECT g, x,
+                     lead(x) OVER (
+                       PARTITION BY g ORDER BY i, x) AS y
+              FROM d
+            ), p AS (
+              SELECT g, x, y FROM s WHERE y IS NOT NULL
+            ), agg AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM p GROUP BY g
+            )
+            SELECT g, m, sx, sy, sxy, sxx, syy,
+                   CASE WHEN m * sxx - sx * sx > 0
+                         AND m * syy - sy * sy > 0
+                        THEN round((m * sxy - sx * sy)
+                          / (sqrt(m * sxx - sx * sx)
+                             * sqrt(m * syy - sy * sy)), 6)
+                   ELSE 0.0 END AS r1
+            FROM agg
+        """,
+        "path_trigrams": """
+            WITH o AS (
+              SELECT user_id, event_type AS a,
+                     lead(event_type, 1) OVER w AS b,
+                     lead(event_type, 2) OVER w AS c
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), t AS (
+              SELECT a, b, c, count(*) AS n
+              FROM o WHERE c IS NOT NULL GROUP BY 1, 2, 3
+            )
+            SELECT a, b, c, CAST(n AS BIGINT) AS n
+            FROM t ORDER BY n DESC, a, b, c LIMIT 20
+        """,
         "jaccard_pairs": """
             WITH m AS (
               SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id

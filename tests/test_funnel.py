@@ -95,3 +95,35 @@ def test_funnel_rejects_bad_steps():
     with pytest.raises(ValueError):
         funnel_counts(ds, user_col="u", type_col="et", ts_col="ts",
                       steps=["a", "a"])
+
+
+def test_path_trigrams_matches_brute():
+    from textgraphs_ray.stages.funnel import path_trigrams
+
+    rng = np.random.default_rng(8)
+    types = list("abcd")
+    rows = [(int(u), types[int(t)], int(ts), eid)
+            for eid, (u, t, ts) in enumerate(zip(
+                rng.integers(0, 12, 500), rng.integers(0, 4, 500),
+                rng.integers(0, 100, 500)))]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "et": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()),
+        "eid": pa.array([r[3] for r in rows], pa.int64())}))
+    got = [(r["a"], r["b"], r["c"], r["n"]) for r in path_trigrams(
+        ds, user_col="u", type_col="et", ts_col="ts",
+        id_col="eid", k=15).take_all()]
+    from collections import Counter
+    by_user: dict[int, list] = {}
+    for u, et, ts, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    cnt: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        ets = [e for _, _, e in evs]
+        for i in range(len(ets) - 2):
+            cnt[(ets[i], ets[i + 1], ets[i + 2])] += 1
+    brute = sorted(((n, a, b, c) for (a, b, c), n in cnt.items()),
+                   key=lambda t: (-t[0], t[1], t[2], t[3]))[:15]
+    assert got == [(a, b, c, n) for n, a, b, c in brute]

@@ -231,3 +231,45 @@ def _seq_ds(rows):
         "g": _pa.array([r[0] for r in rows], _pa.int64()),
         "i": _pa.array([r[1] for r in rows], _pa.int64()),
         "x": _pa.array([r[2] for r in rows], _pa.int64())}))
+
+
+# ---------------------------------------------------------- autocorr
+
+
+def test_autocorr_perfect_and_anti():
+    from textgraphs_ray.stages.stats import autocorr_lag1
+
+    rows = ([(1, i, i) for i in range(1, 9)]          # ramp → r1 = 1
+            + [(2, i, [3, 9][i % 2]) for i in range(1, 9)]  # alternate
+            + [(3, 1, 5), (3, 2, 5), (3, 3, 5)]       # constant → 0.0
+            + [(4, 1, 7)])                            # singleton → drop
+    got = {r["g"]: r for r in autocorr_lag1(
+        _seq_ds(rows), group_col="g", seq_col="i",
+        value_col="x").take_all()}
+    assert got[1]["r1"] == 1.0
+    assert got[2]["r1"] == -1.0
+    assert got[3]["r1"] == 0.0 and got[3]["m"] == 2
+    assert 4 not in got
+
+
+def test_autocorr_matches_numpy():
+    from textgraphs_ray.stages.stats import autocorr_lag1
+
+    rng = np.random.default_rng(12)
+    rows = []
+    for g in range(20):
+        n = int(rng.integers(2, 12))
+        for i in range(n):
+            rows.append((g, i + 1, int(rng.integers(0, 50))))
+    got = {r["g"]: r for r in autocorr_lag1(
+        _seq_ds(rows), group_col="g", seq_col="i",
+        value_col="x", num_partitions=5).take_all()}
+    for g in range(20):
+        xs = np.array([x for gg, _, x in rows if gg == g], np.int64)
+        a, b = xs[:-1].astype(float), xs[1:].astype(float)
+        r = got[g]
+        assert r["m"] == len(a)
+        assert r["sxy"] == int((xs[:-1] * xs[1:]).sum())
+        if a.std() > 0 and b.std() > 0:
+            want = round(float(np.corrcoef(a, b)[0, 1]), 6)
+            assert abs(r["r1"] - want) < 2e-6, g

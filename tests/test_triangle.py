@@ -437,3 +437,39 @@ def test_jaccard_pairs_matches_brute():
                     u, v))
     brute.sort(key=lambda t: (-t[0], t[1], t[2]))
     assert got == [(u, v, j) for j, u, v in brute[:10]]
+
+
+def test_rich_club_closed_forms():
+    from textgraphs_ray.stages.triangle import rich_club
+
+    # K4 on 0..3 + pendant 3-9: degrees 3,3,3,4,1
+    pairs = [(a, b) for a, b in combinations(range(4), 2)] + [(3, 9)]
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi"])
+           for r in rich_club(_edges_ds(pairs), max_k=4).take_all()}
+    # k=0: all 5 nodes, all 7 edges → 14/20 = 0.7
+    assert got[0] == (5, 7, 0.7)
+    # k=2: nodes with deg>2 = {0,1,2,3}; edges among them = K4
+    assert got[2] == (4, 6, 1.0)
+    # k=3: only node 3 → fewer than 2 nodes → 0.0
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_rich_club_matches_brute():
+    from textgraphs_ray.stages.triangle import rich_club
+
+    rng = np.random.default_rng(3)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 20, (80, 2)) if p[0] != p[1]})
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi"])
+           for r in rich_club(_edges_ds(pairs), max_k=6).take_all()}
+    for k in range(7):
+        rich = {n for n, d in deg.items() if d > k}
+        e = sum(1 for a, b in pairs if a in rich and b in rich)
+        phi = (round(2.0 * e / (len(rich) * (len(rich) - 1)), 6)
+               if len(rich) >= 2 else 0.0)
+        assert got[k] == (len(rich), e, phi), k

@@ -113,3 +113,70 @@ def funnel_counts(ds: "ray.data.Dataset", *, user_col: str,
             "n_users": t.column("n_users")})
 
     return summed.map_batches(label, batch_format="pyarrow")
+
+
+def path_trigrams(ds: "ray.data.Dataset", *, user_col: str,
+                  type_col: str, ts_col: str, id_col: str,
+                  k: int = 20,
+                  num_partitions: int = 32) -> "ray.data.Dataset":
+    """→ top-k (a, b, c, n) event-type TRIGRAMS over each user's
+    time-ordered stream — the second-order sibling of the Markov
+    `transitions` bigrams (path mining: which 3-step journeys
+    dominate).  Order inside a user is (ts, id) — the unique event id
+    breaks timestamp ties exactly like `transitions`.  Deterministic
+    top-k: (n DESC, a, b, c).
+
+    One coarse user-hash partition; inside a partition EVERY user's
+    trigrams emit from one double-shift over the (user, ts, id)-sorted
+    frame with boundary masks — never a per-user task.  Per-partition
+    (a, b, c) pre-counts combine before the global count groupby, and
+    a per-block partial top-k bounds the final sort at ≤ k rows per
+    block."""
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column(user_col).to_numpy(zero_copy_only=False)
+        part = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(64 - 6)).astype(np.int64) % num_partitions
+        return pa.table({
+            "_part": pa.array(part),
+            "u": pa.array(uid.astype(np.int64)),
+            "et": t.column(type_col),
+            "ts": t.column(ts_col).cast(pa.int64()),
+            "eid": t.column(id_col).cast(pa.int64())})
+
+    def trigrams(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["u", "ts", "eid"], kind="stable")
+        u = g["u"].to_numpy(np.int64)
+        et = g["et"].to_numpy()
+        if len(u) < 3:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "c": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        df = pd.DataFrame({"a": et[:-2][same], "b": et[1:-1][same],
+                           "c": et[2:][same]})
+        agg = (df.groupby(["a", "b", "c"], sort=False).size()
+               .reset_index(name="n"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_part").map_groups(trigrams,
+                                           batch_format="pandas")
+              .groupby(["a", "b", "c"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("n", "descending"), ("a", "ascending"),
+                       ("b", "ascending"), ("c", "ascending")])
+        return t.take(idx)
+
+    return (counts.map_batches(partial_topk, batch_format="pyarrow")
+            .sort(["n", "a", "b", "c"],
+                  descending=[True, False, False, False])
+            .limit(k))

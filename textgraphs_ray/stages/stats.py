@@ -1110,3 +1110,79 @@ def cusum_change_point(ds: "ray.data.Dataset", *, group_col: str,
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_part").map_groups(per_partition,
                                          batch_format="pandas"))
+
+
+def autocorr_lag1(ds: "ray.data.Dataset", *, group_col: str,
+                  seq_col: str, value_col: str,
+                  num_partitions: int = 32) -> "ray.data.Dataset":
+    """→ (g, m, sx, sy, sxy, sxx, syy, r1): the lag-1 Pearson
+    autocorrelation of each group's ``seq_col``-ordered integer value
+    sequence — the consecutive-pair correlation r1 = corr(x_i,
+    x_{i+1}) over the m = n−1 pairs, computed from EXACT int64
+    sufficient statistics with one float finish mirrored term-for-term
+    in SQL: r1 = (m·sxy − sx·sy) / (√(m·sxx − sx²)·√(m·syy − sy²)),
+    6dp.  Groups where either variance term is zero (constant leg, or
+    m < 2) emit r1 = 0.0 with the statistics intact — the caller can
+    tell "undefined" (variance 0) from "uncorrelated" by the columns.
+
+    Same physical plan as :func:`cusum_change_point`: one coarse
+    group-hash partition, every group in a partition resolves in one
+    sorted numpy pass (segment masks kill cross-group pairs — never a
+    per-group task); duplicate seq keys are made deterministic by the
+    (seq, value) tiebreak.  Int64 bound: m·Σx² must stay under 2⁶³."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = (t.column(group_col).cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        part = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(64 - 6)).astype(np.int64) % num_partitions
+        return pa.table({
+            "_part": pa.array(part), "g": pa.array(g),
+            "i": t.column(seq_col).cast(pa.int64()),
+            "x": t.column(value_col).cast(pa.int64())})
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["g", "i", "x"], kind="stable")
+        g = df["g"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        if len(g) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"g": z, "m": z, "sx": z, "sy": z,
+                             "sxy": z, "sxx": z, "syy": z,
+                             "r1": pa.array([], pa.float64())})
+        # consecutive pairs within a group: rows i, i+1 with equal g
+        same = g[1:] == g[:-1]
+        pg = g[:-1][same]
+        a = x[:-1][same]
+        b = x[1:][same]
+        # per-group integer sufficient statistics via reduceat
+        starts = np.flatnonzero(np.r_[True, pg[1:] != pg[:-1]]) \
+            if len(pg) else np.array([], np.int64)
+        gid = pg[starts] if len(pg) else pg
+        m = np.diff(np.r_[starts, len(pg)]).astype(np.int64) \
+            if len(pg) else np.array([], np.int64)
+
+        def seg(vals):
+            return (np.add.reduceat(vals, starts).astype(np.int64)
+                    if len(pg) else np.array([], np.int64))
+
+        sx, sy = seg(a), seg(b)
+        sxy, sxx, syy = seg(a * b), seg(a * a), seg(b * b)
+        vx = m * sxx - sx * sx
+        vy = m * syy - sy * sy
+        ok = (vx > 0) & (vy > 0)
+        r1 = np.zeros(len(m))
+        r1[ok] = np.round(
+            (m[ok] * sxy[ok] - sx[ok] * sy[ok])
+            / (np.sqrt(vx[ok]) * np.sqrt(vy[ok])), 6)
+        # singleton groups never form a pair and emit no row — SQL's
+        # inner lead() join drops them identically
+        return pa.table({"g": pa.array(gid), "m": pa.array(m),
+                         "sx": pa.array(sx), "sy": pa.array(sy),
+                         "sxy": pa.array(sxy), "sxx": pa.array(sxx),
+                         "syy": pa.array(syy),
+                         "r1": pa.array(np.round(r1 + 0.0, 6))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(per_partition,
+                                         batch_format="pandas"))
