@@ -5063,6 +5063,100 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_ngram_diversity(sf_dir: str):
+    """Distinct-2 corpus diversity per source (stages/text.py
+    ngram_diversity): total within-doc word bigrams vs globally
+    distinct bigrams; distinct strings ride the dedup shuffle (no
+    hashing — collisions would break exact distinct counts), totals
+    combine per batch."""
+    from textgraphs_ray.stages.text import ngram_diversity
+
+    return ngram_diversity(_docs(sf_dir, columns=["source", "text"]),
+                           text_col="text", group_col="source", n=2)
+
+
+def _q_densest(sf_dir: str):
+    """Densest-subgraph parallel peel (ε = 1/2, 3-approximation;
+    stages/triangle.py densest_subgraph) over the same-minute
+    co-activity graph: per round drop every node with d ≤ ⌊3M/(2N)⌋,
+    track the densest round by exact cross-multiplied integer
+    compare, emit that round's (node, d) census.  Value-hash gated
+    against the unrolled-fixpoint SQL replay (_densest_oracle_sql —
+    the fourth unrolled oracle after mis/k_core/k_truss)."""
+    from textgraphs_ray.stages.triangle import (cooccurrence_edges,
+                                                densest_subgraph)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        mn = pc.floor_temporal(t.column("ts"), unit="minute")
+        return pa.table({"mn": mn.cast(pa.int64()),
+                         "user_id": t.column("user_id")})
+
+    edges = cooccurrence_edges(
+        ev.map_batches(minute, batch_format="pyarrow"),
+        entity_col="user_id", bucket_col="mn")
+    return densest_subgraph(edges, max_rounds=16)
+
+
+def _densest_oracle_sql(rounds: int = 16) -> str:
+    """Unrolled replay of the ε = 1/2 parallel peel (same
+    MATERIALIZED-CTE discipline as _k_core_oracle_sql): per round a
+    degree census, an exact integer (M, N) summary, the
+    d ≤ (3·M)//(2·N) drop set, and the surviving symmetric edges.
+    The best round resolves by NOT-EXISTS cross-multiplied density
+    compare with ties → earliest, then the matching round's census
+    is selected out of a tagged union.  N shrinks ≥ 1/3 per round so
+    16 rounds cover any graph under ~650 nodes; extra rounds are
+    idempotent-empty and excluded by n > 0."""
+    parts = ["""
+        WITH m AS MATERIALIZED (
+          SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id
+          FROM events
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT a.user_id AS u, b.user_id AS v
+          FROM m a JOIN m b
+            ON a.mn = b.mn AND a.user_id < b.user_id
+        ), s0 AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        , deg{i} AS MATERIALIZED (
+          SELECT u AS node, count(*) AS d FROM s{i - 1} GROUP BY u
+        ), stat{i} AS MATERIALIZED (
+          SELECT CAST(coalesce(sum(d), 0) AS BIGINT) AS m2,
+                 count(*) AS n
+          FROM deg{i}
+        ), low{i} AS MATERIALIZED (
+          SELECT node FROM deg{i}, stat{i}
+          WHERE d <= (3 * m2) // (2 * n)
+        ), s{i} AS MATERIALIZED (
+          SELECT s.u, s.v FROM s{i - 1} s
+          WHERE s.u NOT IN (SELECT node FROM low{i})
+            AND s.v NOT IN (SELECT node FROM low{i})
+        )""")
+    summ = " UNION ALL ".join(
+        f"SELECT {i} AS r, m2, n FROM stat{i}"
+        for i in range(1, rounds + 1))
+    alln = " UNION ALL ".join(
+        f"SELECT {i} AS r, node, d FROM deg{i}"
+        for i in range(1, rounds + 1))
+    return "".join(parts) + f"""
+        , summ AS MATERIALIZED ({summ})
+        , best AS MATERIALIZED (
+          SELECT r FROM summ a
+          WHERE a.n > 0 AND NOT EXISTS (
+            SELECT 1 FROM summ b WHERE b.n > 0
+              AND (b.m2 * a.n > a.m2 * b.n
+                   OR (b.m2 * a.n = a.m2 * b.n AND b.r < a.r))))
+        , alln AS ({alln})
+        SELECT node, CAST(d AS BIGINT) AS d
+        FROM alln WHERE r = (SELECT r FROM best)
+    """
+
+
 def _q_rich_club(sf_dir: str):
     """Rich-club coefficient φ(k) for k = 0..8 over the same-minute
     co-activity graph (stages/triangle.py rich_club): degree census
@@ -5234,6 +5328,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
+    "ngram_diversity", "densest",
     "rich_club", "autocorr", "path_trigrams",
     "jaccard_pairs", "cusum", "four_cycles",
     "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
@@ -5274,6 +5369,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt": _q_skew_kurt,
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
+        "ngram_diversity": _q_ngram_diversity,
+        "densest": _q_densest,
         "rich_club": _q_rich_club,
         "autocorr": _q_autocorr,
         "path_trigrams": _q_path_trigrams,
@@ -5539,6 +5636,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["mis"] = _mis_oracle_sql()
     sqls["k_core"] = _k_core_oracle_sql()
     sqls["k_truss"] = _k_truss_oracle_sql()
+    sqls["densest"] = _densest_oracle_sql()
     sqls["greedy_matching"] = _greedy_matching_oracle_sql()
     sqls["greedy_matching_distributed"] = sqls["greedy_matching"]
     return sqls
@@ -5593,6 +5691,24 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "ngram_diversity": """
+            WITH w AS (
+              SELECT source,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z]+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ), bg AS (
+              SELECT source, a[i] || chr(31) || a[i + 1] AS ng
+              FROM w, LATERAL unnest(range(1, len(a))) AS t(i)
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(count(DISTINCT ng) AS BIGINT) AS n_distinct,
+                   round(1.0 * count(DISTINCT ng) / count(*), 6)
+                     AS ratio
+            FROM bg GROUP BY source
+        """,
         "rich_club": """
             WITH m AS (
               SELECT DISTINCT date_trunc('minute', ts) AS mn, user_id

@@ -473,3 +473,60 @@ def test_rich_club_matches_brute():
         phi = (round(2.0 * e / (len(rich) * (len(rich) - 1)), 6)
                if len(rich) >= 2 else 0.0)
         assert got[k] == (len(rich), e, phi), k
+
+
+def _brute_densest_peel(pairs, eps_num=3, eps_den=2):
+    """Replay of the ε=1/2 parallel peel: returns the best round's
+    {node: degree} under exact cross-multiplied density compare."""
+    edges = set(pairs)
+    best = None  # (m2, n, census)
+    while edges:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        n = len(deg)
+        m2 = sum(deg.values())
+        if best is None or m2 * best[1] > best[0] * n:
+            best = (m2, n, dict(deg))
+        thr = (3 * m2) // (2 * n)
+        drop = {x for x, d in deg.items() if d <= thr}
+        edges = {(a, b) for a, b in edges
+                 if a not in drop and b not in drop}
+    return best[2]
+
+
+def test_densest_subgraph_planted_clique():
+    from textgraphs_ray.stages.triangle import densest_subgraph
+
+    # K6 on 0..5 (density 2.5) + a long sparse path 10..30
+    clique = [(a, b) for a, b in combinations(range(6), 2)]
+    path = [(i, i + 1) for i in range(10, 30)]
+    got = {r["node"]: r["d"] for r in densest_subgraph(
+        _edges_ds(clique + path)).take_all()}
+    assert got == {i: 5 for i in range(6)}
+
+
+def test_densest_subgraph_matches_peel_replay():
+    from textgraphs_ray.stages.triangle import densest_subgraph
+
+    for seed in (2, 27):
+        rng = np.random.default_rng(seed)
+        pairs = sorted({tuple(sorted(p)) for p in
+                        rng.integers(0, 24, (70, 2)) if p[0] != p[1]})
+        got = {r["node"]: r["d"] for r in densest_subgraph(
+            _edges_ds(pairs), num_partitions=4).take_all()}
+        assert got == _brute_densest_peel(pairs), seed
+
+
+def test_densest_subgraph_density_bound():
+    from textgraphs_ray.stages.triangle import densest_subgraph
+
+    # 3-approximation sanity on a graph with known densest part
+    pairs = ([(a, b) for a, b in combinations(range(5), 2)]
+             + [(0, 99), (99, 98)])
+    rows = densest_subgraph(_edges_ds(pairs)).take_all()
+    nodes = {r["node"] for r in rows}
+    e_in = sum(1 for a, b in pairs if a in nodes and b in nodes)
+    # optimum is K5 at density 2.0; the peel must return >= 2/3
+    assert e_in / len(nodes) >= 2.0 / 3

@@ -17,6 +17,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+import ray.data
+
 # Small closed-class profiles per language (public stopword knowledge).
 _LANG_PROFILES: dict[str, set[str]] = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "was", "for", "with",
@@ -459,3 +462,80 @@ def winnow_fingerprints(ds: "ray.data.Dataset", *, text_col: str = "text",
                          "min_fp": pa.array(minfp, pa.string())})
 
     return ds.map_batches(fps, batch_format="pyarrow")
+
+
+def ngram_diversity(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    group_col: str = "source",
+                    n: int = 2) -> "ray.data.Dataset":
+    """→ (group, n_ngrams, n_distinct, ratio): the distinct-n corpus
+    diversity metric (Li et al. 2016 "distinct-2") per group — total
+    within-document word n-grams, how many are distinct across the
+    group, and their ratio (6dp).  Low ratios flag template/boiler-
+    plate-heavy or degenerate sources before they skew a training
+    mix.
+
+    Tokenization is the repo's SQL-replayable lowercase [a-z]+ split.
+    Plan: one stateless tokenize pass emits per-batch totals AND
+    per-batch-DISTINCT (group, ngram) rows (the combiner: at most one
+    row per distinct n-gram leaves any block), one groupby dedups
+    n-grams globally, one count groupby per group, and the bounded
+    per-group totals join on the driver.  The exchange carries
+    distinct n-gram STRINGS (bounded length), never document text —
+    hashing would be cheaper but could collide and break exact
+    distinct counts."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    import re as _re
+
+    from ray.data.aggregate import Count, Sum
+
+    word_re = _re.compile(r"[^a-z]+")
+    SEP = "\x1f"
+
+    def emit(t: pa.Table) -> pa.Table:
+        groups = t.column(group_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        tot: dict[str, int] = {}
+        seen: set[tuple[str, str]] = set()
+        for g, txt in zip(groups, texts):
+            words = [w for w in word_re.split((txt or "").lower())
+                     if w]
+            m = len(words) - n + 1
+            if m <= 0:
+                tot.setdefault(g, 0)
+                continue
+            tot[g] = tot.get(g, 0) + m
+            for i in range(m):
+                seen.add((g, SEP.join(words[i:i + n])))
+        gs = sorted(tot)
+        t1 = pa.table({
+            "g": pa.array([x[0] for x in seen], pa.string()),
+            "ng": pa.array([x[1] for x in seen], pa.string()),
+            "tot": pa.array(np.zeros(len(seen), np.int64))})
+        t2 = pa.table({
+            "g": pa.array(gs, pa.string()),
+            "ng": pa.array([""] * len(gs), pa.string()),
+            "tot": pa.array([tot[g] for g in gs], pa.int64())})
+        # the "" n-gram rows carry totals; real n-grams are non-empty
+        # (the tokenizer drops empty words) so the streams can share
+        # one table without colliding
+        return pa.concat_tables([t1, t2])
+
+    both = ds.map_batches(emit, batch_format="pyarrow")
+    distinct = (both.filter(expr="ng != ''")
+                .groupby(["g", "ng"]).aggregate(Count(alias_name="_c"))
+                .groupby("g").aggregate(Count(alias_name="n_distinct")))
+    totals = (both.filter(expr="ng == ''")
+              .groupby("g").aggregate(Sum("tot", alias_name="n_ngrams")))
+    # bounded group census: fold the two tiny tables on the driver
+    d = {r["g"]: r["n_distinct"] for r in distinct.take_all()}
+    tt = {r["g"]: r["n_ngrams"] for r in totals.take_all()}
+    gs = sorted(tt)
+    n_tot = np.array([tt[g] for g in gs], np.int64)
+    n_dis = np.array([d.get(g, 0) for g in gs], np.int64)
+    ratio = np.where(n_tot > 0,
+                     np.round(n_dis / np.maximum(n_tot, 1), 6), 0.0)
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(gs, pa.string()),
+        "n_ngrams": pa.array(n_tot), "n_distinct": pa.array(n_dis),
+        "ratio": pa.array(ratio)}))

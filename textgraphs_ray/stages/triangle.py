@@ -280,6 +280,82 @@ def triangle_counts(edges: "ray.data.Dataset", *, u: str = "u",
     return out.union(ray.data.from_arrow(empty))
 
 
+def densest_subgraph(edges: "ray.data.Dataset", *, u: str = "u",
+                     v: str = "v", max_rounds: int = 40,
+                     num_partitions: int = 16) -> "ray.data.Dataset":
+    """→ (node, d) — the nodes (with in-subgraph degree) of the
+    densest round of the PARALLEL greedy peel (Bahmani–Kumar–
+    Vattani 2012, ε = 1/2): each round drops EVERY node whose degree
+    is ≤ 2(1+ε)·ρ = 3·|E|/|V| of the current subgraph, a
+    2(1+ε) = 3-approximation of the maximum-density subgraph in
+    O(log n) rounds.  Deterministic: the drop test and the
+    across-round argmax both compare exact integers (d·2N ≤ 3·M and
+    M_i·N_j vs M_j·N_i with M = 2|E|), ties → the EARLIEST round, so
+    the unrolled SQL replay value-hashes.  ``edges`` distinct with
+    ``u < v``.
+
+    Per round: one degree groupby over the symmetrized survivors, a
+    bounded (N, M) driver census, and one broadcast drop-set filter
+    scan (same shape as :func:`k_core`; swap the broadcast for a
+    shuffle_join anti on both endpoints at web scale).  Each round's
+    edge set is re-materialized with a pinned partition count; the
+    best round is recomputed from its pinned edge set at the end —
+    O(log n) materialized rounds live at once (re-derive from the
+    round index in two passes if memory-bound)."""
+    cur = edges.select_columns([u, v]).materialize()
+    rounds: list = []          # (N_i, M_i, pinned edge Dataset)
+    for _ in range(max_rounds):
+        def degrees(t: pa.Table) -> pa.Table:
+            n = np.concatenate([
+                t.column(u).to_numpy(zero_copy_only=False),
+                t.column(v).to_numpy(zero_copy_only=False)])
+            vals, c = np.unique(n, return_counts=True)
+            return pa.table({"node": pa.array(vals.astype(np.int64)),
+                             "d": pa.array(c.astype(np.int64))})
+
+        deg = (cur.map_batches(degrees, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("d", alias_name="d"))
+               .materialize())
+        n_nodes = deg.count()
+        if n_nodes == 0:
+            break
+        m2 = 2 * cur.count()   # M = Σ degrees = 2|E|, exact
+        rounds.append((n_nodes, m2, cur, deg))
+        # drop: d·2N ≤ 3·M ⟺ d ≤ ⌊3M/(2N)⌋ (d integral) — exact
+        thr = (3 * m2) // (2 * n_nodes)
+        low = deg.filter(expr=f"d <= {thr}")
+        low_nodes = np.array([r["node"] for r in low.take_all()],
+                             dtype=np.int64)
+        if len(low_nodes) == 0:
+            # cannot happen (min degree ≤ average ≤ 3/2·average) —
+            # guard against an infinite loop anyway
+            break
+        drop = ray.put(low_nodes)
+
+        def keep(t: pa.Table) -> pa.Table:
+            bad = ray.get(drop)
+            a = t.column(u).to_numpy(zero_copy_only=False)
+            b = t.column(v).to_numpy(zero_copy_only=False)
+            m = ~(np.isin(a, bad) | np.isin(b, bad))
+            return t.filter(pa.array(m))
+
+        cur = (cur.map_batches(keep, batch_format="pyarrow")
+               .repartition(num_partitions).materialize())
+    empty = pa.schema([("node", pa.int64()),
+                       ("d", pa.int64())]).empty_table()
+    if not rounds:
+        return ray.data.from_arrow(empty)
+    # exact across-round argmax of M_i/(2·N_i): cross-multiplied
+    # integer compare, ties → earliest round
+    best = 0
+    for i in range(1, len(rounds)):
+        ni, mi = rounds[i][0], rounds[i][1]
+        nb, mb = rounds[best][0], rounds[best][1]
+        if mi * nb > mb * ni:
+            best = i
+    return rounds[best][3].union(ray.data.from_arrow(empty))
+
+
 def rich_club(edges: "ray.data.Dataset", *, u: str = "u",
               v: str = "v", max_k: int = 8,
               num_partitions: int = 16) -> "ray.data.Dataset":
