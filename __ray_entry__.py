@@ -5063,6 +5063,54 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_coreness(sf_dir: str):
+    """Full k-core decomposition (every node's core number) of the
+    undirected transition part graph via the distributed h-index
+    fixpoint (stages/triangle.py coreness, Montresor et al. 2013),
+    12 synchronous rounds — measured fixpoint depth 7/8/10 at
+    sf0.001/0.01/0.1, extra rounds idempotent.  Per round one
+    shuffle_join value routing + one coarse-partition vectorized
+    h-index pass; the unrolled SQL replays every round."""
+    from textgraphs_ray.stages.triangle import coreness
+
+    return coreness(_scc_edges(sf_dir), rounds=12)
+
+
+def _coreness_oracle_sql(rounds: int = 12) -> str:
+    """Unrolled h-index-fixpoint replay of `coreness` over the
+    mod-1009 transition graph (fifth unrolled oracle after
+    mis/k_core/k_truss/densest): c0 = degree census, then per round
+    one value-routing join and one rank-vs-value window h-index."""
+    parts = ["""
+        WITH seq AS MATERIALIZED (
+          SELECT l_orderkey AS o, l_linenumber AS i,
+                 CAST(l_partkey % 1009 AS BIGINT) AS p
+          FROM lineitem WHERE l_orderkey % 11 = 0
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+          WHERE a.p <> b.p
+        ), s0 AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        ), c0 AS MATERIALIZED (
+          SELECT u AS node, count(*) AS c FROM s0 GROUP BY u
+        )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        , r{i} AS MATERIALIZED (
+          SELECT s.u AS n, c{i - 1}.c AS cv,
+                 row_number() OVER (
+                   PARTITION BY s.u ORDER BY c{i - 1}.c DESC) AS rk
+          FROM s0 s JOIN c{i - 1} ON c{i - 1}.node = s.v
+        ), c{i} AS MATERIALIZED (
+          SELECT n AS node, max(least(rk, cv)) AS c
+          FROM r{i} GROUP BY n
+        )""")
+    return "".join(parts) + f"""
+        SELECT node, CAST(c AS BIGINT) AS core FROM c{rounds}
+    """
+
+
 def _q_ngram_diversity(sf_dir: str):
     """Distinct-2 corpus diversity per source (stages/text.py
     ngram_diversity): total within-doc word bigrams vs globally
@@ -5328,7 +5376,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "ngram_diversity", "densest",
+    "coreness", "ngram_diversity", "densest",
     "rich_club", "autocorr", "path_trigrams",
     "jaccard_pairs", "cusum", "four_cycles",
     "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
@@ -5369,6 +5417,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt": _q_skew_kurt,
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
+        "coreness": _q_coreness,
         "ngram_diversity": _q_ngram_diversity,
         "densest": _q_densest,
         "rich_club": _q_rich_club,
@@ -5637,6 +5686,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["k_core"] = _k_core_oracle_sql()
     sqls["k_truss"] = _k_truss_oracle_sql()
     sqls["densest"] = _densest_oracle_sql()
+    sqls["coreness"] = _coreness_oracle_sql()
     sqls["greedy_matching"] = _greedy_matching_oracle_sql()
     sqls["greedy_matching_distributed"] = sqls["greedy_matching"]
     return sqls

@@ -530,3 +530,30 @@ def test_densest_subgraph_density_bound():
     e_in = sum(1 for a, b in pairs if a in nodes and b in nodes)
     # optimum is K5 at density 2.0; the peel must return >= 2/3
     assert e_in / len(nodes) >= 2.0 / 3
+
+
+def test_coreness_matches_networkx():
+    import networkx as nx
+
+    from textgraphs_ray.stages.triangle import coreness
+
+    for seed in (4, 21):
+        rng = np.random.default_rng(seed)
+        pairs = sorted({tuple(sorted(p)) for p in
+                        rng.integers(0, 30, (120, 2)) if p[0] != p[1]})
+        got = {r["node"]: r["core"] for r in coreness(
+            _edges_ds(pairs), rounds=30).take_all()}
+        g = nx.Graph(pairs)
+        assert got == nx.core_number(g), seed
+
+
+def test_coreness_clique_plus_tail():
+    from textgraphs_ray.stages.triangle import coreness
+
+    # K5 (core 4) with a path tail (core 1)
+    pairs = ([(a, b) for a, b in combinations(range(5), 2)]
+             + [(4, 10), (10, 11), (11, 12)])
+    got = {r["node"]: r["core"] for r in coreness(
+        _edges_ds(pairs), rounds=20).take_all()}
+    assert all(got[i] == 4 for i in range(5))
+    assert got[10] == got[11] == got[12] == 1

@@ -280,6 +280,89 @@ def triangle_counts(edges: "ray.data.Dataset", *, u: str = "u",
     return out.union(ray.data.from_arrow(empty))
 
 
+def coreness(edges: "ray.data.Dataset", *, u: str = "u", v: str = "v",
+             rounds: int = 8,
+             num_partitions: int = 16) -> "ray.data.Dataset":
+    """→ (node, core): the FULL k-core decomposition — every node's
+    core number at once, where :func:`k_core` answers one fixed k —
+    via the distributed h-index fixpoint (Montresor, De Pellegrini &
+    Miorandi 2013): c_0(v) = deg(v), then synchronously
+    c_{i+1}(v) = H({c_i(u) : u ∈ N(v)}) with H the h-index (the
+    largest h with ≥ h neighbors at value ≥ h).  The iterate is
+    monotone non-increasing and its fixpoint IS the coreness;
+    ``rounds`` is part of the operator contract exactly like
+    ``bfs_hops``' hop cap (the SQL oracle replays the same unrolled
+    rounds; the networkx golden test pins that the default converges
+    on the gated graphs — extra rounds past the fixpoint are
+    idempotent).
+
+    Per round: ONE :func:`..stages.join.shuffle_join` routes each
+    node's value along the symmetrized edges, then all nodes in a
+    coarse partition resolve their h-index together in one sorted
+    numpy pass (rank-vs-value min, segment max) — never a per-node
+    task.  Values only ever decrease, so early rounds dominate the
+    work and the exchange carries one int64 per edge."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(u).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(v).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    s = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def degrees(t: pa.Table) -> pa.Table:
+        vals, c = np.unique(t.column("u").to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({"node": pa.array(vals.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    cur = (s.map_batches(degrees, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("c", alias_name="c"))
+           .materialize())
+
+    def hindex(g: pd.DataFrame) -> pa.Table:
+        # h-index for EVERY node in the partition at once: sort by
+        # (node, value DESC), h(v) = max_j min(j, value_j)
+        g = g.sort_values(["n", "cv"], ascending=[True, False],
+                          kind="stable")
+        n = g["n"].to_numpy(np.int64)
+        cv = g["cv"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+        sizes = np.diff(np.r_[starts, len(n)])
+        rank = np.arange(len(n)) - np.repeat(starts, sizes) + 1
+        mn = np.minimum(rank, cv)
+        h = np.maximum.reduceat(mn, starts)
+        return pa.table({"node": pa.array(n[starts]),
+                         "c": pa.array(h.astype(np.int64))})
+
+    for _ in range(rounds):
+        nb = shuffle_join(
+            s, cur, "v", "node", num_partitions,
+            project=lambda m: pd.DataFrame({"n": m["u"],
+                                            "cv": m["c"]}))
+
+        def part(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            p = (n.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 >> np.uint64(58)).astype(np.int32)
+            return t.append_column("_p", pa.array(p))
+
+        cur = (nb.map_batches(part, batch_format="pyarrow")
+               .groupby("_p").map_groups(hindex,
+                                         batch_format="pandas")
+               .repartition(num_partitions).materialize())
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "core": t.column("c")})
+
+    empty = pa.schema([("node", pa.int64()),
+                       ("core", pa.int64())]).empty_table()
+    return (cur.map_batches(out, batch_format="pyarrow")
+            .union(ray.data.from_arrow(empty)))
+
+
 def densest_subgraph(edges: "ray.data.Dataset", *, u: str = "u",
                      v: str = "v", max_rounds: int = 40,
                      num_partitions: int = 16) -> "ray.data.Dataset":
