@@ -5063,6 +5063,32 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_msf(sf_dir: str):
+    """Borůvka minimum spanning forest of the weighted transition
+    graph (stages/mst.py boruvka_msf): O(log n) synchronous rounds —
+    per round two label joins, a per-component order-minimal edge
+    election (per-block combiner + tiny argmin groupby), and a
+    propagate_labels merge of the elected component pairs.
+    Deterministic ≡ Kruskal under the strict (w, u, v) order
+    (pytest-pinned); MST is outside the oracle dialect → rows-only
+    driver check."""
+    from textgraphs_ray.stages.mst import boruvka_msf
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t.column("u").to_numpy(zero_copy_only=False)
+        b = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.minimum(a, b)),
+                         "v": pa.array(np.maximum(a, b)),
+                         "w": t.column("w").cast(pa.int64())})
+
+    from ray.data.aggregate import Min as _Min
+
+    edges = (_sssp_edges(sf_dir)
+             .map_batches(undirect, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(_Min("w", alias_name="w")))
+    return boruvka_msf(edges)
+
+
 def _q_coreness(sf_dir: str):
     """Full k-core decomposition (every node's core number) of the
     undirected transition part graph via the distributed h-index
@@ -5376,7 +5402,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "coreness", "ngram_diversity", "densest",
+    "coreness", "ngram_diversity", "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
     "jaccard_pairs", "cusum", "four_cycles",
     "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
@@ -5418,6 +5444,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
         "coreness": _q_coreness,
+        "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
         "densest": _q_densest,
         "rich_club": _q_rich_club,

@@ -299,3 +299,17 @@ def test_soundex_blocks_sound_alikes():
     # the ER blocking property: spelling variants share a block
     assert soundex("Smith") == soundex("Smyth")
     assert soundex("Johnson") != soundex("Smith")
+
+
+def test_round_half_away_matches_duckdb_on_ties():
+    import duckdb
+    import numpy as np
+
+    from textgraphs_ray.functions.rounding import round_half_away
+
+    vals = [-225 / 5760, 225 / 5760, 0.0000005, -0.0000005,
+            0.1234565, 1.5, -2.5, 0.0, 0.1234564999]
+    got = round_half_away(np.array(vals), 6)
+    want = [duckdb.sql(f"select round({v!r}::DOUBLE, 6)").fetchone()[0]
+            for v in vals]
+    assert list(got) == want

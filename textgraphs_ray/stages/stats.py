@@ -1171,8 +1171,13 @@ def autocorr_lag1(ds: "ray.data.Dataset", *, group_col: str,
         vx = m * sxx - sx * sx
         vy = m * syy - sy * sy
         ok = (vx > 0) & (vy > 0)
+        from ..functions.rounding import round_half_away
+
         r1 = np.zeros(len(m))
-        r1[ok] = np.round(
+        # half-away rounding: perfect-square variance legs make r1 a
+        # plain rational that can land on a dyadic 6dp tie (observed
+        # -5/128 at sf0.1) where np.round diverges from DuckDB
+        r1[ok] = round_half_away(
             (m[ok] * sxy[ok] - sx[ok] * sy[ok])
             / (np.sqrt(vx[ok]) * np.sqrt(vy[ok])), 6)
         # singleton groups never form a pair and emit no row — SQL's
@@ -1181,7 +1186,7 @@ def autocorr_lag1(ds: "ray.data.Dataset", *, group_col: str,
                          "sx": pa.array(sx), "sy": pa.array(sy),
                          "sxy": pa.array(sxy), "sxx": pa.array(sxx),
                          "syy": pa.array(syy),
-                         "r1": pa.array(np.round(r1 + 0.0, 6))})
+                         "r1": pa.array(round_half_away(r1, 6))})
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_part").map_groups(per_partition,

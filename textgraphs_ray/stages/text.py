@@ -533,8 +533,11 @@ def ngram_diversity(ds: "ray.data.Dataset", *, text_col: str = "text",
     gs = sorted(tt)
     n_tot = np.array([tt[g] for g in gs], np.int64)
     n_dis = np.array([d.get(g, 0) for g in gs], np.int64)
+    from ..functions.rounding import round_half_away
+
     ratio = np.where(n_tot > 0,
-                     np.round(n_dis / np.maximum(n_tot, 1), 6), 0.0)
+                     round_half_away(n_dis / np.maximum(n_tot, 1), 6),
+                     0.0)
     return ray.data.from_arrow(pa.table({
         group_col: pa.array(gs, pa.string()),
         "n_ngrams": pa.array(n_tot), "n_distinct": pa.array(n_dis),

@@ -31,6 +31,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
+from ..functions.rounding import round_half_away
 from .join import shuffle_join
 
 _SEP = "\x1f"
@@ -199,7 +200,8 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
                   .astype(np.int64))
             return pa.table({
                 "u": t.column("u"), "v": t.column("v"),
-                score_col: pa.array(np.round(c / (du + dv - c), 6))})
+                score_col: pa.array(
+                    round_half_away(c / (du + dv - c), 6))})
 
         scores = withv.map_batches(jfinish, batch_format="pyarrow")
     else:
@@ -506,8 +508,9 @@ def rich_club(edges: "ray.data.Dataset", *, u: str = "u",
     n_k = np.array([sum(c for d, c in n_by_d.items() if d > k)
                     for k in ks], np.int64)
     phi = np.where(n_k >= 2,
-                   np.round(2.0 * e_k / np.maximum(n_k * (n_k - 1), 1),
-                            6), 0.0)
+                   round_half_away(
+                       2.0 * e_k / np.maximum(n_k * (n_k - 1), 1), 6),
+                   0.0)
     return ray.data.from_arrow(pa.table({
         "k": pa.array(ks), "n_k": pa.array(n_k),
         "e_k": pa.array(e_k), "phi": pa.array(phi)}))
@@ -603,7 +606,9 @@ def clustering_coefficient(edges: "ray.data.Dataset", *, u: str = "u",
         t = np.nan_to_num(m["n_triangles"].to_numpy(np.float64),
                           nan=0.0).astype(np.int64)
         wedges = d * (d - 1)
-        cc = np.where(wedges > 0, np.round(
+        # half-away 6dp: 2t/(d(d-1)) is rational and can hit a
+        # dyadic tie where np.round diverges from DuckDB's round
+        cc = np.where(wedges > 0, round_half_away(
             2.0 * t / np.maximum(wedges, 1), 6), 0.0)
         return pd.DataFrame({"node": m["node"].to_numpy(np.int64),
                              "deg": d, "n_tri": t, "cc": cc})
