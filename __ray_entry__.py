@@ -5063,6 +5063,97 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_stress(sf_dir: str):
+    """Hop-bounded stress centrality of the undirected transition
+    part graph (stages/centrality.py stress_centrality): for every
+    node, the exact int64 count of ≤ 4-hop shortest s→t paths
+    passing through it — Brandes two-pass as Dataset ops (forward σ
+    + backward DAG-segment count ρ, one shuffle_join + groupby +
+    packed-key semi-join per hop per direction)."""
+    from textgraphs_ray.stages.centrality import stress_centrality
+
+    return stress_centrality(_scc_edges(sf_dir), hops=4)
+
+
+def _stress_oracle_sql(hops: int = 4) -> str:
+    """Unrolled forward-σ/backward-ρ replay of `stress`: the shared
+    recursive-CTE distance table, per-hop σ sum-joins, per-hop ρ
+    successor counts (depth-``hops`` nodes are ρ = 0 by the cap),
+    and the final Σ σ·ρ per node."""
+    parts = ["""
+        WITH RECURSIVE seq AS (
+          SELECT l_orderkey AS o, l_linenumber AS i,
+                 CAST(l_partkey % 1009 AS BIGINT) AS p
+          FROM lineitem WHERE l_orderkey % 11 = 0
+        ), e0 AS (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+          WHERE a.p <> b.p
+        ), s AS MATERIALIZED (
+          -- DuckDB 1.0 quirk: under WITH RECURSIVE, a MATERIALIZED
+          -- CTE whose body is a bare UNION loses the dedup (behaves
+          -- as UNION ALL) — make the distinct explicit
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)
+        ), nodes AS (
+          SELECT DISTINCT u AS n FROM s
+        ), walk(src, node, d) AS (
+          SELECT n, n, 0 FROM nodes
+          UNION
+          SELECT walk.src, s.v, walk.d + 1
+          FROM walk JOIN s ON s.u = walk.node
+          WHERE walk.d < """ + str(hops) + """
+        ), dist AS MATERIALIZED (
+          SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2
+        ), sig0 AS (
+          SELECT n AS src, n AS node, CAST(1 AS BIGINT) AS sig
+          FROM nodes
+        )"""]
+    for h in range(1, hops + 1):
+        parts.append(f"""
+        , sig{h} AS MATERIALIZED (
+          SELECT g.src, s.v AS node,
+                 CAST(sum(g.sig) AS BIGINT) AS sig
+          FROM sig{h - 1} g JOIN s ON s.u = g.node
+          JOIN dist dd ON dd.src = g.src AND dd.node = s.v
+                      AND dd.d = {h}
+          GROUP BY 1, 2
+        )""")
+    parts.append(f"""
+        , rho{hops} AS (
+          SELECT src, node, CAST(0 AS BIGINT) AS rho
+          FROM dist WHERE 1 = 0
+        )""")
+    for h in range(hops - 1, -1, -1):
+        parts.append(f"""
+        , rho{h} AS MATERIALIZED (
+          SELECT dp.src, dp.node,
+                 CAST(sum(1 + coalesce(r.rho, 0)) AS BIGINT) AS rho
+          FROM dist dp JOIN s ON s.u = dp.node
+          JOIN dist dn ON dn.src = dp.src AND dn.node = s.v
+                      AND dn.d = dp.d + 1
+          LEFT JOIN rho{h + 1} r
+            ON r.src = dp.src AND r.node = s.v
+          WHERE dp.d = {h}
+          GROUP BY 1, 2
+        )""")
+    sigall = " UNION ALL ".join(
+        f"SELECT src, node, sig FROM sig{h}"
+        for h in range(1, hops + 1))
+    rhoall = " UNION ALL ".join(
+        f"SELECT src, node, rho FROM rho{h}"
+        for h in range(0, hops))
+    return "".join(parts) + f"""
+        , sigall AS ({sigall}), rhoall AS ({rhoall})
+        SELECT sg.node,
+               CAST(sum(sg.sig * coalesce(r.rho, 0)) AS BIGINT)
+                 AS stress
+        FROM sigall sg LEFT JOIN rhoall r
+          ON r.src = sg.src AND r.node = sg.node
+        GROUP BY sg.node
+    """
+
+
 def _q_msf(sf_dir: str):
     """Borůvka minimum spanning forest of the weighted transition
     graph (stages/mst.py boruvka_msf): O(log n) synchronous rounds —
@@ -5402,7 +5493,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "coreness", "ngram_diversity", "densest", "msf",
+    "stress", "coreness", "ngram_diversity", "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
     "jaccard_pairs", "cusum", "four_cycles",
     "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
@@ -5443,6 +5534,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt": _q_skew_kurt,
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
+        "stress": _q_stress,
         "coreness": _q_coreness,
         "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
@@ -5714,6 +5806,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["k_truss"] = _k_truss_oracle_sql()
     sqls["densest"] = _densest_oracle_sql()
     sqls["coreness"] = _coreness_oracle_sql()
+    sqls["stress"] = _stress_oracle_sql()
     sqls["greedy_matching"] = _greedy_matching_oracle_sql()
     sqls["greedy_matching_distributed"] = sqls["greedy_matching"]
     return sqls

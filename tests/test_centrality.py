@@ -173,3 +173,75 @@ def test_eccentricity_matches_bfs():
         ds = [d for d in dist.values() if d >= 1]
         want[s] = (max(ds), len(ds))
     assert got == want
+
+
+def _brute_stress(pairs, hops=4):
+    adj = _adj_undirected(pairs)
+    stress = {n: 0 for n in adj}
+    for s in adj:
+        # capped BFS: depth table
+        dist = {s: 0}
+        order = [s]
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            if dist[x] >= hops:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    order.append(y)
+                    q.append(y)
+        # forward sigma over the capped BFS DAG
+        sig = {n: 0 for n in dist}
+        sig[s] = 1
+        for x in order[1:]:
+            sig[x] = sum(sig[p] for p in adj[x]
+                         if p in dist and dist[p] == dist[x] - 1)
+        # backward rho: capped DAG path-segments leaving v
+        rho = {n: 0 for n in dist}
+        for x in sorted(dist, key=lambda n: -dist[n]):
+            for w in adj[x]:
+                if w in dist and dist[w] == dist[x] + 1:
+                    rho[x] += 1 + rho[w]
+        for vtx in dist:
+            if vtx != s:
+                stress[vtx] += sig[vtx] * rho[vtx]
+    return stress
+
+
+def test_stress_path_graph_closed_form():
+    from textgraphs_ray.stages.centrality import stress_centrality
+
+    # path 0-1-2-3: with hops=4 every s-t pair's unique path counts;
+    # node 1 is interior to (0,2), (0,3), (2,0), (3,0) → stress 4
+    pairs = [(i, i + 1) for i in range(3)]
+    got = {r["node"]: r["stress"] for r in stress_centrality(
+        _edges_ds(pairs), hops=4).take_all()}
+    assert got[1] == 4 and got[2] == 4
+    assert got[0] == 0 and got[3] == 0
+
+
+@pytest.mark.parametrize("seed", [2, 19, 33])
+def test_stress_matches_brute(seed):
+    from textgraphs_ray.stages.centrality import stress_centrality
+
+    pairs = _rand_digraph(seed, n_nodes=14, n_edges=26)
+    got = {r["node"]: r["stress"] for r in stress_centrality(
+        _edges_ds(pairs), hops=4).take_all()}
+    want = _brute_stress(pairs, hops=4)
+    # the engine emits every reached (non-source) node incl. zeros
+    for n, w in want.items():
+        assert got.get(n, 0) == w, n
+
+
+def test_stress_cap_binds():
+    from textgraphs_ray.stages.centrality import stress_centrality
+
+    # path of 7 nodes at hops=2: only length-≤2 paths count
+    pairs = [(i, i + 1) for i in range(6)]
+    got = {r["node"]: r["stress"] for r in stress_centrality(
+        _edges_ds(pairs), hops=2).take_all()}
+    want = _brute_stress(pairs, hops=2)
+    for n, w in want.items():
+        assert got.get(n, 0) == w, n

@@ -262,3 +262,143 @@ def lpa_communities(edges: "ray.data.Dataset", *, rounds: int = 2,
                   .repartition(num_partitions).materialize())
 
     return labels
+
+
+def stress_centrality(edges: "ray.data.Dataset", *, hops: int = 4,
+                      u: str = "u", v: str = "v",
+                      num_partitions: int = 8) -> "ray.data.Dataset":
+    """→ (node, stress): hop-bounded STRESS centrality over the
+    undirected view of ``edges`` — for every node v, the number of
+    shortest s→t paths (of length ≤ ``hops``, over all source–target
+    pairs) that pass THROUGH v (Shimbel 1953; the all-integer member
+    of the betweenness family, so the value-hash gate is exact where
+    betweenness's nested rational divisions would not be).
+
+    Brandes-style two-pass, all counts int64:
+
+    * forward: σ_h(s, v) = Σ σ_{h-1}(s, u) over BFS-DAG edges u→v
+      (d(s, v) = h) — per hop ONE shuffle_join + one sum groupby +
+      one packed-key semi-join against the shared
+      :func:`bounded_distances` table;
+    * backward: ρ_h(s, v) = Σ_{w ∈ succ} (1 + ρ_{h+1}(s, w)) — the
+      count of capped DAG path-segments leaving v — per hop the same
+      join shapes in reverse (depth-``hops`` nodes are ρ = 0 by the
+      cap, the same capped-semantics contract as ``bfs_hops``);
+    * stress(v) = Σ_s σ(s, v)·ρ(s, v) over v ≠ s.
+
+    Composite (src, node) keys pack into one int64 (ids must fit
+    31 bits — asserted); per-source rows never interact, so stripe
+    sources at web scale exactly like harmonic."""
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    sym = _symmetrize(edges, u=u, v=v).materialize()
+    dist = bounded_distances(edges, hops=hops, u=u, v=v,
+                             num_partitions=num_partitions
+                             ).materialize()
+
+    LIM = np.int64(1) << 31
+
+    def pack(t: pa.Table, keep: list) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        if len(s) and (s.max() >= LIM or n.max() >= LIM
+                       or s.min() < 0 or n.min() < 0):
+            raise ValueError("stress_centrality packs (src, node) "
+                             "into int64 — ids must be in [0, 2^31)")
+        cols = {"pk": pa.array((s << np.int64(32)) | n)}
+        for c in keep:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def depth_keys(h: int) -> "ray.data.Dataset":
+        return (dist.filter(expr=f"d == {h}")
+                .map_batches(lambda t: pack(t, []),
+                             batch_format="pyarrow"))
+
+    def init_sig(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"),
+                         "node": t.column("node"),
+                         "sig": pa.array(np.ones(len(t), np.int64))})
+
+    sig_prev = (dist.filter(expr="d == 0")
+                .map_batches(init_sig, batch_format="pyarrow")
+                .materialize())
+    sig_tables = []
+    for h in range(1, hops + 1):
+        cand = shuffle_join(
+            sig_prev, sym, "node", "u", num_partitions,
+            project=lambda m: pd.DataFrame({
+                "src": m["src"], "node": m["v"], "sig": m["sig"]}))
+        summed = (cand.groupby(["src", "node"])
+                  .aggregate(Sum("sig", alias_name="sig"))
+                  .map_batches(lambda t: pack(t, ["src", "node",
+                                                  "sig"]),
+                               batch_format="pyarrow"))
+        sig_h = shuffle_join(
+            summed, depth_keys(h), "pk", "pk", num_partitions,
+            how="semi").repartition(num_partitions).materialize()
+        sig_tables.append(sig_h)
+        sig_prev = sig_h
+        if sig_h.count() == 0:
+            break
+
+    rho_next: "ray.data.Dataset | None" = None
+    rho_tables = []
+    for h in range(hops - 1, -1, -1):
+        w_rows = (dist.filter(expr=f"d == {h + 1}")
+                  .map_batches(lambda t: pack(t, ["src", "node"]),
+                               batch_format="pyarrow"))
+        if rho_next is None or rho_next.count() == 0:
+            def base(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "src": t.column("src"), "node": t.column("node"),
+                    "val": pa.array(np.ones(len(t), np.int64))})
+
+            vals = w_rows.map_batches(base, batch_format="pyarrow")
+        else:
+            rn = rho_next.map_batches(
+                lambda t: pack(t, ["rho"]), batch_format="pyarrow")
+            vals = shuffle_join(
+                w_rows, rn, "pk", "pk", num_partitions, how="left",
+                project=lambda m: pd.DataFrame({
+                    "src": m["src"], "node": m["node"],
+                    "val": (m["rho"].fillna(0) + 1)
+                    .astype(np.int64)}))
+        cand = shuffle_join(
+            vals, sym, "node", "u", num_partitions,
+            project=lambda m: pd.DataFrame({
+                "src": m["src"], "node": m["v"], "val": m["val"]}))
+        summed = (cand.groupby(["src", "node"])
+                  .aggregate(Sum("val", alias_name="rho"))
+                  .map_batches(lambda t: pack(t, ["src", "node",
+                                                  "rho"]),
+                               batch_format="pyarrow"))
+        rho_h = shuffle_join(
+            summed, depth_keys(h), "pk", "pk", num_partitions,
+            how="semi").repartition(num_partitions).materialize()
+        rho_tables.append(rho_h)
+        rho_next = rho_h
+
+    empty = pa.schema([("node", pa.int64()),
+                       ("stress", pa.int64())]).empty_table()
+    if not sig_tables:
+        return ray.data.from_arrow(empty)
+    sig_all = sig_tables[0]
+    for t in sig_tables[1:]:
+        sig_all = sig_all.union(t)
+    rho_all = rho_tables[0]
+    for t in rho_tables[1:]:
+        rho_all = rho_all.union(t)
+    rho_slim = rho_all.map_batches(
+        lambda t: t.select(["pk", "rho"]), batch_format="pyarrow")
+
+    joined = shuffle_join(
+        sig_all, rho_slim, "pk", "pk", num_partitions, how="left",
+        project=lambda m: pd.DataFrame({
+            "node": (m["pk"].to_numpy(np.int64)
+                     & np.int64(0xFFFFFFFF)),
+            "c": (m["sig"].to_numpy(np.int64)
+                  * m["rho"].fillna(0).to_numpy(np.int64))}))
+    out = (joined.groupby("node")
+           .aggregate(Sum("c", alias_name="stress")))
+    return out.union(ray.data.from_arrow(empty))
