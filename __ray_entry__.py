@@ -5063,6 +5063,53 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_rolling_median(sf_dir: str):
+    """Windowed MEDIAN (ROWS 2 PRECEDING, full windows only) of each
+    order's line-ordered quantity sequence — the order-statistic
+    window aggregate next to `rolling_time_sum`'s RANGE frame.  For
+    the 3-row window the median is exactly a + b + c − min − max, so
+    the whole thing is three shifted int64 arrays with segment
+    boundary masks — no per-group task, one coarse hash partition
+    (same plan family as `cusum`); (i, x) tiebreak as there."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        part = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(part), "g": pa.array(g.astype(np.int64)),
+            "i": t.column("l_linenumber").cast(pa.int64()),
+            "x": t.column("l_quantity").cast(pa.int64())})
+
+    def med3(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["g", "i", "x"], kind="stable")
+        g = df["g"].to_numpy(np.int64)
+        i = df["i"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        if len(g) < 3:
+            z = pa.array([], pa.int64())
+            return pa.table({"g": z, "k": z, "med": z})
+        a, b, c = x[:-2], x[1:-1], x[2:]
+        full = (g[:-2] == g[1:-1]) & (g[1:-1] == g[2:])
+        med = (a + b + c - np.minimum(np.minimum(a, b), c)
+               - np.maximum(np.maximum(a, b), c))
+        # k = 1-based row number within the group, reported for the
+        # window's LAST row (rows 3..n)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sizes = np.diff(np.r_[starts, len(g)])
+        rn = np.arange(len(g)) - np.repeat(starts, sizes) + 1
+        return pa.table({"g": pa.array(g[2:][full]),
+                         "k": pa.array(rn[2:][full]),
+                         "med": pa.array(med[full])})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(med3,
+                                         batch_format="pandas"))
+
+
 def _q_stress(sf_dir: str):
     """Hop-bounded stress centrality of the undirected transition
     part graph (stages/centrality.py stress_centrality): for every
@@ -5493,7 +5540,8 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "coreness", "ngram_diversity", "densest", "msf",
+    "stress", "rolling_median", "coreness", "ngram_diversity",
+    "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
     "jaccard_pairs", "cusum", "four_cycles",
     "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
@@ -5535,6 +5583,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "entropy_agg": _q_entropy_agg,
         "ari": _q_ari,
         "stress": _q_stress,
+        "rolling_median": _q_rolling_median,
         "coreness": _q_coreness,
         "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
@@ -5861,6 +5910,23 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "rolling_median": """
+            WITH d AS (
+              SELECT l_orderkey AS g, l_linenumber AS i,
+                     CAST(l_quantity AS BIGINT) AS x
+              FROM lineitem
+            ), s AS (
+              SELECT g, x,
+                     row_number() OVER w AS k,
+                     CAST(median(x) OVER (
+                       PARTITION BY g ORDER BY i, x
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS med
+              FROM d
+              WINDOW w AS (PARTITION BY g ORDER BY i, x)
+            )
+            SELECT g, k, med FROM s WHERE k >= 3
+        """,
         "ngram_diversity": """
             WITH w AS (
               SELECT source,
