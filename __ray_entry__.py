@@ -5063,6 +5063,53 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_rle(sf_dir: str):
+    """Run-length encoding of each order's line-ordered quantity
+    sequence — value gaps-and-islands (the VALUE sibling of
+    `interval_union`'s time islands): one row per maximal run of
+    equal consecutive x → (g, start_k, run_len, x).  Vectorized
+    segment detection over the (g, i, x)-sorted coarse partition
+    (same plan family as `cusum`); replayed in SQL by the classic
+    lag() + cumulative island-id construction."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        part = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(part), "g": pa.array(g.astype(np.int64)),
+            "i": t.column("l_linenumber").cast(pa.int64()),
+            "x": t.column("l_quantity").cast(pa.int64())})
+
+    def runs(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["g", "i", "x"], kind="stable")
+        g = df["g"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"g": z, "start_k": z, "run_len": z,
+                             "x": z})
+        # run boundary: new group OR value change
+        brk = np.r_[True, (g[1:] != g[:-1]) | (x[1:] != x[:-1])]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, n])
+        gstarts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        gsizes = np.diff(np.r_[gstarts, n])
+        rn = np.arange(n) - np.repeat(gstarts, gsizes) + 1
+        return pa.table({"g": pa.array(g[starts]),
+                         "start_k": pa.array(rn[starts]),
+                         "run_len": pa.array(lens.astype(np.int64)),
+                         "x": pa.array(x[starts])})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(runs,
+                                         batch_format="pandas"))
+
+
 def _q_rolling_median(sf_dir: str):
     """Windowed MEDIAN (ROWS 2 PRECEDING, full windows only) of each
     order's line-ordered quantity sequence — the order-statistic
@@ -5540,7 +5587,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "rolling_median", "coreness", "ngram_diversity",
+    "stress", "rolling_median", "rle", "coreness", "ngram_diversity",
     "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
     "jaccard_pairs", "cusum", "four_cycles",
@@ -5584,6 +5631,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ari": _q_ari,
         "stress": _q_stress,
         "rolling_median": _q_rolling_median,
+        "rle": _q_rle,
         "coreness": _q_coreness,
         "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
@@ -5910,6 +5958,29 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "rle": """
+            WITH d AS (
+              SELECT l_orderkey AS g, l_linenumber AS i,
+                     CAST(l_quantity AS BIGINT) AS x
+              FROM lineitem
+            ), s AS (
+              SELECT g, x,
+                     row_number() OVER w AS k,
+                     CASE WHEN lag(x) OVER w IS DISTINCT FROM x
+                          THEN 1 ELSE 0 END AS brk
+              FROM d WINDOW w AS (PARTITION BY g ORDER BY i, x)
+            ), isl AS (
+              SELECT g, x, k,
+                     sum(brk) OVER (
+                       PARTITION BY g ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS island
+              FROM s
+            )
+            SELECT g, CAST(min(k) AS BIGINT) AS start_k,
+                   CAST(count(*) AS BIGINT) AS run_len, x
+            FROM isl GROUP BY g, island, x
+        """,
         "rolling_median": """
             WITH d AS (
               SELECT l_orderkey AS g, l_linenumber AS i,
