@@ -5063,6 +5063,18 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_skipgram(sf_dir: str):
+    """Top-30 positional skip-gram pairs, window 4, over the document
+    corpus (stages/index.py skipgram_pairs): the word2vec training-
+    pair census — unordered pairs with multiplicity, per-batch
+    Counter combiner, one pair groupby, partial top-k.  SQL replays
+    with a positional self-join on the unnested token array."""
+    from textgraphs_ray.stages.index import skipgram_pairs
+
+    return skipgram_pairs(_docs(sf_dir, columns=["text"]),
+                          window=4, top_k=30)
+
+
 def _q_rle(sf_dir: str):
     """Run-length encoding of each order's line-ordered quantity
     sequence — value gaps-and-islands (the VALUE sibling of
@@ -5587,7 +5599,8 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "rolling_median", "rle", "coreness", "ngram_diversity",
+    "stress", "rolling_median", "rle", "skipgram", "coreness",
+    "ngram_diversity",
     "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
     "jaccard_pairs", "cusum", "four_cycles",
@@ -5632,6 +5645,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "stress": _q_stress,
         "rolling_median": _q_rolling_median,
         "rle": _q_rle,
+        "skipgram": _q_skipgram,
         "coreness": _q_coreness,
         "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
@@ -5958,6 +5972,27 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "skipgram": """
+            WITH w AS (
+              SELECT row_number() OVER () AS doc,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z]+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ), pos AS (
+              SELECT doc, a[i] AS tok, i
+              FROM w, LATERAL unnest(range(1, len(a) + 1)) AS t(i)
+            ), pairs AS (
+              SELECT least(p1.tok, p2.tok) AS w1,
+                     greatest(p1.tok, p2.tok) AS w2
+              FROM pos p1 JOIN pos p2
+                ON p1.doc = p2.doc
+               AND p2.i - p1.i BETWEEN 1 AND 4
+            )
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY w1, w2
+            ORDER BY n DESC, w1, w2 LIMIT 30
+        """,
         "rle": """
             WITH d AS (
               SELECT l_orderkey AS g, l_linenumber AS i,

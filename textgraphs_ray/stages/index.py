@@ -529,3 +529,51 @@ def group_jaccard_pairs(ds: "ray.data.Dataset", *,
             "jaccard": np.round(i / (na + nb - i), 6)})
 
     return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def skipgram_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
+                   window: int = 4, top_k: int = 30
+                   ) -> "ray.data.Dataset":
+    """→ top-k (w1, w2, n): POSITIONAL skip-gram co-occurrence — for
+    every token position i and offset δ ∈ [1, ``window``], the
+    unordered pair {tok_i, tok_{i+δ}} counted WITH multiplicity
+    (w1 ≤ w2 lexicographically; self-pairs of a repeated token
+    included) — the word2vec/GloVe training-pair census, where
+    :func:`pmi_pairs` counts each pair once per document with no
+    position sensitivity.  Deterministic top-k: (n DESC, w1, w2).
+
+    Per batch one Counter over ``window`` zipped shifted token lists
+    (C-level pairing; the per-doc tokenize is the same bounded Python
+    the pmi/tfidf combiners already pay), partials combine through
+    ONE (w1, w2) groupby, a per-block partial top-k bounds the final
+    sort at ≤ k rows per block."""
+    import pyarrow.compute as pc
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            ws = _WORD.findall((t or "").lower())
+            for d in range(1, window + 1):
+                for a, b in zip(ws, ws[d:]):
+                    cnt[(a, b) if a <= b else (b, a)] += 1
+        return pa.table({
+            "w1": pa.array([k[0] for k in cnt], pa.string()),
+            "w2": pa.array([k[1] for k in cnt], pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=min(top_k, t.num_rows),
+            sort_keys=[("n", "descending"), ("w1", "ascending"),
+                       ("w2", "ascending")])
+        return t.take(idx)
+
+    return (counts.map_batches(partial_topk, batch_format="pyarrow")
+            .sort(["n", "w1", "w2"], descending=[True, False, False])
+            .limit(top_k))
