@@ -5063,6 +5063,32 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_weighted_median_group(sf_dir: str):
+    """Grouped LOWER weighted median (stages/stats.py
+    grouped_weighted_median): per return flag, the smallest quantity
+    v with Σ_{x ≤ v} weight ≥ ⌈W/2⌉, weight = the line number (an
+    arbitrary-but-deterministic positive integer weight exercising
+    the weighted-selection machinery).  Simultaneous per-group
+    value-domain binary search with weight-rank probes — O(log
+    range) stateless scans, no sort, no shuffle."""
+    from textgraphs_ray.stages.stats import grouped_weighted_median
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_linenumber"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": t.column("l_returnflag"),
+            "x": t.column("l_quantity").cast(pa.int64()),
+            "w": t.column("l_linenumber").cast(pa.int64())})
+
+    base = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    return grouped_weighted_median(lambda: base, value_col="x",
+                                   weight_col="w", group_col="g",
+                                   lo=0, hi=128)
+
+
 def _q_skipgram(sf_dir: str):
     """Top-30 positional skip-gram pairs, window 4, over the document
     corpus (stages/index.py skipgram_pairs): the word2vec training-
@@ -5599,7 +5625,8 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "rolling_median", "rle", "skipgram", "coreness",
+    "stress", "rolling_median", "rle", "skipgram",
+    "weighted_median_group", "coreness",
     "ngram_diversity",
     "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
@@ -5646,6 +5673,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": _q_rolling_median,
         "rle": _q_rle,
         "skipgram": _q_skipgram,
+        "weighted_median_group": _q_weighted_median_group,
         "coreness": _q_coreness,
         "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
@@ -5972,6 +6000,25 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "weighted_median_group": """
+            WITH d AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_quantity AS BIGINT) AS x,
+                     CAST(l_linenumber AS BIGINT) AS w
+              FROM lineitem
+            ), vals AS (
+              SELECT g, x, sum(w) AS wv FROM d GROUP BY g, x
+            ), c AS (
+              SELECT g, x,
+                     sum(wv) OVER (PARTITION BY g ORDER BY x) AS cw,
+                     sum(wv) OVER (PARTITION BY g) AS W
+              FROM vals
+            )
+            SELECT g, CAST(max(W) AS BIGINT) AS w_total,
+                   CAST(min(CASE WHEN cw >= (W + 1) // 2
+                            THEN x END) AS BIGINT) AS wmed
+            FROM c GROUP BY g
+        """,
         "skipgram": """
             WITH w AS (
               SELECT row_number() OVER () AS doc,

@@ -273,3 +273,47 @@ def test_autocorr_matches_numpy():
         if a.std() > 0 and b.std() > 0:
             want = round(float(np.corrcoef(a, b)[0, 1]), 6)
             assert abs(r["r1"] - want) < 2e-6, g
+
+
+# ------------------------------------------------- weighted median
+
+
+def test_grouped_weighted_median_matches_brute():
+    from textgraphs_ray.stages.stats import grouped_weighted_median
+
+    rng = np.random.default_rng(19)
+    rows = [(f"g{int(i)}", int(x), int(w) + 1) for i, x, w in
+            zip(rng.integers(0, 4, 400), rng.integers(0, 500, 400),
+                rng.integers(0, 9, 400))]
+    base = rd.from_arrow(pa.table({
+        "g": pa.array([r[0] for r in rows], pa.string()),
+        "x": pa.array([r[1] for r in rows], pa.int64()),
+        "w": pa.array([r[2] for r in rows], pa.int64())})).materialize()
+    got = grouped_weighted_median(lambda: base, value_col="x",
+                                  weight_col="w", group_col="g",
+                                  lo=0, hi=1 << 12).set_index("g")
+    for g in sorted({r[0] for r in rows}):
+        items = sorted((x, w) for gg, x, w in rows if gg == g)
+        W = sum(w for _, w in items)
+        k = (W + 1) // 2
+        cum = 0
+        for x, w in items:
+            cum += w
+            if cum >= k:
+                want = x
+                break
+        assert tuple(got.loc[g]) == (W, want), g
+
+
+def test_grouped_weighted_median_unit_weights_is_lower_median():
+    from textgraphs_ray.stages.stats import grouped_weighted_median
+
+    base = rd.from_arrow(pa.table({
+        "g": pa.array(["a"] * 4, pa.string()),
+        "x": pa.array([10, 20, 30, 40], pa.int64()),
+        "w": pa.array([1, 1, 1, 1], pa.int64())})).materialize()
+    got = grouped_weighted_median(lambda: base, value_col="x",
+                                  weight_col="w", group_col="g",
+                                  lo=0, hi=64)
+    # even count, unit weights → LOWER median (k = 2 → 20)
+    assert tuple(got.iloc[0]) == ("a", 4, 20)

@@ -924,6 +924,7 @@ def adjusted_rand(ds: "ray.data.Dataset", *, a_col: str,
 
 def grouped_order_stats(ds_fn, *, value_col: str, group_col: str,
                         ranks: dict, lo: int, hi: int,
+                        weight_col: str | None = None,
                         max_rounds: int = 64) -> dict:
     """→ {(group, k): value}: the 1-based k-th order statistic of
     ``value_col`` WITHIN each group, for every (group, k) pair in
@@ -938,7 +939,13 @@ def grouped_order_stats(ds_fn, *, value_col: str, group_col: str,
     scans total regardless of pair count, no shuffle, no sort,
     constant driver memory beyond the bounded pair census.  ``ds_fn``
     must return a fresh cheap-to-rescan Dataset per call (a pruned
-    ``read_parquet``, or a materialized 2-column projection)."""
+    ``read_parquet``, or a materialized 2-column projection).
+
+    With ``weight_col``, ranks are WEIGHT ranks: the result for
+    (g, k) is the smallest v with Σ_{x ≤ v} weight ≥ k (positive
+    int64 weights) — the weighted-selection generalization; the
+    per-batch probe answers weight-sums below mid via one per-group
+    prefix-sum instead of a row count."""
     pairs = [(g, int(k)) for g, ks in ranks.items() for k in ks]
     if not pairs:
         return {}
@@ -959,11 +966,18 @@ def grouped_order_stats(ds_fn, *, value_col: str, group_col: str,
                   .astype(np.int64))
             order = np.lexsort((xv, gv))
             gs, xs = gv[order], xv[order]
+            if weight_col is not None:
+                wv = (t.column(weight_col)
+                      .to_numpy(zero_copy_only=False)
+                      .astype(np.int64))[order]
+                cum = np.concatenate(([0], np.cumsum(wv)))
             out = np.empty(len(g_), np.int64)
             for i in range(len(g_)):
                 a = np.searchsorted(gs, g_[i], side="left")
                 b = np.searchsorted(gs, g_[i], side="right")
-                out[i] = np.searchsorted(xs[a:b], m_[i], side="right")
+                j = np.searchsorted(xs[a:b], m_[i], side="right")
+                out[i] = (j if weight_col is None
+                          else cum[a + j] - cum[a])
             return pa.table({"p": pa.array(np.arange(len(g_))),
                              "c": pa.array(out)})
 
@@ -1191,3 +1205,36 @@ def autocorr_lag1(ds: "ray.data.Dataset", *, group_col: str,
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_part").map_groups(per_partition,
                                          batch_format="pandas"))
+
+
+def grouped_weighted_median(ds_fn, *, value_col: str, weight_col: str,
+                            group_col: str, lo: int,
+                            hi: int) -> pd.DataFrame:
+    """→ (group, w_total, wmed): the LOWER weighted median per group —
+    the smallest v with Σ_{x ≤ v} weight ≥ ⌈W/2⌉ (positive int64
+    weights, W the group's total) — the grouped sibling of the global
+    `weighted_median` query, riding the SAME simultaneous value-domain
+    binary search as :func:`grouped_median_x2` with weight-rank
+    probes.  O(log range) stateless scans, no sort, no shuffle,
+    bounded group census."""
+    totals: dict = {}
+    for r in ds_fn().map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame({
+                    "g": t.column(group_col).to_pandas(),
+                    "w": t.column(weight_col).to_numpy(
+                        zero_copy_only=False).astype(np.int64)})
+                .groupby("g", sort=False)["w"].sum().reset_index(),
+                preserve_index=False),
+            batch_format="pyarrow").take_all():
+        totals[r["g"]] = totals.get(r["g"], 0) + int(r["w"])
+    ranks = {g: [(w + 1) // 2] for g, w in totals.items() if w > 0}
+    stats = grouped_order_stats(ds_fn, value_col=value_col,
+                                group_col=group_col, ranks=ranks,
+                                lo=lo, hi=hi, weight_col=weight_col)
+    groups = sorted(ranks)
+    return pd.DataFrame({
+        group_col: groups,
+        "w_total": np.array([totals[g] for g in groups], np.int64),
+        "wmed": np.array([stats[(g, (totals[g] + 1) // 2)]
+                          for g in groups], np.int64)})
