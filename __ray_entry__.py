@@ -5063,6 +5063,44 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_mad_group_sortplan(sf_dir: str):
+    """Forced-alternate physical plan for `mad_group` (shares its
+    oracle; parity pinned in tests/test_stats2.py): instead of the
+    O(log range) selection scans, one coarse group-hash partition
+    co-locates each group and computes med_x2/mad_x4 from an
+    in-group vectorized sort — the bounded-group-fits-a-worker plan;
+    the selection plan is the unbounded-cardinality path."""
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.column("source").to_pandas()
+        h = pd.util.hash_array(g.to_numpy(dtype=object))
+        return pa.table({
+            "_part": pa.array((h % 8).astype(np.int64)),
+            "g": t.column("source"),
+            "x": t.column("n_chars").cast(pa.int64())})
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for g, grp in df.groupby("g", sort=False):
+            x = np.sort(grp["x"].to_numpy(np.int64))
+            n = len(x)
+            med2 = int(x[(n - 1) // 2] + x[n // 2])
+            dev2 = np.sort(np.abs(2 * x - med2))
+            mad4 = int(dev2[(n - 1) // 2] + dev2[n // 2])
+            out.append((g, n, med2, mad4))
+        out.sort()
+        return pa.table({
+            "source": pa.array([o[0] for o in out], pa.string()),
+            "n": pa.array([o[1] for o in out], pa.int64()),
+            "med_x2": pa.array([o[2] for o in out], pa.int64()),
+            "mad_x4": pa.array([o[3] for o in out], pa.int64())})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(per_part,
+                                         batch_format="pandas"))
+
+
 def _q_weighted_median_group(sf_dir: str):
     """Grouped LOWER weighted median (stages/stats.py
     grouped_weighted_median): per return flag, the smallest quantity
@@ -5626,7 +5664,7 @@ _GATE_HEAD = [
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
     "stress", "rolling_median", "rle", "skipgram",
-    "weighted_median_group", "coreness",
+    "weighted_median_group", "mad_group_sortplan", "coreness",
     "ngram_diversity",
     "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
@@ -5674,6 +5712,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rle": _q_rle,
         "skipgram": _q_skipgram,
         "weighted_median_group": _q_weighted_median_group,
+        "mad_group_sortplan": _q_mad_group_sortplan,
         "coreness": _q_coreness,
         "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
@@ -5946,6 +5985,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["densest"] = _densest_oracle_sql()
     sqls["coreness"] = _coreness_oracle_sql()
     sqls["stress"] = _stress_oracle_sql()
+    # forced-alternate physical plan shares the default plan's oracle
+    sqls["mad_group_sortplan"] = sqls["mad_group"]
     sqls["greedy_matching"] = _greedy_matching_oracle_sql()
     sqls["greedy_matching_distributed"] = sqls["greedy_matching"]
     return sqls

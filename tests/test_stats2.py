@@ -317,3 +317,22 @@ def test_grouped_weighted_median_unit_weights_is_lower_median():
                                   lo=0, hi=64)
     # even count, unit weights → LOWER median (k = 2 → 20)
     assert tuple(got.iloc[0]) == ("a", 4, 20)
+
+
+def test_mad_group_plan_parity_on_testdata():
+    """The selection plan and the forced sort plan are
+    OUTPUT-IDENTICAL (repo invariant for alternate physical plans)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    a = (entry.queries()["mad_group"](sf)
+         .sort_values("source").reset_index(drop=True))
+    b = (entry.queries()["mad_group_sortplan"](sf).to_pandas()
+         .sort_values("source").reset_index(drop=True))
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
