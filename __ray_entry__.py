@@ -5063,6 +5063,62 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_burstiness(sf_dir: str):
+    """Inter-event-time burstiness per user (Goh & Barabási 2008):
+    B = (σ − μ)/(σ + μ) over the consecutive-gap distribution of the
+    user's time-sorted events — B→−1 periodic, ≈0 Poisson, →1 bursty.
+    Exact int64 sufficient statistics (m, Σd, Σd²) per user from one
+    coarse-partition sorted pass (gap multiset is tie-invariant:
+    sorting by ts alone fixes the diff sequence); gaps are EPOCH
+    SECONDS — microsecond gaps squared overflow int64 — and the float
+    finish is mirrored term-for-term in SQL.  Users with < 2 events
+    drop."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int64)
+        sec = (t.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 1_000_000)
+        return pa.table({"_part": pa.array(part),
+                         "g": pa.array(g.astype(np.int64)),
+                         "ts": pa.array(sec)})
+
+    def stats(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["g", "ts"], kind="stable")
+        g = df["g"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        same = g[1:] == g[:-1]
+        pg = g[:-1][same]
+        d = (ts[1:] - ts[:-1])[same]
+        if len(pg) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "m": z, "d_sum": z,
+                             "d2_sum": z,
+                             "b": pa.array([], pa.float64())})
+        starts = np.flatnonzero(np.r_[True, pg[1:] != pg[:-1]])
+        m = np.diff(np.r_[starts, len(pg)]).astype(np.int64)
+        d_sum = np.add.reduceat(d, starts).astype(np.int64)
+        d2_sum = np.add.reduceat(d * d, starts).astype(np.int64)
+        mu = d_sum / m
+        var = np.maximum(d2_sum / m - mu * mu, 0.0)
+        sig = np.sqrt(var)
+        denom = sig + mu
+        b = np.where(denom > 0,
+                     np.round((sig - mu) / np.maximum(denom, 1e-300),
+                              6), 0.0)
+        return pa.table({"user_id": pa.array(pg[starts]),
+                         "m": pa.array(m), "d_sum": pa.array(d_sum),
+                         "d2_sum": pa.array(d2_sum),
+                         "b": pa.array(b)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(stats,
+                                         batch_format="pandas"))
+
+
 def _q_mad_group_sortplan(sf_dir: str):
     """Forced-alternate physical plan for `mad_group` (shares its
     oracle; parity pinned in tests/test_stats2.py): instead of the
@@ -5664,7 +5720,8 @@ _GATE_HEAD = [
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
     "stress", "rolling_median", "rle", "skipgram",
-    "weighted_median_group", "mad_group_sortplan", "coreness",
+    "weighted_median_group", "mad_group_sortplan", "burstiness",
+    "coreness",
     "ngram_diversity",
     "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
@@ -5713,6 +5770,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "skipgram": _q_skipgram,
         "weighted_median_group": _q_weighted_median_group,
         "mad_group_sortplan": _q_mad_group_sortplan,
+        "burstiness": _q_burstiness,
         "coreness": _q_coreness,
         "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
@@ -6041,6 +6099,40 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "burstiness": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS t
+              FROM events
+            ), d AS (
+              SELECT user_id,
+                     t - lag(t) OVER (
+                       PARTITION BY user_id ORDER BY t) AS g
+              FROM e
+            ), agg AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(g) AS BIGINT) AS d_sum,
+                     CAST(sum(g * g) AS BIGINT) AS d2_sum
+              FROM d WHERE g IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, m, d_sum, d2_sum,
+                   CASE WHEN sqrt(greatest(
+                          CAST(d2_sum AS DOUBLE) / m
+                          - (CAST(d_sum AS DOUBLE) / m)
+                            * (CAST(d_sum AS DOUBLE) / m), 0))
+                        + CAST(d_sum AS DOUBLE) / m > 0
+                   THEN round((sqrt(greatest(
+                          CAST(d2_sum AS DOUBLE) / m
+                          - (CAST(d_sum AS DOUBLE) / m)
+                            * (CAST(d_sum AS DOUBLE) / m), 0))
+                        - CAST(d_sum AS DOUBLE) / m)
+                      / (sqrt(greatest(
+                          CAST(d2_sum AS DOUBLE) / m
+                          - (CAST(d_sum AS DOUBLE) / m)
+                            * (CAST(d_sum AS DOUBLE) / m), 0))
+                        + CAST(d_sum AS DOUBLE) / m), 6)
+                   ELSE 0.0 END AS b
+            FROM agg
+        """,
         "weighted_median_group": """
             WITH d AS (
               SELECT l_returnflag AS g,
