@@ -5063,6 +5063,62 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_fim_split(sf_dir: str):
+    """Fill-in-middle training transform (Bavarian et al. 2022 PSM
+    format): deterministic character-third split points, document
+    reassembled as <PRE>prefix<SUF>suffix<MID>middle — the code-model
+    data-formatting pass.  Pure stateless map, embarrassingly
+    parallel; SQL replays with substr arithmetic."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fim(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        out = []
+        for s in t.column("text").to_pylist():
+            s = s or ""
+            n = len(s)
+            c1, c2 = n // 3, (2 * n) // 3
+            out.append("<PRE>" + s[:c1] + "<SUF>" + s[c2:]
+                       + "<MID>" + s[c1:c2])
+        return pa.table({"doc_id": ids,
+                         "fim": pa.array(out, pa.string())})
+
+    return ds.map_batches(fim, batch_format="pyarrow")
+
+
+def _q_mixture_weights(sf_dir: str):
+    """Temperature-scaled corpus mixture weights (XLM-R / mBERT
+    α-sampling, Conneau et al. 2020, α = 0.3): per-source char share
+    p_s, boosted share q_s ∝ p_s^α, and the oversampling factor
+    q_s/p_s — the mixing plan that upsamples small sources.  Char
+    census via one combiner-fed groupby (bounded sources); BOTH
+    normalizing sums fold in source-ascending order so the float
+    chain replays exactly in SQL's ordered-window fold."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+    rows = (ds.groupby("source")
+            .aggregate(_Sum("n_chars", alias_name="c")).take_all())
+    rows.sort(key=lambda r: r["source"])
+    srcs = [r["source"] for r in rows]
+    c = np.array([r["c"] for r in rows], np.int64)
+    total = int(c.sum())
+    p = c / float(total)
+    # ordered fold of Σ p^α — mirrors the SQL cumulative-window sum
+    pa_pow = p ** 0.3
+    z = 0.0
+    for x in pa_pow:
+        z += x
+    q = pa_pow / z
+    boost = q / p
+    return pd.DataFrame({
+        "source": srcs,
+        "c_chars": c,
+        "p": np.round(p, 6),
+        "q": np.round(q, 6),
+        "boost": np.round(boost, 6)})
+
+
 def _q_burstiness(sf_dir: str):
     """Inter-event-time burstiness per user (Goh & Barabási 2008):
     B = (σ − μ)/(σ + μ) over the consecutive-gap distribution of the
@@ -5721,7 +5777,7 @@ _GATE_HEAD = [
     "skew_kurt", "entropy_agg", "ari",
     "stress", "rolling_median", "rle", "skipgram",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
-    "coreness",
+    "fim_split", "mixture_weights", "coreness",
     "ngram_diversity",
     "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
@@ -5771,6 +5827,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_group": _q_weighted_median_group,
         "mad_group_sortplan": _q_mad_group_sortplan,
         "burstiness": _q_burstiness,
+        "fim_split": _q_fim_split,
+        "mixture_weights": _q_mixture_weights,
         "coreness": _q_coreness,
         "msf": _q_msf,
         "ngram_diversity": _q_ngram_diversity,
@@ -6099,6 +6157,44 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "fim_split": """
+            SELECT doc_id,
+                   '<PRE>' || substr(text, 1, length(text) // 3)
+                   || '<SUF>' || substr(text,
+                        (2 * length(text)) // 3 + 1)
+                   || '<MID>' || substr(text,
+                        length(text) // 3 + 1,
+                        (2 * length(text)) // 3 - length(text) // 3)
+                     AS fim
+            FROM documents
+        """,
+        "mixture_weights": """
+            WITH c AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS c_chars
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT CAST(sum(c_chars) AS BIGINT) AS t FROM c
+            ), p AS (
+              SELECT source, c_chars,
+                     CAST(c_chars AS DOUBLE) / t AS p,
+                     power(CAST(c_chars AS DOUBLE) / t, 0.3) AS pw
+              FROM c, tot
+            ), z AS (
+              -- source-ascending ORDERED fold of Σ p^0.3: the last
+              -- cumulative value (mirrors the engine's ordered sum)
+              SELECT max(zc) AS z FROM (
+                SELECT sum(pw) OVER (
+                  ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS zc,
+                  row_number() OVER (ORDER BY source) AS rn,
+                  count(*) OVER () AS n
+                FROM p) q WHERE rn = n
+            )
+            SELECT source, c_chars, round(p, 6) AS p,
+                   round(pw / z, 6) AS q,
+                   round((pw / z) / p, 6) AS boost
+            FROM p, z
+        """,
         "burstiness": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) // 1000000 AS t
