@@ -5777,7 +5777,7 @@ _GATE_HEAD = [
     "skew_kurt", "entropy_agg", "ari",
     "stress", "rolling_median", "rle", "skipgram",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
-    "fim_split", "mixture_weights", "coreness",
+    "mixture_weights", "coreness",
     "ngram_diversity",
     "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
