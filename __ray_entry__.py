@@ -5063,6 +5063,61 @@ def _q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges, num_partitions=16)
 
 
+def _q_lis(sf_dir: str):
+    """Longest STRICTLY-increasing subsequence length of each order's
+    line-ordered quantity sequence — the classic sequence-DP statistic
+    (trend persistence per entity).  All groups in a coarse partition
+    solve together: the partition's sequences pad into one (G, L)
+    matrix (L = max group length; lineitem orders are ≤ 7 lines) and
+    the O(L²) DP runs as ~L² vectorized column ops across every group
+    at once — never a per-group Python DP.  The oracle replays by
+    recursive-CTE path expansion (bounded: ≤ 2^L subsequences per
+    group), max length per group."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+    SENT = np.int64(1) << 62
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        part = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(part), "g": pa.array(g.astype(np.int64)),
+            "i": t.column("l_linenumber").cast(pa.int64()),
+            "x": t.column("l_quantity").cast(pa.int64())})
+
+    def lis_dp(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["g", "i", "x"], kind="stable")
+        g = df["g"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"g": z, "n": z, "lis": z})
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        G, L = len(starts), int(sizes.max())
+        X = np.full((G, L), SENT, np.int64)
+        rows = np.repeat(np.arange(G), sizes)
+        cols = np.arange(n) - np.repeat(starts, sizes)
+        X[rows, cols] = x
+        dp = np.zeros((G, L), np.int64)
+        dp[:, 0] = 1
+        for j in range(1, L):
+            valid = X[:, j] != SENT
+            # strictly-smaller predecessors' dp, 0 where not smaller
+            cand = np.where(X[:, :j] < X[:, j:j + 1], dp[:, :j], 0)
+            dp[:, j] = np.where(valid, cand.max(axis=1) + 1, 0)
+        return pa.table({"g": pa.array(g[starts]),
+                         "n": pa.array(sizes.astype(np.int64)),
+                         "lis": pa.array(dp.max(axis=1))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(lis_dp,
+                                         batch_format="pandas"))
+
+
 def _q_fim_split(sf_dir: str):
     """Fill-in-middle training transform (Bavarian et al. 2022 PSM
     format): deterministic character-third split points, document
@@ -5775,9 +5830,9 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "rolling_median", "rle", "skipgram",
+    "stress", "rolling_median", "skipgram",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
-    "mixture_weights", "coreness",
+    "lis", "mixture_weights", "coreness",
     "ngram_diversity",
     "densest", "msf",
     "rich_club", "autocorr", "path_trigrams",
@@ -5827,6 +5882,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_group": _q_weighted_median_group,
         "mad_group_sortplan": _q_mad_group_sortplan,
         "burstiness": _q_burstiness,
+        "lis": _q_lis,
         "fim_split": _q_fim_split,
         "mixture_weights": _q_mixture_weights,
         "coreness": _q_coreness,
@@ -6157,6 +6213,28 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "lis": """
+            WITH RECURSIVE d AS (
+              SELECT l_orderkey AS g, l_linenumber AS i,
+                     CAST(l_quantity AS BIGINT) AS x
+              FROM lineitem
+            ), dd AS (
+              SELECT g, x, row_number() OVER (
+                       PARTITION BY g ORDER BY i, x) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM d
+            ), paths(g, rn, x, len) AS (
+              SELECT g, rn, x, 1 FROM dd
+              UNION ALL
+              SELECT dd.g, dd.rn, dd.x, p.len + 1
+              FROM paths p JOIN dd
+                ON dd.g = p.g AND dd.rn > p.rn AND dd.x > p.x
+            )
+            SELECT p.g, CAST(min(dd.n) AS BIGINT) AS n,
+                   CAST(max(p.len) AS BIGINT) AS lis
+            FROM paths p JOIN dd ON dd.g = p.g AND dd.rn = 1
+            GROUP BY p.g
+        """,
         "fim_split": """
             SELECT doc_id,
                    '<PRE>' || substr(text, 1, length(text) // 3)
