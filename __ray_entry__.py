@@ -5003,6 +5003,17 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_harmonic_driver(sf_dir: str):
+    """Forced-alternate DRIVER plan for `harmonic` (shares its
+    oracle; parity pinned in tests/test_centrality.py): bounded edge
+    collect + numpy CSR multi-source capped BFS — the scc/sssp
+    dual-plan pattern applied to the centrality family."""
+    from textgraphs_ray.stages.centrality import (
+        harmonic_centrality_driver)
+
+    return harmonic_centrality_driver(_scc_edges(sf_dir), hops=4)
+
+
 def _q_katz(sf_dir: str):
     """Katz centrality, α = 1/16, three exact INTEGER rounds of
     p_{k+1} = 16^{k+1} + Σ_in p_k ≡ 4096·x_3 (stages/centrality.py
@@ -5830,7 +5841,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "rolling_median", "skipgram",
+    "stress", "harmonic_driver", "skipgram",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -5900,6 +5911,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "eccentricity": _q_eccentricity,
         "mad_group": _q_mad_group,
         "harmonic": _q_harmonic,
+        "harmonic_driver": _q_harmonic_driver,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6157,8 +6169,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["densest"] = _densest_oracle_sql()
     sqls["coreness"] = _coreness_oracle_sql()
     sqls["stress"] = _stress_oracle_sql()
-    # forced-alternate physical plan shares the default plan's oracle
+    # forced-alternate physical plans share the default plan's oracle
     sqls["mad_group_sortplan"] = sqls["mad_group"]
+    sqls["harmonic_driver"] = sqls["harmonic"]
     sqls["greedy_matching"] = _greedy_matching_oracle_sql()
     sqls["greedy_matching_distributed"] = sqls["greedy_matching"]
     return sqls

@@ -245,3 +245,26 @@ def test_stress_cap_binds():
     want = _brute_stress(pairs, hops=2)
     for n, w in want.items():
         assert got.get(n, 0) == w, n
+
+
+def test_harmonic_driver_plan_parity():
+    from textgraphs_ray.stages.centrality import (
+        harmonic_centrality, harmonic_centrality_driver)
+
+    pairs = _rand_digraph(23, n_nodes=24, n_edges=60)
+    a = {r["node"]: (r["harmonic_x12"], r["n_reached"])
+         for r in harmonic_centrality(_edges_ds(pairs),
+                                      hops=4).take_all()}
+    b = {r["node"]: (r["harmonic_x12"], r["n_reached"])
+         for r in harmonic_centrality_driver(_edges_ds(pairs),
+                                             hops=4).take_all()}
+    assert a == b
+
+
+def test_harmonic_driver_guard():
+    from textgraphs_ray.stages.centrality import (
+        harmonic_centrality_driver)
+
+    pairs = [(i, i + 1) for i in range(20)]
+    with pytest.raises(ValueError):
+        harmonic_centrality_driver(_edges_ds(pairs), max_edges=10)

@@ -402,3 +402,57 @@ def stress_centrality(edges: "ray.data.Dataset", *, hops: int = 4,
     out = (joined.groupby("node")
            .aggregate(Sum("c", alias_name="stress")))
     return out.union(ray.data.from_arrow(empty))
+
+
+def harmonic_centrality_driver(edges: "ray.data.Dataset", *,
+                               hops: int = 4, u: str = "u",
+                               v: str = "v",
+                               max_edges: int = 2_000_000
+                               ) -> "ray.data.Dataset":
+    """Forced-alternate DRIVER plan for :func:`harmonic_centrality`
+    (output-identical; shares its oracle — the scc/sssp dual-plan
+    pattern): collect the bounded deduped edge list once and run the
+    multi-source capped BFS as a numpy CSR kernel.  The coarsened
+    graphs this operator targets are ≤ ``max_edges`` by construction
+    (assert-guarded); the Dataset plan is the unbounded path."""
+    if hops < 1 or hops > 4:
+        raise ValueError(f"hops must be in [1, 4], got {hops}")
+    sym = _symmetrize(edges, u=u, v=v)
+    rows = sym.take_all()
+    if len(rows) > max_edges:
+        raise ValueError(f"{len(rows)} directed edges exceed "
+                         f"max_edges={max_edges}; use the Dataset "
+                         f"plan (harmonic_centrality)")
+    a = np.array([r["u"] for r in rows], np.int64)
+    b = np.array([r["v"] for r in rows], np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[:len(a)], inv[len(a):]
+    n = len(nodes)
+    order = np.argsort(ai, kind="stable")
+    ai_s, bi_s = ai[order], bi[order]
+    indptr = np.searchsorted(ai_s, np.arange(n + 1))
+    h12 = np.zeros(n, np.int64)
+    reach = np.zeros(n, np.int64)
+    for s in range(n):
+        dist = np.full(n, -1, np.int64)
+        dist[s] = 0
+        frontier = np.array([s], np.int64)
+        for d in range(1, hops + 1):
+            nxt = []
+            for x in frontier:
+                nb = bi_s[indptr[x]:indptr[x + 1]]
+                nb = nb[dist[nb] < 0]
+                dist[nb] = d
+                nxt.append(nb)
+            frontier = (np.unique(np.concatenate(nxt))
+                        if nxt else np.array([], np.int64))
+            if len(frontier) == 0:
+                break
+        m = dist >= 1
+        h12[s] = int((12 // dist[m]).sum())
+        reach[s] = int(m.sum())
+    keep = reach > 0
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes[keep]),
+        "harmonic_x12": pa.array(h12[keep]),
+        "n_reached": pa.array(reach[keep])}))
