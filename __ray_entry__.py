@@ -5003,6 +5003,84 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity of the transition part graph: the
+    fraction of directed edges whose reverse edge also exists —
+    r = |E ∩ Eᵀ| / |E| (Newman link-symmetry statistic).  One
+    stateless reverse-key emission + a single (min, max) pair groupby
+    ORing direction flags (the distinct_set_op shape — no join);
+    rational r rounds half-away (dyadic-tie rule)."""
+    from ray.data.aggregate import Max as _Max
+
+    from textgraphs_ray.functions.rounding import round_half_away
+
+    e = _scc_edges(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column("u").to_numpy(zero_copy_only=False)
+        b = t.column("v").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        fwd = (a < b).astype(np.int64)
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                         "f": pa.array(fwd),
+                         "r": pa.array(1 - fwd)})
+
+    flags = (e.map_batches(tag, batch_format="pyarrow")
+             .groupby(["lo", "hi"])
+             .aggregate(_Max("f", alias_name="f"),
+                        _Max("r", alias_name="r")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.column("f").to_numpy(zero_copy_only=False)
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        both = int(((f == 1) & (r == 1)).sum())
+        n_dir = int(f.sum() + r.sum())
+        return pa.table({"n_edges": pa.array([n_dir], pa.int64()),
+                         "n_mutual": pa.array([2 * both], pa.int64())})
+
+    rows = flags.map_batches(partial, batch_format="pyarrow").take_all()
+    n_edges = sum(r["n_edges"] for r in rows)
+    n_mutual = sum(r["n_mutual"] for r in rows)
+    return pd.DataFrame({
+        "n_edges": np.array([n_edges], np.int64),
+        "n_mutual": np.array([n_mutual], np.int64),
+        "reciprocity": round_half_away(
+            np.array([n_mutual / max(n_edges, 1)]), 6)})
+
+
+def _q_degree_hist(sf_dir: str):
+    """Undirected degree distribution of the transition part graph:
+    (deg, n_nodes) — the scale-free-ness census.  Endpoint-explode
+    degree groupby + one degree-count groupby, both combiner-fed."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    e = _scc_edges(sf_dir)
+
+    def sym_deg(t: pa.Table) -> pa.Table:
+        a = t.column("u").to_numpy(zero_copy_only=False)
+        b = t.column("v").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
+
+    und = (e.map_batches(sym_deg, batch_format="pyarrow")
+           .groupby(["lo", "hi"]).aggregate(_Count(alias_name="_c"))
+           .select_columns(["lo", "hi"]))
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = np.concatenate([
+            t.column("lo").to_numpy(zero_copy_only=False),
+            t.column("hi").to_numpy(zero_copy_only=False)])
+        vals, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(vals.astype(np.int64)),
+                         "d": pa.array(c.astype(np.int64))})
+
+    deg = (und.map_batches(explode, batch_format="pyarrow")
+           .groupby("node").aggregate(_Sum("d", alias_name="deg")))
+    return (deg.groupby("deg")
+            .aggregate(_Count(alias_name="n_nodes")))
+
+
 def _q_harmonic_driver(sf_dir: str):
     """Forced-alternate DRIVER plan for `harmonic` (shares its
     oracle; parity pinned in tests/test_centrality.py): bounded edge
@@ -5841,7 +5919,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "harmonic_driver", "skipgram",
+    "stress", "harmonic_driver", "reciprocity", "degree_hist",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -5912,6 +5990,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mad_group": _q_mad_group,
         "harmonic": _q_harmonic,
         "harmonic_driver": _q_harmonic_driver,
+        "reciprocity": _q_reciprocity,
+        "degree_hist": _q_degree_hist,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6226,6 +6306,52 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "reciprocity": """
+            WITH seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e0 AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), und AS (
+              SELECT least(u, v) AS lo, greatest(u, v) AS hi,
+                     max(CASE WHEN u < v THEN 1 ELSE 0 END) AS f,
+                     max(CASE WHEN u > v THEN 1 ELSE 0 END) AS r
+              FROM e0 GROUP BY 1, 2
+            )
+            SELECT CAST(sum(f) + sum(r) AS BIGINT) AS n_edges,
+                   CAST(2 * sum(CASE WHEN f = 1 AND r = 1
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_mutual,
+                   round((2.0 * sum(CASE WHEN f = 1 AND r = 1
+                                    THEN 1 ELSE 0 END))
+                         / (sum(f) + sum(r)), 6) AS reciprocity
+            FROM und
+        """,
+        "degree_hist": """
+            WITH seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e0 AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), und AS (
+              SELECT DISTINCT least(u, v) AS lo,
+                              greatest(u, v) AS hi
+              FROM e0
+            ), sy AS (
+              SELECT lo AS n FROM und UNION ALL SELECT hi FROM und
+            ), dg AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS deg
+              FROM sy GROUP BY n
+            )
+            SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM dg GROUP BY deg
+        """,
         "lis": """
             WITH RECURSIVE d AS (
               SELECT l_orderkey AS g, l_linenumber AS i,
