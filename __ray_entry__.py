@@ -5003,6 +5003,56 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_unconverted(sf_dir: str):
+    """NEGATIVE sequence pattern — the anti-funnel: per user, how
+    many click events have NO purchase in the strict-after 1-hour
+    window (t, t + 3600 s] (churn/abandonment census; `funnel_counts`
+    asks who DID convert).  One coarse user-hash partition; inside a
+    partition every user's probe answers with two searchsorted calls
+    against ONE composite (user << 32 | ts)-sorted purchase array —
+    no per-user loop, no join.  Epoch seconds both sides."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    W = 3600
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        m = (et == "click") | (et == "purchase")
+        uid = (t.column("user_id").to_numpy(zero_copy_only=False)[m]
+               .astype(np.int64))
+        sec = (t.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False)[m] // 1_000_000)
+        part = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(part), "u": pa.array(uid),
+            "t": pa.array(sec),
+            "is_p": pa.array((et[m] == "purchase")
+                             .astype(np.int64))})
+
+    def probe(df: pd.DataFrame) -> pa.Table:
+        u = df["u"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        isp = df["is_p"].to_numpy(np.int64) == 1
+        B = np.int64(1) << 32
+        comp_p = np.sort(u[isp] * B + t[isp])
+        cu, ct = u[~isp], t[~isp]
+        lo = np.searchsorted(comp_p, cu * B + ct, side="right")
+        hi = np.searchsorted(comp_p, cu * B + ct + W, side="right")
+        conv = hi > lo
+        out = (pd.DataFrame({"u": cu, "n": 1,
+                             "un": (~conv).astype(np.int64)})
+               .groupby("u", as_index=False).sum())
+        return pa.table({
+            "user_id": pa.array(out["u"].to_numpy(np.int64)),
+            "n_clicks": pa.array(out["n"].to_numpy(np.int64)),
+            "n_unconverted": pa.array(out["un"].to_numpy(np.int64))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(probe,
+                                         batch_format="pandas"))
+
+
 def _q_reciprocity(sf_dir: str):
     """Directed-graph reciprocity of the transition part graph: the
     fraction of directed edges whose reverse edge also exists —
@@ -5919,7 +5969,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "harmonic_driver", "reciprocity", "degree_hist",
+    "stress", "harmonic_driver", "reciprocity", "unconverted",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -5992,6 +6042,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_driver": _q_harmonic_driver,
         "reciprocity": _q_reciprocity,
         "degree_hist": _q_degree_hist,
+        "unconverted": _q_unconverted,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6306,6 +6357,23 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "unconverted": """
+            WITH c AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS t
+              FROM events WHERE event_type = 'click'
+            ), p AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS t
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id,
+                   CAST(count(*) AS BIGINT) AS n_clicks,
+                   CAST(sum(CASE WHEN NOT EXISTS (
+                     SELECT 1 FROM p
+                     WHERE p.user_id = c.user_id
+                       AND p.t > c.t AND p.t <= c.t + 3600)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted
+            FROM c GROUP BY c.user_id
+        """,
         "reciprocity": """
             WITH seq AS (
               SELECT l_orderkey AS o, l_linenumber AS i,
