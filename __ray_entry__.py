@@ -5003,6 +5003,96 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_bool_and(sf_dir: str):
+    """Boolean AND retrieval: the documents containing BOTH of the
+    two highest-df terms (df DESC, term asc tie — the query terms
+    derive from the data so the check is self-contained at every
+    sf).  Pass 1: distinct-per-doc term combiner → df census → top-2
+    (bounded driver pick); pass 2: one stateless per-doc membership
+    scan — the posting-intersection shape with the small side
+    broadcast, no shuffle join."""
+    import re as _re
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    word_re = _re.compile(r"[^a-z]+")
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for w in set(x for x in word_re.split((txt or "").lower())
+                         if x):
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table({"term": pa.array(list(cnt), pa.string()),
+                         "df": pa.array(list(cnt.values()),
+                                        pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    dfc = (ds.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("term").aggregate(_Sum("df", alias_name="df")))
+    rows = sorted(dfc.take_all(),
+                  key=lambda r: (-r["df"], r["term"]))[:2]
+    t1, t2 = rows[0]["term"], rows[1]["term"]
+
+    def hit(t: pa.Table) -> pa.Table:
+        ids, w1, w2 = [], t1, t2
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            ws = set(x for x in word_re.split((txt or "").lower())
+                     if x)
+            if w1 in ws and w2 in ws:
+                ids.append(did)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "t1": pa.array([w1] * len(ids), pa.string()),
+                         "t2": pa.array([w2] * len(ids), pa.string())})
+
+    return ds.map_batches(hit, batch_format="pyarrow")
+
+
+def _q_phrase_docs(sf_dir: str):
+    """Exact-phrase retrieval: the documents containing the globally
+    most frequent ADJACENT token bigram (n DESC, pair asc tie) as a
+    contiguous phrase — positional search where `bool_and` is
+    bag-of-words.  Pass 1: δ=1 skip-gram census → top pair (bounded
+    driver pick); pass 2: one stateless adjacency scan per doc."""
+    import re as _re
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    word_re = _re.compile(r"[^a-z]+")
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        cnt: dict[tuple, int] = {}
+        for txt in t.column("text").to_pylist():
+            ws = [x for x in word_re.split((txt or "").lower()) if x]
+            for a, b in zip(ws, ws[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        return pa.table({
+            "a": pa.array([k[0] for k in cnt], pa.string()),
+            "b": pa.array([k[1] for k in cnt], pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    bg = (ds.map_batches(bg_partial, batch_format="pyarrow")
+          .groupby(["a", "b"]).aggregate(_Sum("n", alias_name="n")))
+    top = sorted(bg.take_all(),
+                 key=lambda r: (-r["n"], r["a"], r["b"]))[0]
+    wa, wb = top["a"], top["b"]
+
+    def hit(t: pa.Table) -> pa.Table:
+        ids = []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            ws = [x for x in word_re.split((txt or "").lower()) if x]
+            if any(x == wa and y == wb for x, y in zip(ws, ws[1:])):
+                ids.append(did)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "a": pa.array([wa] * len(ids), pa.string()),
+                         "b": pa.array([wb] * len(ids), pa.string())})
+
+    return ds.map_batches(hit, batch_format="pyarrow")
+
+
 def _q_unconverted(sf_dir: str):
     """NEGATIVE sequence pattern — the anti-funnel: per user, how
     many click events have NO purchase in the strict-after 1-hour
@@ -5969,7 +6059,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "harmonic_driver", "reciprocity", "unconverted",
+    "stress", "harmonic_driver", "bool_and", "unconverted",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -6043,6 +6133,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": _q_reciprocity,
         "degree_hist": _q_degree_hist,
         "unconverted": _q_unconverted,
+        "bool_and": _q_bool_and,
+        "phrase_docs": _q_phrase_docs,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6357,6 +6449,51 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "bool_and": """
+            WITH w AS (
+              SELECT doc_id, list_distinct(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z]+'),
+                x -> x <> '')) AS ts
+              FROM documents
+            ), wt AS (
+              SELECT doc_id, unnest(ts) AS term FROM w
+            ), df AS (
+              SELECT term, count(*) AS df FROM wt GROUP BY term
+            ), top2 AS (
+              SELECT term, row_number() OVER (
+                ORDER BY df DESC, term) AS rn
+              FROM df ORDER BY df DESC, term LIMIT 2
+            ), sel AS (
+              SELECT max(CASE WHEN rn = 1 THEN term END) AS t1,
+                     max(CASE WHEN rn = 2 THEN term END) AS t2
+              FROM top2
+            )
+            SELECT w.doc_id, sel.t1, sel.t2
+            FROM w, sel
+            WHERE list_contains(w.ts, sel.t1)
+              AND list_contains(w.ts, sel.t2)
+        """,
+        "phrase_docs": """
+            WITH w AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z]+'),
+                x -> x <> '') AS a
+              FROM documents
+            ), bg AS (
+              SELECT w.a[i] AS x, w.a[i + 1] AS y, count(*) AS n
+              FROM w, LATERAL unnest(range(1, len(a))) AS t(i)
+              GROUP BY 1, 2
+            ), top AS (
+              SELECT x, y FROM bg ORDER BY n DESC, x, y LIMIT 1
+            ), hits AS (
+              SELECT DISTINCT w.doc_id
+              FROM w, top,
+                   LATERAL unnest(range(1, len(w.a))) AS t(i)
+              WHERE w.a[i] = top.x AND w.a[i + 1] = top.y
+            )
+            SELECT h.doc_id, top.x AS a, top.y AS b
+            FROM hits h, top
+        """,
         "unconverted": """
             WITH c AS (
               SELECT user_id, epoch_us(ts) // 1000000 AS t
