@@ -5003,6 +5003,57 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_gnn_aggregate(sf_dir: str):
+    """GNN message-passing primitive: TWO synchronous rounds of
+    neighbor-sum aggregation over the undirected transition graph,
+    feature h₀(v) = deg(v) — h_{k+1}(v) = Σ_{u∈N(v)} h_k(u), all
+    exact int64 (the mean variant keeps (sum, count) pairs; the sum
+    form IS A²·deg, the 2-hop walk-weighted degree).  Per round one
+    shuffle_join routes features along edges + one sum groupby — the
+    exact shape a distributed GraphSAGE/GCN aggregation layer
+    needs."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from textgraphs_ray.stages.centrality import _symmetrize
+    from textgraphs_ray.stages.join import shuffle_join as _sj
+
+    sym = _symmetrize(_scc_edges(sf_dir)).materialize()
+
+    def degrees(t: pa.Table) -> pa.Table:
+        vals, c = np.unique(t.column("u").to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({"node": pa.array(vals.astype(np.int64)),
+                         "h": pa.array(c.astype(np.int64))})
+
+    h = (sym.map_batches(degrees, batch_format="pyarrow")
+         .groupby("node").aggregate(_Sum("h", alias_name="h"))
+         .materialize())
+    deg = h
+
+    for _ in range(2):
+        h = (_sj(sym, h, "v", "node", 8,
+                 project=lambda m: pd.DataFrame({
+                     "n": m["u"], "h": m["h"]}))
+             .groupby("n").aggregate(_Sum("h", alias_name="h"))
+             .map_batches(lambda t: pa.table({
+                 "node": t.column("n"), "h": t.column("h")}),
+                 batch_format="pyarrow")
+             .repartition(8).materialize())
+
+    h2 = h.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "h2_sum": t.column("h")}),
+        batch_format="pyarrow")
+    dg = deg.map_batches(
+        lambda t: pa.table({"nd": t.column("node"),
+                            "deg": t.column("h")}),
+        batch_format="pyarrow")
+    return _sj(h2, dg, "node", "nd", 8,
+               project=lambda m: pd.DataFrame({
+                   "node": m["node"], "h2_sum": m["h2_sum"],
+                   "deg": m["deg"]}))
+
+
 def _q_bool_and(sf_dir: str):
     """Boolean AND retrieval: the documents containing BOTH of the
     two highest-df terms (df DESC, term asc tie — the query terms
@@ -6059,7 +6110,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "harmonic_driver", "bool_and", "unconverted",
+    "stress", "harmonic_driver", "bool_and", "gnn_aggregate",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -6135,6 +6186,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "unconverted": _q_unconverted,
         "bool_and": _q_bool_and,
         "phrase_docs": _q_phrase_docs,
+        "gnn_aggregate": _q_gnn_aggregate,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6449,6 +6501,32 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "gnn_aggregate": """
+            WITH seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e0 AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), s AS (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM e0
+                UNION ALL SELECT v, u FROM e0)
+            ), h0 AS (
+              SELECT u AS node, CAST(count(*) AS BIGINT) AS h
+              FROM s GROUP BY u
+            ), h1 AS (
+              SELECT s.u AS node, CAST(sum(h0.h) AS BIGINT) AS h
+              FROM s JOIN h0 ON h0.node = s.v GROUP BY s.u
+            ), h2 AS (
+              SELECT s.u AS node, CAST(sum(h1.h) AS BIGINT) AS h
+              FROM s JOIN h1 ON h1.node = s.v GROUP BY s.u
+            )
+            SELECT h2.node, h2.h AS h2_sum, h0.h AS deg
+            FROM h2 JOIN h0 ON h0.node = h2.node
+        """,
         "bool_and": """
             WITH w AS (
               SELECT doc_id, list_distinct(list_filter(
