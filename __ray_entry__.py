@@ -5003,6 +5003,47 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_hourly_anomaly(sf_dir: str):
+    """Seasonal anomaly census: every concrete hour bucket's event
+    count z-scored against ITS OWN hour-of-day's population mean/σ —
+    the traffic-monitoring residual after removing the daily cycle.
+    Exact int64 (n, Σc, Σc²) per hour-of-day from the bounded bucket
+    census; σ = 0 hods emit z = 0.0; float finish mirrored
+    term-for-term.  One count groupby is the only data-sized work."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        hrs = (t.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        vals, c = np.unique(hrs, return_counts=True)
+        return pa.table({"bucket": pa.array(vals),
+                         "c": pa.array(c.astype(np.int64))})
+
+    buckets = (ds.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("bucket").aggregate(_Sum("c", alias_name="c"))
+               .take_all())   # bounded: dataset span in hours
+    b = np.array([r["bucket"] for r in buckets], np.int64)
+    c = np.array([r["c"] for r in buckets], np.int64)
+    hod = b % 24
+    out_z = np.zeros(len(b))
+    for h in np.unique(hod):
+        m = hod == h
+        n = int(m.sum())
+        s1 = int(c[m].sum())
+        s2 = int((c[m] * c[m]).sum())
+        mu = s1 / n
+        var = s2 / n - mu * mu
+        if var > 0:
+            out_z[m] = np.round((c[m] - mu) / np.sqrt(var), 6)
+    order = np.argsort(b)
+    return pd.DataFrame({"bucket": b[order],
+                         "hod": hod[order],
+                         "c": c[order],
+                         "z": out_z[order]})
+
+
 def _q_gnn_aggregate(sf_dir: str):
     """GNN message-passing primitive: TWO synchronous rounds of
     neighbor-sum aggregation over the undirected transition graph,
@@ -6111,6 +6152,7 @@ _GATE_HEAD = [
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
     "stress", "harmonic_driver", "bool_and", "gnn_aggregate",
+    "hourly_anomaly",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -6187,6 +6229,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "bool_and": _q_bool_and,
         "phrase_docs": _q_phrase_docs,
         "gnn_aggregate": _q_gnn_aggregate,
+        "hourly_anomaly": _q_hourly_anomaly,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6501,6 +6544,29 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "hourly_anomaly": """
+            WITH b AS (
+              SELECT epoch_us(ts) // 3600000000 AS bucket,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ), h AS (
+              SELECT bucket, c, bucket % 24 AS hod,
+                     count(*) OVER w AS n,
+                     sum(c) OVER w AS s1,
+                     sum(c * c) OVER w AS s2
+              FROM b WINDOW w AS (PARTITION BY bucket % 24)
+            )
+            SELECT bucket, CAST(hod AS BIGINT) AS hod, c,
+                   CASE WHEN CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n) > 0
+                   THEN round((c - CAST(s1 AS DOUBLE) / n)
+                        / sqrt(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n)), 6)
+                   ELSE 0.0 END AS z
+            FROM h
+        """,
         "gnn_aggregate": """
             WITH seq AS (
               SELECT l_orderkey AS o, l_linenumber AS i,
