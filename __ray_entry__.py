@@ -5003,6 +5003,47 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_dod_growth(sf_dir: str):
+    """Period-over-period growth: per (event_type, day) count and its
+    ratio to the PREVIOUS CALENDAR DAY's count (gaps break the chain
+    — strictly day−1, SQL lag-over-day semantics replayed by an
+    explicit key join on day−1); rational ratio rounds half-away.
+    One (type, day) count groupby, then a stateless per-type
+    dictionary probe inside the bounded census."""
+    from textgraphs_ray.functions.rounding import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = (t.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        df = (pd.DataFrame({"event_type":
+                            t.column("event_type").to_pandas(),
+                            "day": day})
+              .groupby(["event_type", "day"]).size()
+              .reset_index(name="c"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+
+    rows = (ds.map_batches(daily, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(_Sum("c", alias_name="c")).take_all())
+    lut = {(r["event_type"], r["day"]): r["c"] for r in rows}
+    out = [(et, d, n, lut[(et, d - 1)]) for (et, d), n in lut.items()
+           if (et, d - 1) in lut]
+    out.sort()
+    return pd.DataFrame({
+        "event_type": [o[0] for o in out],
+        "day": np.array([o[1] for o in out], np.int64),
+        "c": np.array([o[2] for o in out], np.int64),
+        "prev_c": np.array([o[3] for o in out], np.int64),
+        "growth": round_half_away(
+            np.array([o[2] for o in out], np.float64)
+            / np.array([o[3] for o in out], np.float64), 6)})
+
+
 def _q_hourly_anomaly(sf_dir: str):
     """Seasonal anomaly census: every concrete hour bucket's event
     count z-scored against ITS OWN hour-of-day's population mean/σ —
@@ -6152,7 +6193,7 @@ _GATE_HEAD = [
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
     "stress", "harmonic_driver", "bool_and", "gnn_aggregate",
-    "hourly_anomaly",
+    "hourly_anomaly", "dod_growth",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -6230,6 +6271,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "phrase_docs": _q_phrase_docs,
         "gnn_aggregate": _q_gnn_aggregate,
         "hourly_anomaly": _q_hourly_anomaly,
+        "dod_growth": _q_dod_growth,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6544,6 +6586,18 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "dod_growth": """
+            WITH b AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT a.event_type, a.day, a.c, p.c AS prev_c,
+                   round(CAST(a.c AS DOUBLE) / p.c, 6) AS growth
+            FROM b a JOIN b p
+              ON p.event_type = a.event_type AND p.day = a.day - 1
+        """,
         "hourly_anomaly": """
             WITH b AS (
               SELECT epoch_us(ts) // 3600000000 AS bucket,
