@@ -6192,8 +6192,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "harmonic_driver", "bool_and", "gnn_aggregate",
-    "hourly_anomaly", "dod_growth",
+    "stress", "harmonic_driver", "gnn_aggregate",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
