@@ -5003,6 +5003,21 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_peak_concurrency(sf_dir: str):
+    """Max simultaneously-open click intervals + the first time it
+    happens (stages/sweep.py peak_concurrency): the distributed
+    Blelloch two-phase prefix scan — bucketed within-range running
+    sums, a bounded per-bucket carry fold on the driver, and a
+    carry-broadcast second pass for the global argmin; deltas
+    aggregate per distinct time first so tie order is immaterial.
+    Intervals from the same deterministic construction as
+    `interval_overlap`."""
+    from textgraphs_ray.stages.sweep import peak_concurrency
+
+    return peak_concurrency(_intervals(sf_dir, "click"),
+                            start="s", end="e", bucket=3600)
+
+
 def _q_dod_growth(sf_dir: str):
     """Period-over-period growth: per (event_type, day) count and its
     ratio to the PREVIOUS CALENDAR DAY's count (gaps break the chain
@@ -6192,7 +6207,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "harmonic_driver", "gnn_aggregate",
+    "stress", "harmonic_driver", "gnn_aggregate", "peak_concurrency",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -6271,6 +6286,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "gnn_aggregate": _q_gnn_aggregate,
         "hourly_anomaly": _q_hourly_anomaly,
         "dod_growth": _q_dod_growth,
+        "peak_concurrency": _q_peak_concurrency,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6585,6 +6601,31 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "peak_concurrency": """
+            WITH iv AS (
+              SELECT epoch_us(ts) // 1000000 AS s,
+                     epoch_us(ts) // 1000000
+                       + event_id % 3600 + 60 AS e
+              FROM events WHERE event_type = 'click'
+            ), d AS (
+              SELECT s AS t, 1 AS dd FROM iv
+              UNION ALL SELECT e + 1, -1 FROM iv
+            ), g AS (
+              SELECT t, CAST(sum(dd) AS BIGINT) AS d
+              FROM d GROUP BY t
+            ), r AS (
+              SELECT t, sum(d) OVER (
+                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS run
+              FROM g
+            ), pk AS (
+              SELECT CAST(max(run) AS BIGINT) AS peak FROM r
+            )
+            SELECT pk.peak,
+                   CAST((SELECT min(t) FROM r, pk
+                         WHERE r.run = pk.peak) AS BIGINT) AS t_peak
+            FROM pk
+        """,
         "dod_growth": """
             WITH b AS (
               SELECT event_type,

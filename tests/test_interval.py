@@ -138,3 +138,47 @@ def test_knn_classify_matches_brute_vote():
         top = [labels[j] for _, j in order[:5]]
         best = sorted(((-top.count(l), l) for l in set(top)))[0][1]
         assert out[q] == best
+
+
+def test_peak_concurrency_closed_form():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.sweep import peak_concurrency
+
+    # [0,10] [5,15] [8,9] overlap at t=8 (3 open); [20,21] alone
+    rows = [(0, 10), (5, 15), (8, 9), (20, 21)]
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.int64()),
+        "e": pa.array([r[1] for r in rows], pa.int64())}))
+    [r] = peak_concurrency(ds, start="s", end="e",
+                           bucket=4).take_all()
+    assert (r["peak"], r["t_peak"]) == (3, 8)
+
+
+def test_peak_concurrency_matches_brute():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textgraphs_ray.stages.sweep import peak_concurrency
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(0, 1000, 300)
+    e = s + rng.integers(0, 80, 300)
+    ds = rd.from_arrow(pa.table({"s": pa.array(s.astype("int64")),
+                                 "e": pa.array(e.astype("int64"))}))
+    [r] = peak_concurrency(ds, start="s", end="e",
+                           bucket=97).take_all()
+    # brute sweep over distinct times
+    deltas: dict[int, int] = {}
+    for a, z in zip(s, e):
+        deltas[int(a)] = deltas.get(int(a), 0) + 1
+        deltas[int(z) + 1] = deltas.get(int(z) + 1, 0) - 1
+    run = 0
+    best, best_t = 0, None
+    for t in sorted(deltas):
+        run += deltas[t]
+        if run > best:
+            best, best_t = run, t
+    assert (r["peak"], r["t_peak"]) == (best, best_t)
