@@ -5003,6 +5003,52 @@ def _q_harmonic(sf_dir: str):
     return harmonic_centrality(_scc_edges(sf_dir), hops=4)
 
 
+def _q_lorenz(sf_dir: str):
+    """Lorenz concentration curve of document length by VALUE
+    thresholds (tie-stable where rank cuts are not): for each decile
+    q, the exact quantile_disc threshold (stages/stats.py
+    selection_quantile — value-domain binary search) and the count /
+    char-mass / mass-share of docs at or below it.  O(deciles · log
+    range) stateless scans, no sort; shares round half-away
+    (rational)."""
+    from textgraphs_ray.functions.rounding import round_half_away
+    from textgraphs_ray.stages.stats import selection_quantile
+
+    base = _docs(sf_dir, columns=["n_chars"]).materialize()
+
+    def total(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(x.sum())], pa.int64()),
+                         "n": pa.array([len(x)], pa.int64())})
+
+    parts = base.map_batches(total, batch_format="pyarrow").take_all()
+    tot_chars = sum(r["s"] for r in parts)
+    qs = [i / 10 for i in range(1, 11)]
+    out = []
+    for q in qs:
+        thr = int(selection_quantile(lambda: base,
+                                     value_col="n_chars", q=q,
+                                     lo=0, hi=1 << 20)["value"][0])
+
+        def below(t: pa.Table, v=thr) -> pa.Table:
+            x = t.column("n_chars").to_numpy(zero_copy_only=False)
+            m = x <= v
+            return pa.table({
+                "n": pa.array([int(m.sum())], pa.int64()),
+                "s": pa.array([int(x[m].sum())], pa.int64())})
+
+        p = base.map_batches(below, batch_format="pyarrow").take_all()
+        out.append((q, thr, sum(r["n"] for r in p),
+                    sum(r["s"] for r in p)))
+    return pd.DataFrame({
+        "q": [o[0] for o in out],
+        "thr": np.array([o[1] for o in out], np.int64),
+        "n_le": np.array([o[2] for o in out], np.int64),
+        "chars_le": np.array([o[3] for o in out], np.int64),
+        "share": round_half_away(
+            np.array([o[3] for o in out], np.float64) / tot_chars, 6)})
+
+
 def _q_peak_concurrency(sf_dir: str):
     """Max simultaneously-open click intervals + the first time it
     happens (stages/sweep.py peak_concurrency): the distributed
@@ -6207,7 +6253,7 @@ _GATE_HEAD = [
     "mutual_match", "greedy_matching", "greedy_matching_distributed",
     "interval_overlap", "knn_classify",
     "skew_kurt", "entropy_agg", "ari",
-    "stress", "harmonic_driver", "gnn_aggregate", "peak_concurrency",
+    "stress", "harmonic_driver", "peak_concurrency", "lorenz",
     "weighted_median_group", "mad_group_sortplan", "burstiness",
     "lis", "mixture_weights", "coreness",
     "ngram_diversity",
@@ -6287,6 +6333,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomaly": _q_hourly_anomaly,
         "dod_growth": _q_dod_growth,
         "peak_concurrency": _q_peak_concurrency,
+        "lorenz": _q_lorenz,
         "katz": _q_katz,
         "lpa": _q_lpa,
         "sssp": _q_sssp,
@@ -6601,6 +6648,29 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "lorenz": """
+            WITH thr AS (
+              -- quantile_disc requires CONSTANT q: unroll the deciles
+""" + "              ".join(
+    f"SELECT {q / 10} AS q, CAST(quantile_disc(n_chars, {q / 10}) "
+    f"AS BIGINT) AS thr FROM documents"
+    + (" UNION ALL\n" if q < 10 else "\n") for q in range(1, 11)
+) + """
+            ), tot AS (
+              SELECT CAST(sum(n_chars) AS BIGINT) AS s
+              FROM documents
+            )
+            SELECT t.q, t.thr,
+                   CAST(count(d.n_chars) AS BIGINT) AS n_le,
+                   CAST(coalesce(sum(d.n_chars), 0) AS BIGINT)
+                     AS chars_le,
+                   round(CAST(coalesce(sum(d.n_chars), 0)
+                              AS DOUBLE) / tot.s, 6) AS share
+            FROM thr t
+            LEFT JOIN documents d ON d.n_chars <= t.thr
+            CROSS JOIN tot
+            GROUP BY t.q, t.thr, tot.s
+        """,
         "peak_concurrency": """
             WITH iv AS (
               SELECT epoch_us(ts) // 1000000 AS s,
