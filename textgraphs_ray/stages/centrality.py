@@ -417,12 +417,13 @@ def harmonic_centrality_driver(edges: "ray.data.Dataset", *,
     (assert-guarded); the Dataset plan is the unbounded path."""
     if hops < 1 or hops > 4:
         raise ValueError(f"hops must be in [1, 4], got {hops}")
+    from ..functions.bounded import collect_bounded
+
     sym = _symmetrize(edges, u=u, v=v)
-    rows = sym.take_all()
-    if len(rows) > max_edges:
-        raise ValueError(f"{len(rows)} directed edges exceed "
-                         f"max_edges={max_edges}; use the Dataset "
-                         f"plan (harmonic_centrality)")
+    rows = collect_bounded(
+        sym.materialize(), max_edges,
+        "use the Dataset plan (harmonic_centrality) or raise "
+        "max_edges")
     a = np.array([r["u"] for r in rows], np.int64)
     b = np.array([r["v"] for r in rows], np.int64)
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)

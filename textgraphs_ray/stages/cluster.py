@@ -76,7 +76,9 @@ def _label_signature(labels_ds: "ray.data.Dataset") -> int:
 
 def _driver_union_find(nodes_ds: "ray.data.Dataset",
                        edges_ds: "ray.data.Dataset",
-                       checkpoint_fn) -> "ray.data.Dataset":
+                       checkpoint_fn,
+                       max_edges: int = 2_000_000
+                       ) -> "ray.data.Dataset":
     """Small-graph fast path: the edge set fits on the driver (bounded
     by ``driver_threshold``), so closure is a vectorized min-label
     propagation over factorized edge arrays; the component map
@@ -89,6 +91,13 @@ def _driver_union_find(nodes_ds: "ray.data.Dataset",
 
     import ray
 
+    from ..functions.bounded import assert_bounded
+
+    # the propagate_labels plan selection already bounds this path,
+    # but direct callers get the same loud guard by construction
+    assert_bounded(edges_ds, max_edges,
+                   "use propagate_labels' distributed loop "
+                   "(driver_threshold=0) or raise max_edges")
     parts = [b.select(["key_a", "key_b"])
              for b in edges_ds.iter_batches(batch_format="pyarrow")
              if b.num_rows]
@@ -186,7 +195,7 @@ def propagate_labels(nodes_ds: "ray.data.Dataset",
             nodes_ds.map_batches(
                 lambda t: pa.table({"key": t.column("key")}),
                 batch_format="pyarrow"),
-            edges_ds, checkpoint_fn)
+            edges_ds, checkpoint_fn, max_edges=driver_threshold)
 
     adjacency = edges_ds.map_batches(
         _both_directions, batch_format="pyarrow"

@@ -240,14 +240,15 @@ def jw_distinct_join(ds: "ray.data.Dataset", *, col: str,
 
     from ..functions.strsim import jaro_winkler_batch
 
+    from ..functions.bounded import collect_bounded
+
     distinct = (ds.groupby(col).aggregate(Count(alias_name="_n"))
                 .select_columns([col]).materialize())
-    n = distinct.count()
-    if n > max_distinct:
-        raise ValueError(f"{n} distinct values exceed max_distinct="
-                         f"{max_distinct}; block before joining")
-    names = np.array(sorted(r[col] for r in distinct.take_all()),
-                     dtype=object)
+    names = np.array(sorted(r[col] for r in collect_bounded(
+        distinct, max_distinct,
+        "block before joining (the bounded-domain theta-join "
+        "collects the distinct-name list) or raise max_distinct")),
+        dtype=object)
     ref = ray.put(names)
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -297,14 +298,15 @@ def monge_elkan_join(ds: "ray.data.Dataset", *, col: str,
 
     from ..functions.strsim import jaro_winkler_batch
 
+    from ..functions.bounded import collect_bounded
+
     distinct = (ds.groupby(col).aggregate(Count(alias_name="_n"))
                 .select_columns([col]).materialize())
-    n = distinct.count()
-    if n > max_distinct:
-        raise ValueError(f"{n} distinct values exceed max_distinct="
-                         f"{max_distinct}; block before joining")
-    names = np.array(sorted(r[col] for r in distinct.take_all()),
-                     dtype=object)
+    names = np.array(sorted(r[col] for r in collect_bounded(
+        distinct, max_distinct,
+        "block before joining (the bounded-domain theta-join "
+        "collects the distinct-name list) or raise max_distinct")),
+        dtype=object)
     ref = ray.put(names)
 
     def pairs(t: pa.Table) -> pa.Table:

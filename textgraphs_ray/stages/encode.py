@@ -86,8 +86,11 @@ def cosine_topk_brute(query_mat: np.ndarray, k: int):
         n = sims.shape[0]
         kk = min(k, n)
         out_q, out_id, out_sim = [], [], []
+        # boundary-tie widening: keep all rows tied with the kk-th
+        # largest sim so the downstream deterministic merge decides
+        bound = np.partition(sims, n - kk, axis=0)[n - kk, :]
         for q in range(qn.shape[0]):
-            idx = np.argpartition(-sims[:, q], kk - 1)[:kk]
+            idx = np.flatnonzero(sims[:, q] >= bound[q])
             for i in idx:
                 out_q.append(q)
                 out_id.append(ids[int(i)])

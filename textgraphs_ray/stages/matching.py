@@ -97,7 +97,8 @@ def greedy_weight_matching(pairs: "ray.data.Dataset", *,
                            plan: str = "driver",
                            max_pairs: int = 5_000_000,
                            max_rounds: int = 50,
-                           num_partitions: int = 16
+                           num_partitions: int = 16,
+                           broadcast_max: int = 2_000_000
                            ) -> "ray.data.Dataset":
     """→ (u, v, w): the greedy 1-1 matching under (w DESC, u, v).
 
@@ -106,7 +107,10 @@ def greedy_weight_matching(pairs: "ray.data.Dataset", *,
     blocking is presumed reduced; raise the bound consciously).
     ``plan="distributed"``: locally-dominant fixpoint — per round the
     mutual-best pairs are accepted and their endpoints retire; equals
-    the driver scan under the strict total order (parity-pinned)."""
+    the driver scan under the strict total order (parity-pinned).
+    ``broadcast_max`` bounds the per-round matched-set broadcast in
+    the distributed plan (above it the set anti-joins as a Dataset —
+    see :func:`_greedy_distributed`)."""
     if plan == "driver":
         return _greedy_driver(pairs, u=u, v=v, w=w,
                               max_pairs=max_pairs)
@@ -115,7 +119,8 @@ def greedy_weight_matching(pairs: "ray.data.Dataset", *,
                          f"got {plan!r}")
     return _greedy_distributed(pairs, u=u, v=v, w=w,
                                max_rounds=max_rounds,
-                               num_partitions=num_partitions)
+                               num_partitions=num_partitions,
+                               broadcast_max=broadcast_max)
 
 
 def _matching_table(us, vs, ws) -> pa.Table:
@@ -126,12 +131,12 @@ def _matching_table(us, vs, ws) -> pa.Table:
 
 
 def _greedy_driver(pairs, *, u, v, w, max_pairs):
-    rows = pairs.select_columns([u, v, w]).take_all()
-    if len(rows) > max_pairs:
-        raise ValueError(
-            f"{len(rows)} pairs exceed max_pairs={max_pairs} — the "
-            f"driver plan collects the pair list; use "
-            f"plan='distributed' or raise the bound")
+    from ..functions.bounded import collect_bounded
+
+    rows = collect_bounded(
+        pairs.select_columns([u, v, w]).materialize(), max_pairs,
+        "the driver plan collects the pair list; use "
+        "plan='distributed' or raise max_pairs")
     a = np.array([r[u] for r in rows], np.int64)
     b = np.array([r[v] for r in rows], np.int64)
     ww = np.array([r[w] for r in rows], np.int64)
@@ -149,45 +154,73 @@ def _greedy_driver(pairs, *, u, v, w, max_pairs):
 
 
 def _greedy_distributed(pairs, *, u, v, w, max_rounds,
-                        num_partitions):
+                        num_partitions,
+                        broadcast_max: int = 2_000_000):
+    """Locally-dominant fixpoint.  Each round's accepted mutual-best
+    pairs stay a MATERIALIZED Dataset (never required on the driver):
+    while a round accepts ≤ ``broadcast_max`` pairs the matched-node
+    set collects and re-broadcasts via ``ray.put`` (one stateless
+    scan); above the bound the matched endpoints become a ``(node,)``
+    Dataset and survivors come from two anti ``shuffle_join``\\ s —
+    the ``bfs_hops`` visited-set pattern, constant driver memory.
+    The accepted sets accumulate as Datasets and union at the end
+    (they are pairwise node-disjoint by construction), so the OUTPUT
+    never collects either.  Both plans output-identical
+    (parity-pinned)."""
+    from .join import shuffle_join
+
     cur = (pairs.select_columns([u, v, w])
            .repartition(num_partitions).materialize())
-    out_u: list[np.ndarray] = []
-    out_v: list[np.ndarray] = []
-    out_w: list[np.ndarray] = []
+    taken_sets: list = []
 
     for _ in range(max_rounds):
         if cur.count() == 0:
             break
-        taken = mutual_best_pairs(cur, u=u, v=v, w=w).take_all()
         # non-empty whenever edges remain: the globally first pair
         # under the total order is mutual-best at both endpoints
-        tu = np.array([r["u"] for r in taken], np.int64)
-        tv = np.array([r["v"] for r in taken], np.int64)
-        tw = np.array([r["w"] for r in taken], np.int64)
-        out_u.append(tu)
-        out_v.append(tv)
-        out_w.append(tw)
-        matched_ref = ray.put(np.union1d(tu, tv))
+        taken = (mutual_best_pairs(cur, u=u, v=v, w=w)
+                 .repartition(num_partitions).materialize())
+        n_taken = taken.count()
+        taken_sets.append(taken)
+        if n_taken <= broadcast_max:
+            rows = taken.take_all()   # bounded by the branch test
+            tu = np.array([r["u"] for r in rows], np.int64)
+            tv = np.array([r["v"] for r in rows], np.int64)
+            matched_ref = ray.put(np.union1d(tu, tv))
 
-        def keep(t: pa.Table) -> pa.Table:
-            bad = ray.get(matched_ref)
-            a = t.column(u).to_numpy(zero_copy_only=False)
-            b = t.column(v).to_numpy(zero_copy_only=False)
-            m = ~(np.isin(a, bad) | np.isin(b, bad))
-            return t.filter(pa.array(m))
+            def keep(t: pa.Table) -> pa.Table:
+                bad = ray.get(matched_ref)
+                a = t.column(u).to_numpy(zero_copy_only=False)
+                b = t.column(v).to_numpy(zero_copy_only=False)
+                m = ~(np.isin(a, bad) | np.isin(b, bad))
+                return t.filter(pa.array(m))
 
-        cur = (cur.map_batches(keep, batch_format="pyarrow")
-               .repartition(num_partitions).materialize())
+            cur = cur.map_batches(keep, batch_format="pyarrow")
+        else:
+            def endpoints(t: pa.Table) -> pa.Table:
+                a = t.column("u").to_numpy(zero_copy_only=False)
+                b = t.column("v").to_numpy(zero_copy_only=False)
+                return pa.table({"node": pa.array(
+                    np.unique(np.concatenate([a, b]))
+                    .astype(np.int64))})
+
+            matched = taken.map_batches(endpoints,
+                                        batch_format="pyarrow")
+            cur = shuffle_join(cur, matched, u, "node",
+                               num_partitions, how="anti")
+            cur = shuffle_join(cur, matched, v, "node",
+                               num_partitions, how="anti")
+        cur = cur.repartition(num_partitions).materialize()
     if cur.count() > 0:
         raise RuntimeError(
             f"greedy_weight_matching did not converge in "
             f"{max_rounds} rounds ({cur.count()} pairs remain) — "
             f"raise max_rounds")
-    if not out_u:
-        return ray.data.from_arrow(pa.schema(
-            [("u", pa.int64()), ("v", pa.int64()),
-             ("w", pa.int64())]).empty_table())
-    return ray.data.from_arrow(_matching_table(
-        np.concatenate(out_u), np.concatenate(out_v),
-        np.concatenate(out_w)))
+    out = ray.data.from_arrow(pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()),
+         ("w", pa.int64())]).empty_table())
+    for t in taken_sets:
+        out = out.union(t)
+    # rounds are node-disjoint, so a plain union + the driver plan's
+    # (u, v) output order — no dedup shuffle needed
+    return out.repartition(num_partitions).sort(["u", "v"])

@@ -103,9 +103,15 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         ids = ids_to_ndarray(batch.column(id_col))
         sims = _normalize(emb) @ q.T  # (N, Q)
         kk = min(k + (1 if exclude_self else 0), sims.shape[0])
+        # widen each per-query cut to all rows tied with the kk-th
+        # largest sim: bit-identical cosines at the boundary must be
+        # decided by the merge's (sim DESC, vec_id ASC) order, not by
+        # block-local argpartition order (same fix as knn_classify)
+        bound = np.partition(sims, sims.shape[0] - kk,
+                             axis=0)[sims.shape[0] - kk, :]
         out_q, out_id, out_sim = [], [], []
         for qi in range(q.shape[0]):
-            idx = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            idx = np.flatnonzero(sims[:, qi] >= bound[qi])
             out_q.extend([qi] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_sim.extend(sims[idx, qi].tolist())
@@ -165,7 +171,10 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
             sims = en[mask] @ q[qi]
             sub_ids = ids[mask]
             kk = min(k + (1 if exclude_self else 0), len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            # keep every row tied with the kk-th largest sim so the
+            # merge's (sim DESC, vec_id ASC) order decides survivors
+            bound = np.partition(sims, len(sims) - kk)[len(sims) - kk]
+            idx = np.flatnonzero(sims >= bound)
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx].tolist())
             out_sim.extend(sims[idx].tolist())
@@ -304,7 +313,10 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
             sims = en[mask] @ q[qi]
             sub_ids = ids[mask]
             kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            # boundary-tie widening (see knn_brute): the merge order
+            # (sim DESC, vec_id ASC) must decide tied survivors
+            bound = np.partition(sims, len(sims) - kk)[len(sims) - kk]
+            idx = np.flatnonzero(sims >= bound)
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx].tolist())
             out_sim.extend(sims[idx].tolist())
@@ -453,10 +465,15 @@ def knn_self_join(ds: "ray.data.Dataset", *, k: int = 5,
         qids = qry["id"].to_numpy()
         sims = qv @ mv.T  # (Q, M)
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows_q = np.repeat(qids, kk)
-        rows_m = mids[idx.ravel()]
-        rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        # boundary-tie widening (see knn_brute): keep all members
+        # tied with each query's kk-th largest sim so the final
+        # (sim DESC, vec_id ASC) merge decides tied survivors
+        bound = np.partition(sims, sims.shape[1] - kk,
+                             axis=1)[:, sims.shape[1] - kk]
+        qi, mi = np.nonzero(sims >= bound[:, None])
+        rows_q = qids[qi]
+        rows_m = mids[mi]
+        rows_s = sims[qi, mi]
         out = pd.DataFrame({"query_id": rows_q, "vec_id": rows_m,
                             "sim": rows_s.astype(np.float64)})
         if exclude_self:
@@ -598,12 +615,17 @@ def knn_pq(ds: "ray.data.Dataset", queries: np.ndarray, *, k: int = 5,
         for j in range(lut.shape[1]):
             sims += lut[:, j, codes[:, j]]  # (Q, N) gather per subspace
         kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # boundary-tie widening: quantized ADC scores tie often, so a
+        # sim-only cut would make the candidate set depend on block
+        # layout; keep all tied rows and let the deterministic merge
+        # order decide (same fix as knn_brute/knn_classify)
+        bound = np.partition(sims, sims.shape[1] - kk,
+                             axis=1)[:, sims.shape[1] - kk]
+        qi, vi = np.nonzero(sims >= bound[:, None])
         return pa.table({
-            "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk)),
-            "vec_id": pa.array(ids[idx.ravel()]),
-            "sim": pa.array(np.take_along_axis(sims, idx, axis=1)
-                            .ravel().astype(np.float64)),
+            "query_id": pa.array(qi.astype(np.int64)),
+            "vec_id": pa.array(ids[vi]),
+            "sim": pa.array(sims[qi, vi].astype(np.float64)),
         })
 
     parts = ds.map_batches(score, batch_format="pyarrow")
@@ -647,9 +669,17 @@ def knn_classify(ds: "ray.data.Dataset", *, k: int = 5,
         en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         sims = en @ qmat.T  # (N, Q)
         take = min(kk, sims.shape[0])
+        # per-query boundary similarity (take-th largest), then widen
+        # the cut to EVERY row tied with it: with bit-identical
+        # cosines (duplicate embeddings) a sim-only argpartition can
+        # drop the smaller-id neighbor the deterministic
+        # (sim DESC, nb ASC) oracle order keeps — the driver merge,
+        # not block-local partition luck, must decide survivors.
+        bound = np.partition(sims, sims.shape[0] - take,
+                             axis=0)[sims.shape[0] - take, :]
         out_q, out_id, out_lab, out_sim = [], [], [], []
         for c in range(qmat.shape[0]):
-            idx = np.argpartition(-sims[:, c], take - 1)[:take]
+            idx = np.flatnonzero(sims[:, c] >= bound[c])
             out_q.extend([qi[c]] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_lab.extend(labs[idx].tolist())

@@ -36,6 +36,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..functions.histq import hist_quantile_agg
+from ..functions.rounding import round_half_away
 from .join import shuffle_join
 
 #: above this many distinct groups the stats table stops being a
@@ -837,8 +838,15 @@ def skew_kurt_group(ds: "ray.data.Dataset", *, value_col: str,
             m4 = (s4[i] / nn - 4.0 * mean * (s3[i] / nn)
                   + 6.0 * (mean * mean) * (s2[i] / nn)
                   - 3.0 * ((mean * mean) * (mean * mean)))
-            sk.append(round(m3 / math.sqrt((m2 * m2) * m2), 6))
-            ku.append(round(m4 / (m2 * m2) - 3.0, 6))
+            # kurt = m4/m2² − 3 is an integer-ratio chain ⇒ can land
+            # on a dyadic 6dp tie where Python round() banker-rounds
+            # but DuckDB rounds half away; skew's sqrt leg is
+            # irrational so ties can't occur, but half-away is then
+            # identical — route both through the DuckDB-parity helper.
+            sk.append(float(round_half_away(
+                m3 / math.sqrt((m2 * m2) * m2), 6)))
+            ku.append(float(round_half_away(
+                m4 / (m2 * m2) - 3.0, 6)))
         return pa.table({group_col: pa.array(gs),
                          "n": pa.array(n),
                          "skew": pa.array(sk, pa.float64()),
@@ -913,7 +921,10 @@ def adjusted_rand(ds: "ray.data.Dataset", *, a_col: str,
     # float finish mirrored against the oracle term by term
     expected = (sum_ai * sum_bj) / float(npairs)
     maxi = (sum_ai + sum_bj) / 2.0
-    ari = round((sum_nij - expected) / (maxi - expected), 6)
+    # integer-ratio chain ⇒ dyadic 6dp ties possible; DuckDB rounds
+    # half away where Python round() banker-rounds
+    ari = float(round_half_away(
+        (sum_nij - expected) / (maxi - expected), 6))
     return ray.data.from_arrow(pa.table({
         "n": pa.array([n], pa.int64()),
         "sum_nij": pa.array([sum_nij], pa.int64()),

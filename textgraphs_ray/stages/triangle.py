@@ -147,6 +147,12 @@ def common_neighbor_pairs(ds: "ray.data.Dataset", *, entity_col: str,
                .groupby([bucket_col, entity_col])
                .aggregate(Count(alias_name="_n"))
                .select_columns([bucket_col, entity_col]))
+    if weight == "jaccard":
+        # the jaccard branch consumes `members` TWICE (pair stream +
+        # degree census); a lazy Dataset re-executes its whole
+        # upstream per consumer (repo invariant — the r2 minhash
+        # regression class), so pin the distinct memberships once
+        members = members.materialize()
 
     def add_part(t: pa.Table) -> pa.Table:
         b = t.column(bucket_col).to_numpy(zero_copy_only=False)
@@ -235,6 +241,9 @@ def triangle_counts(edges: "ray.data.Dataset", *, u: str = "u",
     """→ (node, n_triangles) for every node in ≥ 1 triangle.  ``edges``
     must be distinct with ``u < v`` (as :func:`cooccurrence_edges`
     emits).  See module doc for the plan."""
+    # consumed twice below (wedge stream + edge-key stream): pin the
+    # edge set so a lazy upstream (cooccurrence build) runs once
+    edges = edges.materialize()
 
     def wedges(g: pd.DataFrame) -> pa.Table:
         vs = np.sort(g[v].to_numpy())
@@ -367,7 +376,9 @@ def coreness(edges: "ray.data.Dataset", *, u: str = "u", v: str = "v",
 
 def densest_subgraph(edges: "ray.data.Dataset", *, u: str = "u",
                      v: str = "v", max_rounds: int = 40,
-                     num_partitions: int = 16) -> "ray.data.Dataset":
+                     num_partitions: int = 16,
+                     broadcast_max: int = 2_000_000
+                     ) -> "ray.data.Dataset":
     """→ (node, d) — the nodes (with in-subgraph degree) of the
     densest round of the PARALLEL greedy peel (Bahmani–Kumar–
     Vattani 2012, ε = 1/2): each round drops EVERY node whose degree
@@ -380,13 +391,16 @@ def densest_subgraph(edges: "ray.data.Dataset", *, u: str = "u",
     ``u < v``.
 
     Per round: one degree groupby over the symmetrized survivors, a
-    bounded (N, M) driver census, and one broadcast drop-set filter
-    scan (same shape as :func:`k_core`; swap the broadcast for a
-    shuffle_join anti on both endpoints at web scale).  Each round's
-    edge set is re-materialized with a pinned partition count; the
-    best round is recomputed from its pinned edge set at the end —
-    O(log n) materialized rounds live at once (re-derive from the
-    round index in two passes if memory-bound)."""
+    (N, M) scalar census, and one drop-set edge scan — the drop set
+    stays a MATERIALIZED ``(node,)`` Dataset and :func:`_apply_drop`
+    picks the physical plan by its size (broadcast ≤ ``broadcast_max``
+    rows, anti ``shuffle_join`` on both endpoints above — a peel's
+    first round can drop ~half the graph, so the set must never be
+    required to fit on the driver).  Each round's edge set is
+    re-materialized with a pinned partition count; the best round is
+    recomputed from its pinned edge set at the end — O(log n)
+    materialized rounds live at once (re-derive from the round index
+    in two passes if memory-bound)."""
     cur = edges.select_columns([u, v]).materialize()
     rounds: list = []          # (N_i, M_i, pinned edge Dataset)
     for _ in range(max_rounds):
@@ -408,23 +422,15 @@ def densest_subgraph(edges: "ray.data.Dataset", *, u: str = "u",
         rounds.append((n_nodes, m2, cur, deg))
         # drop: d·2N ≤ 3·M ⟺ d ≤ ⌊3M/(2N)⌋ (d integral) — exact
         thr = (3 * m2) // (2 * n_nodes)
-        low = deg.filter(expr=f"d <= {thr}")
-        low_nodes = np.array([r["node"] for r in low.take_all()],
-                             dtype=np.int64)
-        if len(low_nodes) == 0:
+        low = (deg.filter(expr=f"d <= {thr}")
+               .select_columns(["node"]).materialize())
+        n_low = low.count()
+        if n_low == 0:
             # cannot happen (min degree ≤ average ≤ 3/2·average) —
             # guard against an infinite loop anyway
             break
-        drop = ray.put(low_nodes)
-
-        def keep(t: pa.Table) -> pa.Table:
-            bad = ray.get(drop)
-            a = t.column(u).to_numpy(zero_copy_only=False)
-            b = t.column(v).to_numpy(zero_copy_only=False)
-            m = ~(np.isin(a, bad) | np.isin(b, bad))
-            return t.filter(pa.array(m))
-
-        cur = (cur.map_batches(keep, batch_format="pyarrow")
+        cur = (_apply_drop(cur, low, n_low, broadcast_max, u, v,
+                           num_partitions)
                .repartition(num_partitions).materialize())
     empty = pa.schema([("node", pa.int64()),
                        ("d", pa.int64())]).empty_table()
@@ -456,6 +462,9 @@ def rich_club(edges: "ray.data.Dataset", *, u: str = "u",
     min-degree CLIPPED at max_k+1 so the histogram the driver folds
     has ≤ max_k+2 bins regardless of the true degree range; all
     counts exact int64, the single float division last."""
+    # edges feeds both the degree census and the join stream, and
+    # deg feeds both joins and the node histogram: pin each once
+    edges = edges.select_columns([u, v]).materialize()
 
     def degrees(t: pa.Table) -> pa.Table:
         n = np.concatenate([
@@ -466,11 +475,12 @@ def rich_club(edges: "ray.data.Dataset", *, u: str = "u",
                          "d": pa.array(c.astype(np.int64))})
 
     deg = (edges.map_batches(degrees, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("d", alias_name="d")))
+           .groupby("node").aggregate(Sum("d", alias_name="d"))
+           .materialize())
     cap = max_k + 1
 
     withu = shuffle_join(
-        edges.select_columns([u, v]), deg, u, "node", num_partitions,
+        edges, deg, u, "node", num_partitions,
         project=lambda m: pd.DataFrame({
             "v": m[v], "du": m["d"]}))
     withv = shuffle_join(
@@ -587,6 +597,9 @@ def clustering_coefficient(edges: "ray.data.Dataset", *, u: str = "u",
     ONE empty-partition-safe left :func:`..stages.join.shuffle_join`;
     triangle-free nodes coalesce to 0.  The single float division
     happens last, so the 6dp value replays bit-stable in SQL."""
+    # consumed twice (degree census + triangle census): pin once so
+    # the lazy cooccurrence upstream doesn't re-execute per consumer
+    edges = edges.materialize()
 
     def degrees(t: pa.Table) -> pa.Table:
         n = np.concatenate([
@@ -617,9 +630,49 @@ def clustering_coefficient(edges: "ray.data.Dataset", *, u: str = "u",
                         project=finish, how="left")
 
 
+def _drop_incident(cur: "ray.data.Dataset", drop: "ray.data.Dataset",
+                   u: str, v: str,
+                   num_partitions: int) -> "ray.data.Dataset":
+    """Edges of ``cur`` with NEITHER endpoint in ``drop`` (a
+    ``(node,)`` Dataset): two empty-partition-safe anti
+    :func:`..stages.join.shuffle_join`\\ s — the Dataset-set plan the
+    peel/fixpoint loops use when a round's drop set is too large to
+    broadcast (the ``bfs_hops`` visited-set pattern)."""
+    cur = shuffle_join(cur, drop, u, "node", num_partitions,
+                       how="anti")
+    return shuffle_join(cur, drop, v, "node", num_partitions,
+                        how="anti")
+
+
+def _apply_drop(cur: "ray.data.Dataset", drop: "ray.data.Dataset",
+                n_drop: int, broadcast_max: int, u: str, v: str,
+                num_partitions: int) -> "ray.data.Dataset":
+    """Remove every edge incident to ``drop``, choosing the physical
+    plan by the drop set's size: ≤ ``broadcast_max`` rows collect once
+    and ride a ``ray.put`` + ``np.isin`` stateless scan (one pass, no
+    shuffle); above it the set stays a Dataset and anti-joins both
+    endpoints (:func:`_drop_incident`) — constant driver memory at any
+    scale.  Both plans are output-identical (parity pytest-pinned)."""
+    if n_drop <= broadcast_max:
+        bad_nodes = np.array([r["node"] for r in drop.take_all()],
+                             dtype=np.int64)
+        bad_ref = ray.put(bad_nodes)
+
+        def keep(t: pa.Table) -> pa.Table:
+            bad = ray.get(bad_ref)
+            a = t.column(u).to_numpy(zero_copy_only=False)
+            b = t.column(v).to_numpy(zero_copy_only=False)
+            m = ~(np.isin(a, bad) | np.isin(b, bad))
+            return t.filter(pa.array(m))
+
+        return cur.map_batches(keep, batch_format="pyarrow")
+    return _drop_incident(cur, drop, u, v, num_partitions)
+
+
 def k_core(edges: "ray.data.Dataset", *, k: int, u: str = "u",
            v: str = "v", max_rounds: int = 100,
-           num_partitions: int = 16) -> "ray.data.Dataset":
+           num_partitions: int = 16,
+           broadcast_max: int = 2_000_000) -> "ray.data.Dataset":
     """→ (node, degree) for every node of the k-core: the maximal
     subgraph where every node keeps degree >= k after all lower-degree
     nodes are recursively peeled away — the dense-community extractor
@@ -627,15 +680,16 @@ def k_core(edges: "ray.data.Dataset", *, k: int, u: str = "u",
     misses.  ``edges`` must be distinct with ``u < v``.
 
     Iterative peel, each round ONE degree groupby over the surviving
-    edge set: nodes under ``k`` collect into a distinct-drop table
-    whose per-round size only shrinks, broadcast as a filter set into
-    a stateless edge scan (the drop set is round-bounded — at web
-    scale swap the broadcast for a ``shuffle_join`` anti on both
-    endpoints, same plan shape as chunk-dedup's join plan).  The
-    surviving edge set is re-materialized per round with a pinned
-    partition count — the closure-loop invariant that stops block
-    counts compounding.  Terminates when no node falls below ``k``
-    (fixed point; ≤ |V| rounds, in practice a handful).
+    edge set.  Nodes under ``k`` form the round's drop set — a
+    MATERIALIZED ``(node,)`` Dataset that never has to fit on the
+    driver: :func:`_apply_drop` broadcasts it only while it counts
+    ≤ ``broadcast_max`` rows and otherwise anti-``shuffle_join``\\ s
+    both endpoints (round 1 of a peel can drop ~half the graph — the
+    O(N) driver collect this plan replaces).  The surviving edge set
+    is re-materialized per round with a pinned partition count — the
+    closure-loop invariant that stops block counts compounding.
+    Terminates when no node falls below ``k`` (fixed point; ≤ |V|
+    rounds, in practice a handful).
     """
     cur = edges.select_columns([u, v]).materialize()
     for _ in range(max_rounds):
@@ -651,26 +705,19 @@ def k_core(edges: "ray.data.Dataset", *, k: int, u: str = "u",
                              "d": pa.array(c.astype(np.int64))})
 
         deg = (cur.map_batches(degrees, batch_format="pyarrow")
-               .groupby("node").aggregate(Sum("d", alias_name="d")))
-        low = deg.filter(expr=f"d < {k}")
-        low_nodes = np.array([r["node"] for r in low.take_all()],
-                             dtype=np.int64)
-        if len(low_nodes) == 0:
+               .groupby("node").aggregate(Sum("d", alias_name="d"))
+               .materialize())   # consumed twice: low filter + output
+        low = (deg.filter(expr=f"d < {k}")
+               .select_columns(["node"]).materialize())
+        n_low = low.count()
+        if n_low == 0:
             out = deg.filter(expr=f"d >= {k}").rename_columns(
                 {"d": "degree"})
             empty = pa.schema([("node", pa.int64()),
                                ("degree", pa.int64())]).empty_table()
             return out.union(ray.data.from_arrow(empty)).materialize()
-        drop = ray.put(low_nodes)
-
-        def keep(t: pa.Table) -> pa.Table:
-            bad = ray.get(drop)
-            a = t.column(u).to_numpy(zero_copy_only=False)
-            b = t.column(v).to_numpy(zero_copy_only=False)
-            m = ~(np.isin(a, bad) | np.isin(b, bad))
-            return t.filter(pa.array(m))
-
-        cur = (cur.map_batches(keep, batch_format="pyarrow")
+        cur = (_apply_drop(cur, low, n_low, broadcast_max, u, v,
+                           num_partitions)
                .repartition(num_partitions).materialize())
     empty = pa.schema([("node", pa.int64()),
                        ("degree", pa.int64())]).empty_table()
@@ -837,7 +884,9 @@ def k_truss(edges: "ray.data.Dataset", *, k: int, u: str = "u",
 def maximal_independent_set(edges: "ray.data.Dataset", *,
                             u: str = "u", v: str = "v",
                             max_rounds: int = 200,
-                            num_partitions: int = 16
+                            num_partitions: int = 16,
+                            broadcast_max: int = 2_000_000,
+                            plan: str = "auto"
                             ) -> "ray.data.Dataset":
     """→ (node,): the GREEDY-BY-ID maximal independent set over the
     nodes incident to ``edges`` — the deterministic conflict-free
@@ -850,35 +899,62 @@ def maximal_independent_set(edges: "ray.data.Dataset", *,
     the set, then it and ALL its neighbors leave the graph.
 
     Per round: one groupby-min over the symmetrized remaining edges
-    finds local minima; the incident-edge scan collects the taken
-    nodes\' neighbors (per-batch distinct combiner → one unique on the
-    driver — round-bounded like :func:`k_core`\'s drop set, swap for a
-    distributed distinct + anti shuffle_join at web scale); survivors
-    left with no edges join at the end.  Greedy-by-id can need O(n)
-    rounds on an adversarial id chain — salt ids upstream if observed;
-    random-priority variants finish in O(log n) rounds w.h.p.
-    Equality with the sequential greedy is pytest-pinned.
+    finds local minima, then the taken nodes and ALL their neighbors
+    leave the graph; survivors left with no edges join at the end.
+    Two output-identical physical plans (parity pytest-pinned),
+    selected ONCE by the input edge count vs ``broadcast_max`` (the
+    round censuses/drop sets are node-scale, bounded by 2·|E|):
+
+    - **broadcast** (|E| ≤ ``broadcast_max``): the per-round census
+      collects to the driver, minima/neighbors resolve in numpy, the
+      drop set re-broadcasts via ``ray.put`` — one groupby + one
+      stateless scan per round.
+    - **dataset** (above the bound, or ``plan="dataset"``): census,
+      taken set, touched-neighbor set and alive set all stay
+      Datasets; neighbors come from a frontier-style semi
+      ``shuffle_join`` of the symmetrized edges against the taken
+      set and drops apply via :func:`_drop_incident` anti-joins (the
+      ``bfs_hops`` frontier/visited pattern) — constant driver
+      memory at any graph size.
+
+    Greedy-by-id can need O(n) rounds on an adversarial id chain —
+    salt ids upstream if observed; random-priority variants finish in
+    O(log n) rounds w.h.p.  Equality with the sequential greedy is
+    pytest-pinned.
     """
+    if plan not in ("auto", "broadcast", "dataset"):
+        raise ValueError(f"plan must be 'auto', 'broadcast' or "
+                         f"'dataset', got {plan!r}")
     empty = pa.schema([("node", pa.int64())]).empty_table()
     cur = edges.select_columns([u, v]).materialize()
+    if plan == "auto":
+        plan = ("broadcast" if cur.count() <= broadcast_max
+                else "dataset")
+
+    def sym_min(t: pa.Table) -> pa.Table:
+        a = t.column(u).to_numpy(zero_copy_only=False)
+        b = t.column(v).to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b]).astype(np.int64)
+        nb = np.concatenate([b, a]).astype(np.int64)
+        # per-batch combiner: min neighbor per node
+        order = np.lexsort((nb, node))
+        node, nb = node[order], nb[order]
+        first = np.concatenate([[True], node[1:] != node[:-1]])
+        return pa.table({"node": pa.array(node[first]),
+                         "min_nb": pa.array(nb[first])})
+
+    if plan == "dataset":
+        return _mis_dataset(cur, sym_min, u=u, v=v,
+                            max_rounds=max_rounds,
+                            num_partitions=num_partitions,
+                            empty=empty)
+
     mis_parts: list[np.ndarray] = []
     alive: np.ndarray | None = None
 
     for _ in range(max_rounds):
         if cur.count() == 0:
             break
-
-        def sym_min(t: pa.Table) -> pa.Table:
-            a = t.column(u).to_numpy(zero_copy_only=False)
-            b = t.column(v).to_numpy(zero_copy_only=False)
-            node = np.concatenate([a, b]).astype(np.int64)
-            nb = np.concatenate([b, a]).astype(np.int64)
-            # per-batch combiner: min neighbor per node
-            order = np.lexsort((nb, node))
-            node, nb = node[order], nb[order]
-            first = np.concatenate([[True], node[1:] != node[:-1]])
-            return pa.table({"node": pa.array(node[first]),
-                             "min_nb": pa.array(nb[first])})
 
         mn = (cur.map_batches(sym_min, batch_format="pyarrow")
               .groupby("node").aggregate(Min("min_nb",
@@ -938,3 +1014,84 @@ def maximal_independent_set(edges: "ray.data.Dataset", *,
         return ray.data.from_arrow(empty)
     out = np.unique(np.concatenate(mis_parts))
     return ray.data.from_arrow(pa.table({"node": pa.array(out)}))
+
+
+def _mis_dataset(cur, sym_min, *, u: str, v: str, max_rounds: int,
+                 num_partitions: int, empty: pa.Table
+                 ) -> "ray.data.Dataset":
+    """Dataset-set plan for :func:`maximal_independent_set` — no
+    node-scale driver collect anywhere (see its docstring)."""
+    taken_sets: list = []          # per-round (node,) Datasets
+    alive = None                   # (node,) Dataset, materialized
+
+    def distinct_nodes(ds):
+        return (ds.groupby("node").aggregate(Count(alias_name="_n"))
+                .select_columns(["node"]))
+
+    for _ in range(max_rounds):
+        if cur.count() == 0:
+            break
+
+        mn = (cur.map_batches(sym_min, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("min_nb",
+                                             alias_name="min_nb"))
+              .materialize())      # consumed twice: alive init + filter
+        if alive is None:
+            alive = mn.select_columns(["node"]).materialize()
+        def local_minima(t: pa.Table) -> pa.Table:
+            nd = t.column("node").to_numpy(zero_copy_only=False)
+            nb = t.column("min_nb").to_numpy(zero_copy_only=False)
+            return pa.table({"node": pa.array(
+                nd[nd < nb].astype(np.int64))})
+
+        taken = (mn.map_batches(local_minima, batch_format="pyarrow")
+                 .repartition(num_partitions).materialize())
+        if taken.count() == 0:     # unreachable: the globally
+            break                  # smallest remaining id is local
+
+        taken_sets.append(taken)
+        # neighbors of the taken set: frontier semi-join over the
+        # symmetrized edges (the bfs_hops pattern), then distinct
+        def sym(t: pa.Table) -> pa.Table:
+            a = t.column(u).to_numpy(zero_copy_only=False)
+            b = t.column(v).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(np.concatenate([a, b])
+                                .astype(np.int64)),
+                "dst": pa.array(np.concatenate([b, a])
+                                .astype(np.int64))})
+
+        touched = shuffle_join(
+            cur.map_batches(sym, batch_format="pyarrow"), taken,
+            "src", "node", num_partitions, how="semi")
+
+        def dsts(t: pa.Table) -> pa.Table:
+            vals = np.unique(t.column("dst").to_numpy(
+                zero_copy_only=False))
+            return pa.table({"node": pa.array(vals.astype(np.int64))})
+
+        nbrs = distinct_nodes(
+            touched.map_batches(dsts, batch_format="pyarrow"))
+        drop = (distinct_nodes(taken.union(nbrs))
+                .repartition(num_partitions).materialize())
+        alive = (shuffle_join(alive, drop, "node", "node",
+                              num_partitions, how="anti")
+                 .repartition(num_partitions).materialize())
+        cur = (_drop_incident(cur, drop, u, v, num_partitions)
+               .repartition(num_partitions).materialize())
+
+    if cur.count() > 0:
+        raise RuntimeError(
+            f"maximal_independent_set did not converge in "
+            f"{max_rounds} rounds ({cur.count()} edges remain) — "
+            f"raise max_rounds or salt the adversarial id chain")
+    out = ray.data.from_arrow(empty)
+    for t in taken_sets:
+        out = out.union(t)
+    if alive is not None:
+        # survivors with no remaining edges are independent of every
+        # taken node (else they'd have been dropped) and of each other
+        out = out.union(alive)
+    # taken sets are pairwise disjoint and disjoint from alive by
+    # construction — sort only, to match the broadcast plan's output
+    return out.repartition(num_partitions).sort("node")
