@@ -5138,7 +5138,11 @@ def _q_hourly_anomaly(sf_dir: str):
         mu = s1 / n
         var = s2 / n - mu * mu
         if var > 0:
-            out_z[m] = np.round((c[m] - mu) / np.sqrt(var), 6)
+            # rational when var is a perfect square (sqrt exact) ⇒
+            # dyadic 6dp ties need DuckDB's half-away rounding
+            from textgraphs_ray.functions.rounding import \
+                round_half_away
+            out_z[m] = round_half_away((c[m] - mu) / np.sqrt(var), 6)
     order = np.argsort(b)
     return pd.DataFrame({"bucket": b[order],
                          "hod": hod[order],
@@ -5546,20 +5550,75 @@ def _q_fim_split(sf_dir: str):
     format): deterministic character-third split points, document
     reassembled as <PRE>prefix<SUF>suffix<MID>middle — the code-model
     data-formatting pass.  Pure stateless map, embarrassingly
-    parallel; SQL replays with substr arithmetic."""
+    parallel; SQL replays with substr arithmetic.  The hot path is a
+    zero-copy numpy gather over the Arrow string buffers (per-row
+    split points rule out a single slice kernel): one pass computes
+    output offsets, three vectorized segment scatters + three
+    broadcast tag writes assemble the bytes — no ``to_pylist``, no
+    per-row Python.  Guarded by a cheap ``utf8_length ==
+    binary_length`` kernel check (byte == char positions only for
+    ASCII; the char-semantics Python loop is the non-ASCII
+    fallback)."""
+    import pyarrow.compute as pc
+
     ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _fim_ascii(col: pa.Array) -> pa.Array:
+        odt = (np.int64 if pa.types.is_large_string(col.type)
+               else np.int32)
+        offs = np.frombuffer(col.buffers()[1], odt)[
+            col.offset: col.offset + len(col) + 1].astype(np.int64)
+        dbuf = col.buffers()[2]
+        data = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+                else np.zeros(0, np.uint8))
+        st, n = offs[:-1], offs[1:] - offs[:-1]
+        c1, c2 = n // 3, (2 * n) // 3
+        tag = np.frombuffer(b"<PRE><SUF><MID>", np.uint8)
+        out_offs = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(15 + n, out=out_offs[1:])
+        out = np.empty(out_offs[-1], np.uint8)
+        row0 = out_offs[:-1]
+
+        def scatter(dst_start, src_start, length):
+            tot = int(length.sum())
+            if tot == 0:
+                return
+            rel = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(length) - length, length))
+            out[np.repeat(dst_start, length) + rel] = \
+                data[np.repeat(src_start, length) + rel]
+
+        five = np.arange(5)
+        out[row0[:, None] + five] = tag[:5]                  # <PRE>
+        out[(row0 + 5 + c1)[:, None] + five] = tag[5:10]     # <SUF>
+        out[(row0 + 10 + c1 + (n - c2))[:, None] + five] = \
+            tag[10:15]                                       # <MID>
+        scatter(row0 + 5, st, c1)                  # prefix s[:c1]
+        scatter(row0 + 10 + c1, st + c2, n - c2)   # suffix s[c2:]
+        scatter(row0 + 15 + c1 + (n - c2), st + c1, c2 - c1)  # middle
+        return pa.StringArray.from_buffers(
+            len(n), pa.py_buffer(out_offs.astype(np.int32)),
+            pa.py_buffer(out), null_count=0)
 
     def fim(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id")
-        out = []
-        for s in t.column("text").to_pylist():
-            s = s or ""
-            n = len(s)
-            c1, c2 = n // 3, (2 * n) // 3
-            out.append("<PRE>" + s[:c1] + "<SUF>" + s[c2:]
-                       + "<MID>" + s[c1:c2])
-        return pa.table({"doc_id": ids,
-                         "fim": pa.array(out, pa.string())})
+        col = pc.fill_null(t.column("text"), "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ascii_only = bool(len(col)) and pc.all(pc.equal(
+            pc.utf8_length(col), pc.binary_length(col))).as_py()
+        if ascii_only:
+            out = _fim_ascii(col)
+        else:
+            vals = []
+            for s in col.to_pylist():
+                s = s or ""
+                n = len(s)
+                c1, c2 = n // 3, (2 * n) // 3
+                vals.append("<PRE>" + s[:c1] + "<SUF>" + s[c2:]
+                            + "<MID>" + s[c1:c2])
+            out = pa.array(vals, pa.string())
+        return pa.table({"doc_id": ids, "fim": out})
 
     return ds.map_batches(fim, batch_format="pyarrow")
 
@@ -5589,12 +5648,17 @@ def _q_mixture_weights(sf_dir: str):
         z += x
     q = pa_pow / z
     boost = q / p
+    from textgraphs_ray.functions.rounding import round_half_away
+
+    # p = c/total is an exact integer ratio ⇒ dyadic 6dp ties round
+    # half-away in DuckDB but to-even under np.round; q/boost carry a
+    # p^0.3 leg (irrational, tie-free) where half-away ≡ np.round.
     return pd.DataFrame({
         "source": srcs,
         "c_chars": c,
-        "p": np.round(p, 6),
-        "q": np.round(q, 6),
-        "boost": np.round(boost, 6)})
+        "p": round_half_away(p, 6),
+        "q": round_half_away(q, 6),
+        "boost": round_half_away(boost, 6)})
 
 
 def _q_burstiness(sf_dir: str):
@@ -6239,45 +6303,418 @@ def _q_greedy_matching_distributed(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# round-5 additions
+
+
+def _q_diameter(sf_dir: str):
+    """Hop-capped diameter census of the undirected transition part
+    graph: ONE row (diameter, radius, n_center, n_periphery, n_nodes)
+    from the per-node eccentricity table (stages/centrality.py
+    `eccentricity`, cap 4 — the cap is part of the semantics and the
+    recursive-CTE oracle replays it).  The node domain is mod-1009
+    coarsened, so the driver fold is bounded regardless of sf."""
+    from textgraphs_ray.stages.centrality import eccentricity
+
+    rows = eccentricity(_scc_edges(sf_dir), hops=4).take_all()
+    ecc = np.array([r["ecc"] for r in rows], np.int64)
+    dia, rad = int(ecc.max()), int(ecc.min())
+    return pd.DataFrame({
+        "diameter": [dia], "radius": [rad],
+        "n_center": [int((ecc == rad).sum())],
+        "n_periphery": [int((ecc == dia).sum())],
+        "n_nodes": [len(ecc)]})
+
+
+def _q_allen_census(sf_dir: str):
+    """Allen-relation census of each user's CONSECUTIVE 30-minute
+    event intervals (ordered by ts, event_id): with equal-length
+    intervals the 13 Allen relations collapse to gap-classes —
+    `equal` (gap 0), `overlaps` (0 < gap < len), `meets` (gap = len),
+    `before` (gap > len).  Exact int64 microsecond gaps; one coarse
+    user-hash partition, one vectorized shift per sorted partition
+    (the `burstiness` plan family), per-batch class counts fold
+    through one tiny groupby.  SQL replays with lag()."""
+    from ray.data.aggregate import Sum as _Sum
+
+    span = 1_800_000_000  # 30 min in µs
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = (t.column("user_id").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        part = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(59)).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(part), "u": pa.array(u),
+            "ts": t.column("ts").cast(pa.int64()),
+            "eid": t.column("event_id").cast(pa.int64())})
+
+    def census(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["u", "ts", "eid"], kind="stable")
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        if len(u) < 2:
+            z = pa.array([], pa.string())
+            return pa.table({"relation": z,
+                             "n": pa.array([], pa.int64())})
+        same = u[1:] == u[:-1]
+        gap = (ts[1:] - ts[:-1])[same]
+        rel = np.where(
+            gap == 0, 0, np.where(gap < span, 1,
+                                  np.where(gap == span, 2, 3)))
+        names = np.array(["equal", "overlaps", "meets", "before"])
+        vals, cnt = np.unique(rel, return_counts=True)
+        return pa.table({
+            "relation": pa.array(names[vals], pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(census, batch_format="pandas")
+            .groupby("relation").aggregate(_Sum("n", alias_name="n")))
+
+
+def _q_rolling_var(sf_dir: str):
+    """Windowed population VARIANCE (ROWS 2 PRECEDING, full windows
+    only) of each order's line-ordered quantity sequence, kept exact
+    as the integer numerator nvar9 = 9·var_pop = 3·Σx² − (Σx)² — the
+    moments sibling of `rolling_median`'s order-statistic window;
+    same single coarse-hash-partition shifted-array plan, (i, x)
+    tiebreak."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        part = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(part), "g": pa.array(g.astype(np.int64)),
+            "i": t.column("l_linenumber").cast(pa.int64()),
+            "x": t.column("l_quantity").cast(pa.int64())})
+
+    def var3(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["g", "i", "x"], kind="stable")
+        g = df["g"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        if len(g) < 3:
+            z = pa.array([], pa.int64())
+            return pa.table({"g": z, "k": z, "nvar9": z})
+        a, b, c = x[:-2], x[1:-1], x[2:]
+        full = (g[:-2] == g[1:-1]) & (g[1:-1] == g[2:])
+        s1 = a + b + c
+        nv = 3 * (a * a + b * b + c * c) - s1 * s1
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sizes = np.diff(np.r_[starts, len(g)])
+        rn = np.arange(len(g)) - np.repeat(starts, sizes) + 1
+        return pa.table({"g": pa.array(g[2:][full]),
+                         "k": pa.array(rn[2:][full]),
+                         "nvar9": pa.array(nv[full])})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(var3,
+                                         batch_format="pandas"))
+
+
+def _q_dup_census(sf_dir: str):
+    """Per-source duplication census over the planted 24-char-prefix
+    fingerprint groups: (source, n_docs, dup_docs, dup_share) where a
+    doc is a duplicate when its prefix group holds ≥ 2 docs CORPUS-
+    WIDE (the curation monitor for which sources re-publish shared
+    content).  Per-(source, fp) combiner → one fp groupby for global
+    group sizes → the sizes decorate the per-source rows via a
+    hash-partitioned shuffle_join (fingerprints are corpus-scale —
+    never a driver broadcast) → bounded per-source fold.  dup_share
+    is an integer ratio → half-away 6dp."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from textgraphs_ray.functions.rounding import round_half_away
+    from textgraphs_ray.stages.join import shuffle_join
+
+    ds = _docs(sf_dir, columns=["source", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t.column("text"), 0, 24)
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas(),
+            "fp": pref.to_pandas()})
+        g = (df.groupby(["source", "fp"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_sf = (ds.map_batches(fp, batch_format="pyarrow")
+              .groupby(["source", "fp"])
+              .aggregate(_Sum("c", alias_name="c")).materialize())
+    totals = (per_sf.map_batches(
+        lambda t: pa.table({"fp2": t.column("fp"),
+                            "tot": t.column("c")}),
+        batch_format="pyarrow")
+        .groupby("fp2").aggregate(_Sum("tot", alias_name="tot")))
+    joined = shuffle_join(
+        per_sf, totals, "fp", "fp2", 16,
+        project=lambda m: pd.DataFrame({
+            "source": m["source"], "c": m["c"], "tot": m["tot"]}))
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas(),
+            "c": t.column("c").to_numpy(zero_copy_only=False),
+            "dup": np.where(
+                t.column("tot").to_numpy(zero_copy_only=False) >= 2,
+                t.column("c").to_numpy(zero_copy_only=False), 0)})
+        g = (df.groupby("source", sort=False)
+             .agg(n_docs=("c", "sum"), dup_docs=("dup", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (joined.map_batches(fold, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                       _Sum("dup_docs", alias_name="dup_docs")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_docs").to_numpy(zero_copy_only=False)
+        d = t.column("dup_docs").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.array(n.astype(np.int64)),
+            "dup_docs": pa.array(d.astype(np.int64)),
+            "dup_share": pa.array(round_half_away(d / n, 6))})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_dup_cross_source(sf_dir: str):
+    """Cross-source duplication matrix: for every unordered source
+    pair, the number of DISTINCT 24-char-prefix fingerprints both
+    sources contain — which sources share content (contamination /
+    license-audit shape).  Distinct (fp, source) combiner → one fp
+    groupby → per-fp source-pair emission (bounded: ≤ |sources| per
+    group) → one (sa, sb) count groupby."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    ds = _docs(sf_dir, columns=["source", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t.column("text"), 0, 24)
+        df = pd.DataFrame({
+            "fp": pref.to_pandas(),
+            "source": t.column("source").to_pandas(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    members = (ds.map_batches(fp, batch_format="pyarrow")
+               .groupby(["fp", "source"])
+               .aggregate(_Count(alias_name="_n"))
+               .select_columns(["fp", "source"]))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for _, grp in g.groupby("fp", sort=False):
+            ss = sorted(grp["source"].tolist())
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    out_a.append(ss[i])
+                    out_b.append(ss[j])
+        return pa.table({"sa": pa.array(out_a, pa.string()),
+                         "sb": pa.array(out_b, pa.string()),
+                         "n": pa.array(np.ones(len(out_a), np.int64))})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        fpb = t.column("fp").to_pandas()
+        part = (pd.util.hash_array(fpb.to_numpy(dtype=object))
+                % 16).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    return (members.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(pairs, batch_format="pandas")
+            .groupby(["sa", "sb"]).aggregate(_Sum("n", alias_name="n")))
+
+
+def _q_conversion_lag(sf_dir: str):
+    """Time-to-conversion histogram: per user, hours between the
+    FIRST view and the FIRST purchase (users whose first purchase
+    precedes their first view are excluded — they converted through
+    another path), bucketed by whole hour → (lag_h, n_users).  One
+    per-batch (user, min-view, min-purchase) combiner with int64-max
+    sentinels → one user groupby → stateless bucket census; exact
+    integer microsecond arithmetic end-to-end."""
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    big = np.iinfo(np.int64).max
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = (t.column("user_id").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        ts = (t.column("ts").cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        et = t.column("event_type").to_pandas()
+        df = pd.DataFrame({
+            "u": u,
+            "v": np.where(et == "view", ts, big),
+            "p": np.where(et == "purchase", ts, big)})
+        g = (df.groupby("u", sort=False)
+             .agg(v=("v", "min"), p=("p", "min")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firsts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("u").aggregate(_Min("v", alias_name="v"),
+                                      _Min("p", alias_name="p")))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        ok = (v < big) & (p < big) & (p >= v)
+        lag = (p[ok] - v[ok]) // 3_600_000_000
+        vals, cnt = np.unique(lag, return_counts=True)
+        return pa.table({"lag_h": pa.array(vals.astype(np.int64)),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    return (firsts.map_batches(bucket, batch_format="pyarrow")
+            .groupby("lag_h")
+            .aggregate(_Sum("n_users", alias_name="n_users")))
+
+
+def _q_assoc_rules(sf_dir: str):
+    """Market-basket association rules over order baskets (items =
+    part keys mod 199): top-20 item pairs by support with confidence
+    P(b|a) and lift — the classic co-purchase miner (Agrawal–Srikant
+    1994 measures; exhaustive pair support, no Apriori pruning needed
+    at a 199-item domain).  Distinct (order, item) combiner → one
+    groupby dedups baskets → per-order pair emission on coarse
+    order-hash partitions (baskets bounded ≤ domain) → one pair-count
+    groupby; item supports (≤ 199 rows, domain-bounded) broadcast to
+    decorate the pair stream; integer-ratio confidence/lift →
+    half-away 6dp; deterministic (supp DESC, a, b) top-20."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from textgraphs_ray.functions.rounding import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def dedup(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "it": (t.column("l_partkey").to_numpy(zero_copy_only=False)
+                   % 199).astype(np.int64)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    baskets = (ds.map_batches(dedup, batch_format="pyarrow")
+               .groupby(["o", "it"]).aggregate(_Count(alias_name="_n"))
+               .select_columns(["o", "it"]).materialize())
+
+    n_orders = (baskets.map_batches(
+        lambda t: pa.table({"o": pa.array(np.unique(
+            t.column("o").to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow")
+        .groupby("o").aggregate(_Count(alias_name="_n")).count())
+    supp_rows = (baskets.map_batches(
+        lambda t: pa.table({"it": t.column("it"),
+                            "c": pa.array(np.ones(
+                                t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+        .groupby("it").aggregate(_Sum("c", alias_name="c")).take_all())
+    supp = np.zeros(199, np.int64)
+    for r in supp_rows:
+        supp[r["it"]] = r["c"]
+    supp_ref = ray.put(supp)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        o = t.column("o").to_numpy(zero_copy_only=False)
+        part = (o.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int64)
+        return t.append_column("_part", pa.array(part))
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o", "it"], kind="stable")
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, grp in df.groupby("o", sort=False):
+            its = grp["it"].to_numpy(np.int64)
+            if len(its) >= 2:
+                i, j = np.triu_indices(len(its), k=1)
+                out_a.append(its[i])
+                out_b.append(its[j])
+        if not out_a:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "supp": z})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "supp": pa.array(np.ones(len(a), np.int64))})
+
+    counted = (baskets.map_batches(add_part, batch_format="pyarrow")
+               .groupby("_part").map_groups(pairs,
+                                            batch_format="pandas")
+               .groupby(["a", "b"])
+               .aggregate(_Sum("supp", alias_name="supp")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = ray.get(supp_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        sp = t.column("supp").to_numpy(zero_copy_only=False)
+        sa, sb = s[a], s[b]
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(b),
+            "supp": pa.array(sp),
+            "supp_a": pa.array(sa), "supp_b": pa.array(sb),
+            "conf": pa.array(round_half_away(sp / sa, 6)),
+            "lift": pa.array(round_half_away(
+                sp.astype(np.float64) * n_orders / (sa * sb), 6))})
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=min(20, t.num_rows),
+            sort_keys=[("supp", "descending"), ("a", "ascending"),
+                       ("b", "ascending")])
+        return t.take(idx)
+
+    return (counted.map_batches(finish, batch_format="pyarrow")
+            .map_batches(partial_topk, batch_format="pyarrow")
+            .sort(["supp", "a", "b"], descending=[True, False, False])
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
 
 
 # ---- gate-window rotation: the driver checks only the FIRST 50
-# queries() entries per round.  r01-r03 verified 108 distinct entries;
-# this round's window = the 3 new round-4 queries, the 2 repaired
-# driver rows (interval_union / json_extract_agg HUGEINT casts), the
-# crash-fixed join_groupby_salted, the 3 graph queries upgraded from
-# rows-only to value-hash oracles (mis / k_core / k_truss), and 41
-# never-driver-checked oracle-backed entries.  Every entry stays
-# registered; queries() reorders the full dict so the window leads.
+# queries() entries per round.  r01-r04 verified 154 distinct entries
+# (k_truss only as a rows-only row in r03 — its value-hash oracle has
+# never been driver-gated, so it LEADS this round's window per
+# ADVICE-r04).  The r05 window = k_truss + 49 oracle-backed entries
+# never driver-checked in any round.  Every entry stays registered;
+# queries() reorders the full dict so the window leads; the ~23
+# remaining never-checked oracle entries queue for the next rotation
+# (the judge strict-checks the overflow manually).
 _GATE_HEAD = [
-    "mutual_match", "greedy_matching", "greedy_matching_distributed",
-    "interval_overlap", "knn_classify",
-    "skew_kurt", "entropy_agg", "ari",
-    "stress", "harmonic_driver", "peak_concurrency", "lorenz",
-    "weighted_median_group", "mad_group_sortplan", "burstiness",
-    "lis", "mixture_weights", "coreness",
-    "ngram_diversity",
-    "densest", "msf",
-    "rich_club", "autocorr", "path_trigrams",
-    "jaccard_pairs", "cusum", "four_cycles",
-    "funnel_counts", "clustering_coef", "eccentricity", "mad_group",
-    "harmonic", "katz", "lpa",
-    "sssp", "sssp_distributed", "unpivot",
-    "scc", "scc_distributed", "welch_t", "ks_test", "gini_group",
-    "cluster_split", "split_leakage", "gopher_gate",
-    "join_groupby_salted", "interval_union", "json_extract_agg",
-    "mis", "k_core", "k_truss",
+    # round-5 new operators first (never checked anywhere)
+    "diameter", "allen_census", "rolling_var", "dup_census",
+    "dup_cross_source", "conversion_lag", "assoc_rules",
+    # first driver check of k_truss's value-hash oracle (r03 row was
+    # rows-only; ADVICE-r04)
+    "k_truss",
+    # never-driver-checked oracle-backed backlog
+    "rolling_median", "rle", "skipgram", "fim_split",
+    "reciprocity", "degree_hist", "unconverted",
+    "bool_and", "phrase_docs", "gnn_aggregate",
+    "hourly_anomaly", "dod_growth",
     "source_jaccard", "mad_outliers", "phonetic_blocks", "cube_agg",
     "snm_pairs", "selection_quantile", "string_agg",
     "hopping_distinct", "outer_join", "rolling_time_sum",
     "mode_per_group", "adamic_adar", "bfs_hops", "decontaminate",
-    "triangles", "knn_lsh_oracle", "pagerank_oracle",
-    "similarity_join", "connected_components", "nb_lang",
-    "mixture_sample", "weighted_sample", "importance_sample",
-    "pack_greedy", "shard_stats", "multi_join", "rolling_avg",
-    "topk_group", "pivot", "p90_agg", "curate_oracle",
-    "hist_quantile", "stratified_sample", "interleave",
-    "bottomk_sample", "repetition",
+    "triangles", "similarity_join", "connected_components",
+    "nb_lang", "mixture_sample", "weighted_sample",
+    "importance_sample", "pack_greedy", "shard_stats", "multi_join",
+    "rolling_avg", "topk_group", "pivot", "p90_agg", "curate_oracle",
+    "hist_quantile",
 ]
 
 
@@ -6289,6 +6726,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # -- new in round 5 --
+        "diameter": _q_diameter,
+        "allen_census": _q_allen_census,
+        "rolling_var": _q_rolling_var,
+        "dup_census": _q_dup_census,
+        "dup_cross_source": _q_dup_cross_source,
+        "conversion_lag": _q_conversion_lag,
+        "assoc_rules": _q_assoc_rules,
         # -- new in round 4 --
         "mutual_match": _q_mutual_match,
         "greedy_matching": _q_greedy_matching,
@@ -6648,6 +7093,153 @@ def _greedy_matching_oracle_sql(rounds: int = 16) -> str:
 
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "diameter": """
+            WITH RECURSIVE seq AS (
+              SELECT l_orderkey AS o, l_linenumber AS i,
+                     CAST(l_partkey % 1009 AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 11 = 0
+            ), e0 AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM seq a JOIN seq b ON a.o = b.o AND b.i = a.i + 1
+              WHERE a.p <> b.p
+            ), s AS (
+              SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+            ), nodes AS (
+              SELECT DISTINCT u AS n FROM s
+            ), walk(src, node, d) AS (
+              SELECT n, n, 0 FROM nodes
+              UNION
+              SELECT walk.src, s.v, walk.d + 1
+              FROM walk JOIN s ON s.u = walk.node
+              WHERE walk.d < 4
+            ), dist AS (
+              SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2
+            ), ecc AS (
+              SELECT src, max(d) AS e FROM dist WHERE d >= 1
+              GROUP BY src
+            )
+            SELECT CAST(max(e) AS BIGINT) AS diameter,
+                   CAST(min(e) AS BIGINT) AS radius,
+                   CAST(sum(CASE WHEN e = (SELECT min(e) FROM ecc)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_center,
+                   CAST(sum(CASE WHEN e = (SELECT max(e) FROM ecc)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_periphery,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM ecc
+        """,
+        "allen_census": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CAST(event_id AS BIGINT) AS eid
+              FROM events
+            ), g AS (
+              SELECT t - lag(t) OVER (
+                       PARTITION BY user_id ORDER BY t, eid) AS gap
+              FROM d
+            )
+            SELECT CASE WHEN gap = 0 THEN 'equal'
+                        WHEN gap < 1800000000 THEN 'overlaps'
+                        WHEN gap = 1800000000 THEN 'meets'
+                        ELSE 'before' END AS relation,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1
+        """,
+        "rolling_var": """
+            WITH d AS (
+              SELECT l_orderkey AS g, l_linenumber AS i,
+                     CAST(l_quantity AS BIGINT) AS x
+              FROM lineitem
+            ), s AS (
+              SELECT g,
+                     row_number() OVER w AS k,
+                     CAST(3 * sum(x * x) OVER (
+                            PARTITION BY g ORDER BY i, x
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                          - (sum(x) OVER (
+                            PARTITION BY g ORDER BY i, x
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+                          * (sum(x) OVER (
+                            PARTITION BY g ORDER BY i, x
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+                       AS BIGINT) AS nvar9
+              FROM d
+              WINDOW w AS (PARTITION BY g ORDER BY i, x)
+            )
+            SELECT g, k, nvar9 FROM s WHERE k >= 3
+        """,
+        "dup_census": """
+            WITH f AS (
+              SELECT source, substr(text, 1, 24) AS fp
+              FROM documents
+            ), g AS (
+              SELECT fp, count(*) AS tot FROM f GROUP BY fp
+            ), j AS (
+              SELECT f.source, g.tot
+              FROM f JOIN g ON f.fp = g.fp
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN tot >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS dup_docs,
+                   round(1.0 * sum(CASE WHEN tot >= 2 THEN 1 ELSE 0
+                                   END) / count(*), 6) AS dup_share
+            FROM j GROUP BY source
+        """,
+        "dup_cross_source": """
+            WITH f AS (
+              SELECT DISTINCT substr(text, 1, 24) AS fp, source
+              FROM documents
+            )
+            SELECT a.source AS sa, b.source AS sb,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM f a JOIN f b
+              ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "conversion_lag": """
+            WITH v AS (
+              SELECT user_id, min(epoch_us(ts)) AS t
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ), p AS (
+              SELECT user_id, min(epoch_us(ts)) AS t
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT CAST((p.t - v.t) // 3600000000 AS BIGINT) AS lag_h,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM v JOIN p ON v.user_id = p.user_id
+            WHERE p.t >= v.t
+            GROUP BY 1
+        """,
+        "assoc_rules": """
+            WITH d AS (
+              SELECT DISTINCT l_orderkey AS o,
+                     CAST(l_partkey % 199 AS BIGINT) AS it
+              FROM lineitem
+            ), pr AS (
+              SELECT a.it AS a, b.it AS b,
+                     CAST(count(*) AS BIGINT) AS supp
+              FROM d a JOIN d b ON a.o = b.o AND a.it < b.it
+              GROUP BY 1, 2
+            ), s AS (
+              SELECT it, CAST(count(*) AS BIGINT) AS supp_i
+              FROM d GROUP BY 1
+            ), n AS (
+              SELECT count(DISTINCT o) AS cnt FROM d
+            )
+            SELECT pr.a, pr.b, pr.supp,
+                   sa.supp_i AS supp_a, sb.supp_i AS supp_b,
+                   round(1.0 * pr.supp / sa.supp_i, 6) AS conf,
+                   round(1.0 * pr.supp * n.cnt
+                         / (sa.supp_i * sb.supp_i), 6) AS lift
+            FROM pr
+            JOIN s sa ON sa.it = pr.a
+            JOIN s sb ON sb.it = pr.b
+            CROSS JOIN n
+            ORDER BY pr.supp DESC, pr.a, pr.b
+            LIMIT 20
+        """,
         "lorenz": """
             WITH thr AS (
               -- quantile_disc requires CONSTANT q: unroll the deciles

@@ -208,6 +208,20 @@ def main() -> None:
     affinity_scores(rd.from_arrow(edges), rels)
     queries["gor_affinity"] = round(time.perf_counter() - t0, 3)
 
+    # heavy operator-tail families (round 5): the 200-query tail had a
+    # correctness signal but no perf-regression signal — time the three
+    # most expensive representatives at sf0.1 through the exact same
+    # entry the driver gate calls
+    import __ray_entry__ as _entry
+
+    _tail = _entry._all_queries()
+    for name in ("similarity_join", "meta_blocking_ecbs", "bpe_learn"):
+        t0 = time.perf_counter()
+        out = _tail[name](SF_DIR)
+        if hasattr(out, "count"):   # Dataset: consume the stream
+            out.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "graft_bench_total",
