@@ -4656,18 +4656,20 @@ def _q_meta_blocking_cnp(sf_dir: str):
             .groupby("w").aggregate(Count(alias_name="n_edges")))
 
 
-def _q_meta_blocking_ecbs(sf_dir: str):
+def _q_meta_blocking_ecbs(sf_dir: str, node_plan: str = "auto"):
     """Top-20 blocking-graph edges by ECBS weight
     ``CBS · ln(B/|Bu|) · ln(B/|Bv|)`` (rounded 6dp), ties by (u, v) —
     the node-IDF-weighted scheme that outranks CBS when some records
     flood many blocks.  Block-local top-20 truncation feeds a ≤
-    blocks×20-row driver merge."""
+    blocks×20-row driver merge.  Node decoration auto-selects
+    broadcast vs hash-partitioned join (stages/metablock.py
+    `ecbs_edges`); the forced-join sibling shares this oracle."""
     from textgraphs_ray.stages.metablock import ecbs_edges, shingle_blocks
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     edges = ecbs_edges(shingle_blocks(docs, shingle=3),
-                       max_block_size=15)
+                       max_block_size=15, node_plan=node_plan)
 
     def local_top(t: pa.Table) -> pd.DataFrame:
         return (t.to_pandas()
@@ -4680,6 +4682,13 @@ def _q_meta_blocking_ecbs(sf_dir: str):
                               ascending=[False, True, True],
                               kind="stable")
             .head(20).reset_index(drop=True))
+
+
+def _q_meta_blocking_ecbs_joinplan(sf_dir: str):
+    """Forced hash-partitioned-join node-decoration plan for
+    `meta_blocking_ecbs` (the 10^9-record path where the node census
+    outgrows a broadcast); output-identical, shares its oracle."""
+    return _q_meta_blocking_ecbs(sf_dir, node_plan="join")
 
 
 def _q_edit_join(sf_dir: str):
@@ -6806,6 +6815,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking_wep": _q_meta_blocking_wep,
         "meta_blocking_wnp": _q_meta_blocking_wnp,
         "meta_blocking_ecbs": _q_meta_blocking_ecbs,
+        "meta_blocking_ecbs_joinplan": _q_meta_blocking_ecbs_joinplan,
         "edit_join": _q_edit_join,
         "cosine_join": _q_cosine_join,
         "dice_join": _q_dice_join,
@@ -7013,6 +7023,8 @@ def oracle_sql() -> dict[str, str]:
                         ("curate_join", "curate_oracle"),
                         ("knn_lsh_oracle", "knn_brute"),
                         ("similarity_join_joinplan", "similarity_join"),
+                        ("meta_blocking_ecbs_joinplan",
+                         "meta_blocking_ecbs"),
                         ("nb_lang_joinplan", "nb_lang"),
                         ("pmi_pairs_joinplan", "pmi_pairs"),
                         ("bigram_logprob_joinplan", "bigram_logprob"),

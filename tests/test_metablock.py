@@ -177,3 +177,20 @@ def test_segmented_pairs_arrow_blocks():
     out = _segmented_full_pairs(df, "b", "e")
     assert isinstance(out, pa.Table)
     assert out.num_rows == 3
+
+
+def test_ecbs_node_plan_parity():
+    # broadcast vs hash-partitioned-join node decoration must be
+    # OUTPUT-IDENTICAL (the shared _ecbs expression, same 6dp values)
+    df = _docs()
+    bds = shingle_blocks(ray.data.from_pandas(df), shingle=3)
+    want = sorted((r["u"], r["v"], r["w"], r["ecbs"]) for r in
+                  ecbs_edges(bds, max_block_size=4,
+                             node_plan="broadcast").take_all())
+    got = sorted((r["u"], r["v"], r["w"], r["ecbs"]) for r in
+                 ecbs_edges(bds, max_block_size=4,
+                            node_plan="join").take_all())
+    auto0 = sorted((r["u"], r["v"], r["w"], r["ecbs"]) for r in
+                   ecbs_edges(bds, max_block_size=4,
+                              broadcast_max=0).take_all())
+    assert got == want == auto0 and len(want) > 0

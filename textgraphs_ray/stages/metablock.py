@@ -304,14 +304,33 @@ def prune_wnp(edges: "ray.data.Dataset", *,
 
 def ecbs_edges(blocks: "ray.data.Dataset", *,
                max_block_size: int | None = None,
-               num_partitions: int = 32) -> "ray.data.Dataset":
+               num_partitions: int = 32,
+               node_plan: str = "auto",
+               broadcast_max: int = 2_000_000) -> "ray.data.Dataset":
     """→ (u, v, w, ecbs): CBS edges decorated with the ECBS weight
     ``w · ln(B/|Bu|) · ln(B/|Bv|)`` (rounded 6dp — numpy/DuckDB ln ulp
-    parity), where B counts surviving blocks.  Node block counts join
-    in hash-partitioned (no driver broadcast)."""
+    parity), where B counts surviving blocks.
+
+    Node decoration has two output-identical physical plans
+    (parity pytest-pinned; the float expression is shared verbatim):
+
+    - ``"broadcast"`` (auto while the node census counts ≤
+      ``broadcast_max``): |Bu| ships once via ``ray.put`` and ONE
+      fused stateless scan scores the edge stream — no shuffle of the
+      million-row edge table (measured 32 s → the joins were ~2/3 of
+      the sf0.1 wall).
+    - ``"join"`` (auto above the bound): two hash-partitioned
+      :func:`~.join.shuffle_join`\\ s — the node table never visits
+      the driver, the 10^9-record path."""
+    if node_plan not in ("auto", "broadcast", "join"):
+        raise ValueError(f"node_plan must be 'auto', 'broadcast' or "
+                         f"'join', got {node_plan!r}")
     blocks = blocks.materialize()      # feeds graph + counts + B
     edges = blocking_graph(blocks, max_block_size=max_block_size)
-    counts = node_block_counts(blocks, max_block_size=max_block_size)
+    # counts feeds BOTH decoration joins: pin it once or the whole
+    # partition+groupby chain re-executes per consumer (repo invariant)
+    counts = node_block_counts(
+        blocks, max_block_size=max_block_size).materialize()
     sizes = blocks.groupby("block").aggregate(Count(alias_name="_n"))
     if max_block_size is not None:
         sizes = sizes.map_batches(
@@ -319,6 +338,39 @@ def ecbs_edges(blocks: "ray.data.Dataset", *,
                 t.column("_n"), max_block_size)),
             batch_format="pyarrow")
     n_blocks = sizes.count()
+
+    def _ecbs(w, nbu, nbv):
+        # the one float expression BOTH plans share (and the SQL
+        # oracle mirrors): w · ln(B/|Bu|) · ln(B/|Bv|), 6dp
+        return np.round(w.astype(np.float64)
+                        * np.log(n_blocks / nbu)
+                        * np.log(n_blocks / nbv), 6)
+
+    if node_plan == "auto":
+        node_plan = ("broadcast" if counts.count() <= broadcast_max
+                     else "join")
+    if node_plan == "broadcast":
+        key_parts, nb_parts = [], []
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            key_parts.append(b.column("key").to_pandas())
+            nb_parts.append(b.column("nb").to_numpy(
+                zero_copy_only=False))
+        lookup = pd.Series(
+            np.concatenate(nb_parts) if nb_parts else
+            np.zeros(0, np.int64),
+            index=pd.concat(key_parts) if key_parts else [])
+        ref = ray.put(lookup)
+
+        def dec_score(t: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            nbu = lk.loc[t.column("u").to_pandas()].to_numpy()
+            nbv = lk.loc[t.column("v").to_pandas()].to_numpy()
+            return pa.table({"u": t.column("u"), "v": t.column("v"),
+                             "w": t.column("w"),
+                             "ecbs": pa.array(_ecbs(w, nbu, nbv))})
+
+        return edges.map_batches(dec_score, batch_format="pyarrow")
 
     dec_u = shuffle_join(
         edges, counts, "u", "key", num_partitions,
@@ -331,12 +383,11 @@ def ecbs_edges(blocks: "ray.data.Dataset", *,
             "nbu": m["nbu"], "nbv": m["nb"]}))
 
     def score(t: pa.Table) -> pa.Table:
-        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t.column("w").to_numpy(zero_copy_only=False)
         nbu = t.column("nbu").to_numpy(zero_copy_only=False)
         nbv = t.column("nbv").to_numpy(zero_copy_only=False)
-        ecbs = w * np.log(n_blocks / nbu) * np.log(n_blocks / nbv)
         return pa.table({"u": t.column("u"), "v": t.column("v"),
                          "w": t.column("w"),
-                         "ecbs": pa.array(np.round(ecbs, 6))})
+                         "ecbs": pa.array(_ecbs(w, nbu, nbv))})
 
     return dec.map_batches(score, batch_format="pyarrow")
