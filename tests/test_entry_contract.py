@@ -51,3 +51,55 @@ def test_oracle_sql_parses():
             con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
         except Exception as e:  # noqa: BLE001
             pytest.fail(f"oracle_sql[{name!r}] does not parse: {e}")
+
+
+def test_fim_split_ascii_gather_matches_python_semantics(ray_session):
+    """The zero-copy byte-gather fast path must emit exactly the
+    Python char-semantics output on ASCII, and non-ASCII batches must
+    take the fallback (byte != char positions there)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    m = _entry()
+    texts = ["", "a", "ab", "abc", "abcd", "hello world " * 7,
+             "x" * 23, "y" * 24, "tail"]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)),
+                                        pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+    def python_fim(s):
+        n = len(s)
+        c1, c2 = n // 3, (2 * n) // 3
+        return ("<PRE>" + s[:c1] + "<SUF>" + s[c2:]
+                + "<MID>" + s[c1:c2])
+
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"doc_id": docs.column("doc_id"),
+                      "text": docs.column("text"),
+                      "lang": pa.array(["en"] * len(texts)),
+                      "source": pa.array(["s"] * len(texts)),
+                      "n_chars": pa.array(
+                          [len(t) for t in texts], pa.int64())}),
+            os.path.join(td, "documents.parquet"))
+        got = {r["doc_id"]: r["fim"]
+               for r in m._all_queries()["fim_split"](td).take_all()}
+    assert got == {i: python_fim(t) for i, t in enumerate(texts)}
+
+    # non-ASCII: multi-byte codepoints must split on CHAR thirds
+    nas = ["héllo wörld", "ünï", "日本語のテキストです"]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(nas)), pa.int64()),
+                      "text": pa.array(nas, pa.string()),
+                      "lang": pa.array(["xx"] * len(nas)),
+                      "source": pa.array(["s"] * len(nas)),
+                      "n_chars": pa.array([len(t) for t in nas],
+                                          pa.int64())}),
+            os.path.join(td, "documents.parquet"))
+        got = {r["doc_id"]: r["fim"]
+               for r in m._all_queries()["fim_split"](td).take_all()}
+    assert got == {i: python_fim(t) for i, t in enumerate(nas)}

@@ -521,7 +521,9 @@ def ngram_diversity(ds: "ray.data.Dataset", *, text_col: str = "text",
         # one table without colliding
         return pa.concat_tables([t1, t2])
 
-    both = ds.map_batches(emit, batch_format="pyarrow")
+    # consumed twice (distinct branch + totals branch): pin once so
+    # the tokenize/emit pass doesn't re-execute per consumer
+    both = ds.map_batches(emit, batch_format="pyarrow").materialize()
     distinct = (both.filter(expr="ng != ''")
                 .groupby(["g", "ng"]).aggregate(Count(alias_name="_c"))
                 .groupby("g").aggregate(Count(alias_name="n_distinct")))
