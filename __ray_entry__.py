@@ -2585,6 +2585,33 @@ def _q_media_frames(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_spectrogram(sf_dir: str):
+    """Multimodal audio feature extraction: WAV payloads → per-STFT-
+    frame banded log-power rows (stages/media.py AudioSpectrogram —
+    REAL pure-numpy Hann+rFFT DSP over the PCM-16 decoder, window
+    tables built once per actor).  Summary projection keeps the rows
+    check schema-stable: per frame (media_ref, frame_idx, dom_bin,
+    band_energy_6dp of the first band)."""
+    from textgraphs_ray.stages.media import (AudioSpectrogram,
+                                             synth_media_table)
+
+    ds = rd.from_arrow(synth_media_table(200))
+    out = ds.map_batches(AudioSpectrogram, batch_format="pyarrow",
+                         batch_size=32, concurrency=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        bands = t.column("bands")
+        first = pc.list_element(bands, 0)
+        return pa.table({
+            "media_ref": t.column("media_ref"),
+            "frame_idx": t.column("frame_idx"),
+            "dom_bin": t.column("dom_bin"),
+            "band0": pc.round(pc.cast(first, pa.float64()),
+                              ndigits=6)})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_json_extract(sf_dir: str):
     """Vectorized JSON field extraction from the events props column
     (pc.extract_regex — no per-row Python)."""
@@ -6929,6 +6956,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # the 50-query window in favor of never-checked oracle ops
         "partitioned_sink": _q_partitioned_sink,
         "media_frames": _q_media_frames,
+        "media_spectrogram": _q_media_spectrogram,
         "median_agg": _q_median_agg,
         "er_incremental": _q_er_incremental,
         "sessionize": _q_sessionize,

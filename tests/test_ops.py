@@ -1273,3 +1273,58 @@ def test_weighted_sample():
     assert len(allrows) == 200                     # w=0 row excluded
     again = weighted_sample(ds, k=20, weight_col="w").to_pandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_audio_spectrogram_sine_dominant_bin():
+    """A pure sine at bin-k frequency must dominate every frame's
+    spectrum; silence stays at the log floor; frame count follows the
+    (len - frame_len) // hop + 1 formula; output is split-invariant."""
+    import numpy as np
+
+    from textgraphs_ray.functions.imaging import encode_wav_pcm16
+    from textgraphs_ray.stages.media import AudioSpectrogram
+
+    rate, frame_len, hop = 16000, 256, 128
+    k = 20                                  # target rFFT bin
+    n = frame_len * 8
+    t = np.arange(n)
+    sine = (10000 * np.sin(2 * np.pi * k * t / frame_len)).astype(
+        np.int16)
+    silence = np.zeros(n, np.int16)
+    tbl = pa.table({
+        "media_ref": pa.array(["sine", "quiet"], pa.string()),
+        "media_type": pa.array(["audio", "audio"], pa.string()),
+        "payload": pa.array([encode_wav_pcm16(sine, rate),
+                             encode_wav_pcm16(silence, rate)],
+                            pa.binary())})
+    out = AudioSpectrogram(frame_len=frame_len, hop=hop)(tbl)
+    df = out.to_pandas()
+    sine_rows = df[df["media_ref"] == "sine"]
+    want_frames = (n - frame_len) // hop + 1
+    assert len(sine_rows) == want_frames
+    assert (sine_rows["dom_bin"] == k).all()
+    quiet = df[df["media_ref"] == "quiet"]
+    q_bands = np.stack(quiet["bands"].to_numpy())
+    assert (q_bands <= -9.9).all()          # log10(1e-10) floor
+    s_bands = np.stack(sine_rows["bands"].to_numpy())
+    assert s_bands.max() > q_bands.max() + 5
+
+    # split-invariance: one row per batch gives identical rows
+    parts = [AudioSpectrogram(frame_len=frame_len, hop=hop)(
+        tbl.slice(i, 1)) for i in range(2)]
+    merged = pa.concat_tables(parts).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.reset_index(drop=True), merged.reset_index(drop=True))
+
+
+def test_audio_spectrogram_skips_non_audio():
+    from textgraphs_ray.stages.media import AudioSpectrogram
+
+    tbl = pa.table({
+        "media_ref": pa.array(["x"], pa.string()),
+        "media_type": pa.array(["image"], pa.string()),
+        "payload": pa.array([b"P6 not audio"], pa.binary())})
+    out = AudioSpectrogram()(tbl)
+    assert out.num_rows == 0
+    assert out.schema.names == ["media_ref", "frame_idx", "dom_bin",
+                                "bands"]

@@ -235,6 +235,79 @@ class FrameSampler:
         })
 
 
+class AudioSpectrogram:
+    """"audio" payload → one row per STFT frame with banded
+    log-power features — REAL pure-numpy DSP over the PCM-16 WAV
+    decoder (no audio libs in this container, and none needed):
+    frame the signal (``frame_len`` window, ``hop`` stride), Hann-
+    window each frame, rFFT power spectrum, mean-pool the bins into
+    ``n_bands`` log bands, and report each frame's dominant bin —
+    the feature-extraction stage shape a real audio encoder pool
+    (wav2vec / Whisper features) drops into.  Flat-map (rows out ≠
+    rows in); the window table and band map build once per actor in
+    ``__init__``, every batch is one vectorized (frames × fft) pass.
+
+    Ref parity note: the reference has no audio path at all — this
+    extends its media handling (SURVEY §2 multimodal row) with the
+    decode → feature contract its `elem.py` media spans imply."""
+
+    def __init__(self, *, frame_len: int = 256, hop: int = 128,
+                 n_bands: int = 16) -> None:
+        self.frame_len = frame_len
+        self.hop = hop
+        self.n_bands = n_bands
+        self.window = np.hanning(frame_len).astype(np.float64)
+        bins = frame_len // 2 + 1
+        band_of = np.arange(bins) * n_bands // bins
+        # band_of is non-decreasing → reduceat segment boundaries
+        self.band_starts = np.searchsorted(band_of,
+                                           np.arange(n_bands))
+        self.band_counts = np.bincount(band_of, minlength=n_bands)
+
+    def _frames(self, samples: np.ndarray) -> np.ndarray:
+        x = samples.astype(np.float64) / 32768.0
+        if len(x) < self.frame_len:
+            return np.zeros((0, self.frame_len))
+        n = 1 + (len(x) - self.frame_len) // self.hop
+        idx = (np.arange(self.frame_len)[None, :]
+               + self.hop * np.arange(n)[:, None])
+        return x[idx] * self.window[None, :]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ref: list[str] = []
+        out_idx: list[int] = []
+        out_dom: list[int] = []
+        band_rows: list[np.ndarray] = []
+        for r, t, p in zip(refs, types, payloads):
+            if t != "audio" or not p or imaging.sniff(p) != "wav":
+                continue
+            samples, _rate = imaging.decode_wav_pcm16(p)
+            frames = self._frames(samples)
+            if not len(frames):
+                continue
+            spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+            dom = spec.argmax(axis=1)
+            bands = (np.add.reduceat(spec, self.band_starts, axis=1)
+                     / self.band_counts[None, :])
+            logb = np.log10(bands + 1e-10).astype(np.float32)
+            out_ref.extend([r] * len(frames))
+            out_idx.extend(range(len(frames)))
+            out_dom.extend(dom.tolist())
+            band_rows.append(logb)
+        mat = (np.concatenate(band_rows) if band_rows
+               else np.zeros((0, self.n_bands), np.float32))
+        return pa.table({
+            "media_ref": pa.array(out_ref, pa.string()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "dom_bin": pa.array(out_dom, pa.int64()),
+            "bands": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float32()), self.n_bands),
+        })
+
+
 def synth_media_table(n: int, *, seed: int = 42) -> pa.Table:
     """Deterministic synthetic media table in MEDIA_SCHEMA: REAL
     payloads — PPM images, PCM-16 WAV audio, PPM-reel video — so the
