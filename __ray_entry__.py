@@ -6718,6 +6718,92 @@ def _q_assoc_rules(sf_dir: str):
             .limit(20))
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (the classic CRM census): per
+    customer recency (last order epoch-day), frequency (order count)
+    and monetary (total cents — 2dp doubles × 100 round to exact
+    int64), each cut into terciles at the EXACT corpus quantile_disc
+    thresholds → 27-cell (r_bucket, f_bucket, m_bucket, n_customers)
+    census.  The three metric thresholds come from ONE simultaneous
+    value-domain binary search (`grouped_order_stats` over a stacked
+    (metric, value) projection — O(log range) stateless scans answer
+    all six (metric, rank) probes at once, no sort, no driver
+    collect); the ceil(n·q) rank rule is probe-verified identical to
+    DuckDB's quantile_disc across 400+ sizes.  One customer groupby
+    is the only data-sized shuffle."""
+    import math
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from textgraphs_ray.stages.stats import grouped_order_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice",
+                                  "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = (t.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = np.round(t.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        df = pd.DataFrame({"c": c, "r": day, "f": 1, "m": cents})
+        g = (df.groupby("c", sort=False)
+             .agg(r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("c")
+                .aggregate(_Max("r", alias_name="r"),
+                           _Sum("f", alias_name="f"),
+                           _Sum("m", alias_name="m"))
+                .materialize())
+    n = per_cust.count()
+    k1 = max(1, math.ceil(n * (1.0 / 3.0)))
+    k2 = max(1, math.ceil(n * (2.0 / 3.0)))
+
+    def stack(t: pa.Table) -> pa.Table:
+        cols = {"r": t.column("r"), "f": t.column("f"),
+                "m": t.column("m")}
+        ms, vs = [], []
+        for name, col in cols.items():
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            ms.append(np.full(len(v), name, dtype=object))
+            vs.append(v)
+        return pa.table({
+            "metric": pa.array(np.concatenate(ms), pa.string()),
+            "value": pa.array(np.concatenate(vs))})
+
+    stacked = (per_cust.map_batches(stack, batch_format="pyarrow")
+               .materialize())
+    qs = grouped_order_stats(
+        lambda: stacked, value_col="value", group_col="metric",
+        ranks={"r": [k1, k2], "f": [k1, k2], "m": [k1, k2]},
+        lo=0, hi=1 << 40)
+    thr_ref = ray.put({m: (qs[(m, k1)], qs[(m, k2)])
+                       for m in ("r", "f", "m")})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        out = {}
+        for name in ("r", "f", "m"):
+            x = (t.column(name).to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+            lo_t, hi_t = thr[name]
+            out[f"{name}_bucket"] = (1 + (x > lo_t).astype(np.int64)
+                                     + (x > hi_t).astype(np.int64))
+        df = pd.DataFrame(out)
+        g = (df.groupby(["r_bucket", "f_bucket", "m_bucket"],
+                        sort=False).size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (per_cust.map_batches(bucket, batch_format="pyarrow")
+            .groupby(["r_bucket", "f_bucket", "m_bucket"])
+            .aggregate(_Sum("n", alias_name="n_customers")))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6734,6 +6820,7 @@ _GATE_HEAD = [
     # round-5 new operators first (never checked anywhere)
     "diameter", "allen_census", "rolling_var", "dup_census",
     "dup_cross_source", "conversion_lag", "assoc_rules",
+    "rfm_segments",
     # first driver check of k_truss's value-hash oracle (r03 row was
     # rows-only; ADVICE-r04)
     "k_truss",
@@ -6750,7 +6837,6 @@ _GATE_HEAD = [
     "nb_lang", "mixture_sample", "weighted_sample",
     "importance_sample", "pack_greedy", "shard_stats", "multi_join",
     "rolling_avg", "topk_group", "pivot", "p90_agg", "curate_oracle",
-    "hist_quantile",
 ]
 
 
@@ -6770,6 +6856,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dup_cross_source": _q_dup_cross_source,
         "conversion_lag": _q_conversion_lag,
         "assoc_rules": _q_assoc_rules,
+        "rfm_segments": _q_rfm_segments,
         # -- new in round 4 --
         "mutual_match": _q_mutual_match,
         "greedy_matching": _q_greedy_matching,
@@ -7167,6 +7254,37 @@ def _oracle_sqls() -> dict[str, str]:
                      AS n_periphery,
                    CAST(count(*) AS BIGINT) AS n_nodes
             FROM ecc
+        """,
+        "rfm_segments": """
+            WITH c AS (
+              SELECT o_custkey,
+                     CAST(max(epoch_us(o_orderdate)) // 86400000000
+                       AS BIGINT) AS r,
+                     CAST(count(*) AS BIGINT) AS f,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS m
+              FROM orders GROUP BY 1
+            ), q AS (
+              SELECT quantile_disc(r, 1.0/3) AS r33,
+                     quantile_disc(r, 2.0/3) AS r66,
+                     quantile_disc(f, 1.0/3) AS f33,
+                     quantile_disc(f, 2.0/3) AS f66,
+                     quantile_disc(m, 1.0/3) AS m33,
+                     quantile_disc(m, 2.0/3) AS m66
+              FROM c
+            )
+            SELECT CAST(1 + CASE WHEN r > q.r33 THEN 1 ELSE 0 END
+                          + CASE WHEN r > q.r66 THEN 1 ELSE 0 END
+                     AS BIGINT) AS r_bucket,
+                   CAST(1 + CASE WHEN f > q.f33 THEN 1 ELSE 0 END
+                          + CASE WHEN f > q.f66 THEN 1 ELSE 0 END
+                     AS BIGINT) AS f_bucket,
+                   CAST(1 + CASE WHEN m > q.m33 THEN 1 ELSE 0 END
+                          + CASE WHEN m > q.m66 THEN 1 ELSE 0 END
+                     AS BIGINT) AS m_bucket,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM c CROSS JOIN q
+            GROUP BY 1, 2, 3
         """,
         "allen_census": """
             WITH d AS (
