@@ -6804,6 +6804,57 @@ def _q_rfm_segments(sf_dir: str):
             .aggregate(_Sum("n", alias_name="n_customers")))
 
 
+def _q_pct_rank_group(sf_dir: str):
+    """Per-GROUP percent_rank window — the partitioned sibling of the
+    global `percent_rank`: for every lineitem row,
+    (rank−1)/(n−1) of its quantity within its order (rank = SQL
+    min-rank over ties; single-row groups → 0.0).  Rows are
+    identified by (group, value) — tied values share one pr, and
+    (l_orderkey, l_linenumber) is NOT unique in this data, so the
+    line number cannot anchor the window.  One coarse group-hash
+    partition; every group in a partition ranks in one vectorized
+    lexsort pass (groups are order-bounded — the bounded-group sort
+    plan, same family as `mad_group_sortplan`).  Exact integer
+    rank/n → half-away 6dp."""
+    from textgraphs_ray.functions.rounding import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        part = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(58)).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(part), "g": pa.array(g.astype(np.int64)),
+            "x": t.column("l_quantity").cast(pa.int64())})
+
+    def rank(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["g", "x"], kind="stable")
+        g = df["g"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sizes = np.diff(np.r_[starts, len(g)])
+        pos = np.arange(len(g)) - np.repeat(starts, sizes)
+        # min-rank over ties: first in-group position of each (g, x)
+        # run — forward-fill via GLOBAL indices (monotonic, so
+        # maximum.accumulate is a valid ffill; in-group positions
+        # reset per group and are not)
+        new_val = np.r_[True, (g[1:] != g[:-1]) | (x[1:] != x[:-1])]
+        last_new = np.maximum.accumulate(
+            np.where(new_val, np.arange(len(g)), -1))
+        run_first = pos[last_new]
+        n = np.repeat(sizes, sizes)
+        pr = np.where(n > 1,
+                      round_half_away(run_first / np.maximum(n - 1, 1),
+                                      6), 0.0)
+        return pa.table({"g": pa.array(g), "x": pa.array(x),
+                         "pr": pa.array(pr)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(rank, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6820,7 +6871,7 @@ _GATE_HEAD = [
     # round-5 new operators first (never checked anywhere)
     "diameter", "allen_census", "rolling_var", "dup_census",
     "dup_cross_source", "conversion_lag", "assoc_rules",
-    "rfm_segments",
+    "rfm_segments", "pct_rank_group",
     # first driver check of k_truss's value-hash oracle (r03 row was
     # rows-only; ADVICE-r04)
     "k_truss",
@@ -6836,7 +6887,7 @@ _GATE_HEAD = [
     "triangles", "similarity_join", "connected_components",
     "nb_lang", "mixture_sample", "weighted_sample",
     "importance_sample", "pack_greedy", "shard_stats", "multi_join",
-    "rolling_avg", "topk_group", "pivot", "p90_agg", "curate_oracle",
+    "rolling_avg", "topk_group", "pivot", "p90_agg",
 ]
 
 
@@ -6857,6 +6908,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": _q_conversion_lag,
         "assoc_rules": _q_assoc_rules,
         "rfm_segments": _q_rfm_segments,
+        "pct_rank_group": _q_pct_rank_group,
         # -- new in round 4 --
         "mutual_match": _q_mutual_match,
         "greedy_matching": _q_greedy_matching,
@@ -7254,6 +7306,13 @@ def _oracle_sqls() -> dict[str, str]:
                      AS n_periphery,
                    CAST(count(*) AS BIGINT) AS n_nodes
             FROM ecc
+        """,
+        "pct_rank_group": """
+            SELECT l_orderkey AS g, CAST(l_quantity AS BIGINT) AS x,
+                   round(percent_rank() OVER (
+                     PARTITION BY l_orderkey ORDER BY l_quantity),
+                     6) AS pr
+            FROM lineitem
         """,
         "rfm_segments": """
             WITH c AS (
