@@ -30,6 +30,14 @@ def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _rha6(x):
+    """Half-away 6dp for RATIONAL outputs (repo invariant: numpy and
+    pyarrow banker-round dyadic ties where DuckDB rounds away)."""
+    from textgraphs_ray.functions.rounding import round_half_away
+
+    return round_half_away(x, 6)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -246,11 +254,19 @@ def _q_quality(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
-    return out.map_batches(
-        lambda t: pa.table({
+
+    def finish(t: pa.Table) -> pa.Table:
+        from textgraphs_ray.functions.rounding import round_half_away
+
+        # integer-ratio output: pc.round banker-rounds dyadic 6dp
+        # ties where DuckDB rounds half away (repo invariant)
+        return pa.table({
             "doc_id": t.column("doc_id"),
-            "punct_ratio": pc.round(t.column("punct_ratio"), 6)}),
-        batch_format="pyarrow")
+            "punct_ratio": pa.array(round_half_away(
+                t.column("punct_ratio").to_numpy(
+                    zero_copy_only=False), 6))})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_tfidf_topk(sf_dir: str):
@@ -754,7 +770,8 @@ def _q_clustering_coeff(sf_dir: str):
         return pd.DataFrame({
             "user_id": m["node"],
             "n_triangles": m["n_triangles"].astype(np.int64),
-            "lcc": np.round(2.0 * t / (d * (d - 1.0)), 6)})
+            # integer-ratio output → half-away 6dp (repo invariant)
+            "lcc": _rha6(2.0 * t / (d * (d - 1.0)))})
 
     out = shuffle_join(tri, deg, "node", "node", 8, project=finish)
     # typed-DataFrame finish: schema survives the zero-triangle case
@@ -850,12 +867,21 @@ def _q_repetition(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(RepetitionScorer, batch_format="pyarrow",
                          concurrency=2)
-    return out.map_batches(
-        lambda t: pa.table({
+
+    def finish(t: pa.Table) -> pa.Table:
+        from textgraphs_ray.functions.rounding import round_half_away
+
+        # integer-ratio outputs → half-away 6dp (repo invariant)
+        return pa.table({
             "doc_id": t.column("doc_id"),
-            "line_dup_ratio": pc.round(t.column("line_dup_ratio"), 6),
-            "word_dup_ratio": pc.round(t.column("word_dup_ratio"), 6)}),
-        batch_format="pyarrow")
+            "line_dup_ratio": pa.array(round_half_away(
+                t.column("line_dup_ratio").to_numpy(
+                    zero_copy_only=False), 6)),
+            "word_dup_ratio": pa.array(round_half_away(
+                t.column("word_dup_ratio").to_numpy(
+                    zero_copy_only=False), 6))})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_knn_brute(sf_dir: str):
@@ -2031,10 +2057,16 @@ def _sim_join_query(sf_dir: str, *, measure: str, tau: float,
     out = set_similarity_join(split(0), split(1), tau=tau, n=3,
                               broadcast_vocab_max=broadcast_vocab_max,
                               measure=measure)
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index(measure),
-                               measure, pc.round(t.column(measure), 6)),
-        batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # jaccard/dice are integer ratios (cosine rational when a·b
+        # is a perfect square) → half-away 6dp (repo invariant)
+        return t.set_column(
+            t.schema.get_field_index(measure), measure,
+            pa.array(_rha6(t.column(measure).to_numpy(
+                zero_copy_only=False))))
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_similarity_join(sf_dir: str, broadcast_vocab_max: int = 1_000_000):
