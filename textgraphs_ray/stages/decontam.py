@@ -41,6 +41,8 @@ import ray.data
 
 from ..functions.sketch import hash64
 
+from ..functions.rounding import round_half_away
+
 _WS = re.compile(r"\s+")
 # odd multiplier for the positional combine (FNV-1a prime); windows are
 # combined as sum_j h(w[i+j]) * P^j mod 2^64 — order-sensitive, one
@@ -179,7 +181,8 @@ class ContaminationFraction(Decontaminator):
             self.id_col: pa.array(ids),
             "n_grams": pa.array(ng),
             "n_hits": pa.array(nh),
-            "frac": pa.array(np.round(nh / ng, 6))})
+            # integer ratio -> half-away 6dp (repo invariant)
+            "frac": pa.array(round_half_away(nh / ng, 6))})
 
 
 def contamination_fraction(docs_ds: "ray.data.Dataset",

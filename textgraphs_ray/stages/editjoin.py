@@ -50,6 +50,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min
 
+from ..functions.rounding import round_half_away
 from ..functions.sketch import hash64
 
 
@@ -260,7 +261,8 @@ def jw_distinct_join(ds: "ray.data.Dataset", *, col: str,
             cand = arr[np.searchsorted(arr, nm, side="right"):]
             if not len(cand):
                 continue
-            s6 = np.round(jaro_winkler_batch(
+            # JW is an integer-ratio chain -> half-away 6dp
+            s6 = round_half_away(jaro_winkler_batch(
                 np.full(len(cand), nm, dtype=object), cand), 6)
             keep = s6 >= threshold
             k = int(keep.sum())
@@ -336,7 +338,8 @@ def monge_elkan_join(ds: "ray.data.Dataset", *, col: str,
             # ME(b→a): per b-token max over a-tokens, mean per cand
             best_for_b = sims.max(axis=0)
             me_ba = np.add.reduceat(best_for_b, starts) / lens
-            me = np.round((me_ab + me_ba) / 2.0, 6)
+            # rational mean-of-ratios -> half-away 6dp
+            me = round_half_away((me_ab + me_ba) / 2.0, 6)
             keep = me >= threshold
             k = int(keep.sum())
             if k:

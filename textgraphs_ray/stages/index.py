@@ -56,6 +56,8 @@ from ray.data.aggregate import Count, Max, Sum
 from .join import shuffle_join
 from .tfidf import BROADCAST_VOCAB_MAX
 
+from ..functions.rounding import round_half_away
+
 _WORD = re.compile(r"[a-z]+")
 
 #: key-separator for composite (w1, w2) join keys — never occurs in
@@ -526,7 +528,8 @@ def group_jaccard_pairs(ds: "ray.data.Dataset", *,
         return pd.DataFrame({
             "g1": g1, "g2": g2,
             "inter": t.column("inter").to_pandas(),
-            "jaccard": np.round(i / (na + nb - i), 6)})
+            # integer ratio -> half-away 6dp (repo invariant)
+            "jaccard": round_half_away(i / (na + nb - i), 6)})
 
     return inter.map_batches(finish, batch_format="pyarrow")
 

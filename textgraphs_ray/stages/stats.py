@@ -86,7 +86,8 @@ def group_zscore(ds: "ray.data.Dataset", *, value_col: str,
         var = s2 / n - mean * mean
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(var <= 0, 0.0, (x - mean) / np.sqrt(var))
-        return np.round(z, 6)
+        # rational when var is a perfect square -> half-away 6dp
+        return round_half_away(z, 6)
 
     if stats.count() <= broadcast_groups_max:
         rows = stats.take_all()
@@ -433,8 +434,9 @@ def percent_rank(ds: "ray.data.Dataset", *, value_col: str, id_col: str,
         rk, total = ray.get(ref)
         v = t.column(value_col).to_pylist()
         r = np.array([rk[x] for x in v], np.float64)
+        # integer ratio -> half-away 6dp (repo invariant)
         pr = (np.zeros(len(v)) if total <= 1
-              else np.round((r - 1.0) / (total - 1.0), 6))
+              else round_half_away((r - 1.0) / (total - 1.0), 6))
         return pd.DataFrame({
             id_col: t.column(id_col).to_pandas(),
             value_col: t.column(value_col).to_pandas(),
@@ -506,7 +508,8 @@ def group_corr(ds: "ray.data.Dataset", *, x_col: str, y_col: str,
         return pd.DataFrame({
             group_col: t.column(group_col).to_pandas(),
             "n": t.column("n").to_pandas(),
-            "corr": np.round(r, 6)})
+            # rational with perfect-square variances -> half-away
+            "corr": round_half_away(r, 6)})
 
     return stats.map_batches(finish, batch_format="pyarrow")
 
