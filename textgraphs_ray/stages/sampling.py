@@ -73,6 +73,16 @@ def hash_split(ds: "ray.data.Dataset", *, splits: dict[str, float],
     dedup cluster id (or exact-dup keeper id) as ``key_col`` so every
     member of a cluster inherits one split — see the ``split_assign``
     query for the composed pattern.
+
+    CHAINED-SELECTION CAVEAT: every md5-variate stage in this module
+    (``importance_sample``, ``mixture_sample``, ``hash_split``, the
+    ``sample_hex_prefix`` gate) draws its variate from the SAME
+    ``md5(key)`` — composing two of them on one raw key correlates
+    the draws (e.g. a ``mixture_sample(target_frac=0.7)`` survivor
+    set has every variate < 0.7, so a downstream 90/5/5 ``hash_split``
+    on the same key puts everything in train).  Salt the key per
+    stage (``doc_id || '#split'``) when chaining — see
+    ``examples/training_data_pipeline.py``.
     """
     names = list(splits.keys())
     bounds = np.cumsum([splits[n] for n in names])
