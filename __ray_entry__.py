@@ -6578,17 +6578,14 @@ def _q_dup_cross_source(sf_dir: str):
                .select_columns(["fp", "source"]))
 
     def pairs(g: pd.DataFrame) -> pa.Table:
-        out_a: list[str] = []
-        out_b: list[str] = []
-        for _, grp in g.groupby("fp", sort=False):
-            ss = sorted(grp["source"].tolist())
-            for i in range(len(ss)):
-                for j in range(i + 1, len(ss)):
-                    out_a.append(ss[i])
-                    out_b.append(ss[j])
-        return pa.table({"sa": pa.array(out_a, pa.string()),
-                         "sb": pa.array(out_b, pa.string()),
-                         "n": pa.array(np.ones(len(out_a), np.int64))})
+        # the shared bucketed pair kernel (sorted → u < v, Arrow out)
+        from textgraphs_ray.stages.triangle import \
+            _segmented_full_pairs
+
+        out = _segmented_full_pairs(g, "fp", "source")
+        return pa.table({"sa": out.column("u"), "sb": out.column("v"),
+                         "n": pa.array(np.ones(out.num_rows,
+                                               np.int64))})
 
     def add_part(t: pa.Table) -> pa.Table:
         fpb = t.column("fp").to_pandas()
