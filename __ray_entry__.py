@@ -6884,6 +6884,127 @@ def _q_pct_rank_group(sf_dir: str):
             .groupby("_part").map_groups(rank, batch_format="pandas"))
 
 
+def _q_attribution(sf_dir: str):
+    """Last-touch marketing attribution: every purchase credits the
+    user's LATEST click strictly before it within a 7-day window
+    (ties on the click timestamp → smallest channel), channel =
+    props.k mod 5; unattributed purchases land in channel −1 →
+    (channel, conversions).  One coarse user-hash partition; inside
+    each partition a single ``pandas.merge_asof`` (C kernel, backward,
+    tolerance = 7 d, exact matches off) resolves every purchase at
+    once — clicks pre-sorted (t asc, channel desc) so the asof pick's
+    last-in-group row IS the min channel among max-t ties.  The SQL
+    oracle replays it as a correlated ORDER BY t DESC, ch LIMIT 1."""
+    from ray.data.aggregate import Sum as _Sum
+
+    week = 604_800_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "props"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pandas()
+        keep = (et == "click") | (et == "purchase")
+        t = t.filter(pa.array(keep.to_numpy()))
+        et = t.column("event_type").to_pandas()
+        u = (t.column("user_id").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        part = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(59)).astype(np.int64)
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(part), "u": pa.array(u),
+            "t": t.column("ts").cast(pa.int64()),
+            "is_click": pa.array((et == "click").to_numpy()),
+            "ch": pa.array(k % 5)})
+
+    def attribute(df: pd.DataFrame) -> pa.Table:
+        clicks = (df[df["is_click"]]
+                  .sort_values(["t", "ch"], ascending=[True, False],
+                               kind="stable")[["u", "t", "ch"]])
+        purch = (df[~df["is_click"]]
+                 .sort_values("t", kind="stable")[["u", "t"]])
+        if not len(purch):
+            return pa.table({"channel": pa.array([], pa.int64()),
+                             "conversions": pa.array([], pa.int64())})
+        if len(clicks):
+            att = pd.merge_asof(purch, clicks, on="t", by="u",
+                                direction="backward",
+                                allow_exact_matches=False,
+                                tolerance=week)
+            ch = att["ch"].fillna(-1).to_numpy(np.int64)
+        else:
+            ch = np.full(len(purch), -1, np.int64)
+        vals, cnt = np.unique(ch, return_counts=True)
+        return pa.table({"channel": pa.array(vals),
+                         "conversions": pa.array(
+                             cnt.astype(np.int64))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(attribute,
+                                         batch_format="pandas")
+            .groupby("channel")
+            .aggregate(_Sum("conversions", alias_name="conversions")))
+
+
+def _q_span_corruption(sf_dir: str):
+    """T5-style span corruption (Raffel et al. 2020): deterministic
+    mask rule — words at positions i with i mod 7 ∈ {3, 4} form the
+    corrupted spans — emits per doc the sentinel-joined input
+    (`… <Xn> …` replacing each span) and target (`<Xn> span words …`)
+    — the denoising-pretraining data transform next to `fim_split`.
+    Stateless map: token streams build vectorized (numpy index math +
+    pandas string concat); only the final per-doc join is per-row
+    (bounded by output bytes).  SQL replays with WITH ORDINALITY
+    unnest + ordered string_agg."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        words: list[list[str]] = [(s or "").split(" ")
+                                  for s in t.column("text").to_pylist()]
+        lens = np.array([len(w) for w in words], np.int64)
+        d = np.repeat(np.arange(len(words)), lens)
+        i = (np.arange(int(lens.sum()))
+             - np.repeat(np.cumsum(lens) - lens, lens))
+        w = pd.Series(np.concatenate(words) if len(words) else [],
+                      dtype=object)
+        mod = i % 7
+        masked = (mod == 3) | (mod == 4)
+        first = mod == 3
+        # sentinel id: 0-based rank of the span within its doc.
+        # off = #span-firsts BEFORE the doc (ffill of the doc-start
+        # census — non-decreasing, so maximum.accumulate is a valid
+        # ffill); per-position 1-based in-doc rank = cf − off.
+        doc_start = np.r_[True, d[1:] != d[:-1]] if len(d) else \
+            np.zeros(0, bool)
+        cf = np.cumsum(first)
+        off = np.maximum.accumulate(
+            np.where(doc_start, cf - first, -1))
+        sid = cf - off - 1
+        sent = "<X" + pd.Series(sid, dtype="int64").astype(str) + ">"
+        inp_tok = np.where(masked, np.where(first, sent, None), w)
+        tgt_tok = np.where(masked,
+                           np.where(first, sent + " " + w, w), None)
+        df = pd.DataFrame({"d": d, "inp": inp_tok, "tgt": tgt_tok})
+        g = df.groupby("d", sort=True)
+        inp = g["inp"].agg(lambda s: " ".join(x for x in s
+                                              if x is not None))
+        tgt = g["tgt"].agg(lambda s: " ".join(x for x in s
+                                              if x is not None))
+        inp = inp.reindex(range(len(words)), fill_value="")
+        tgt = tgt.reindex(range(len(words)), fill_value="")
+        return pa.table({"doc_id": ids,
+                         "input": pa.array(inp.to_numpy(dtype=object),
+                                           pa.string()),
+                         "target": pa.array(tgt.to_numpy(dtype=object),
+                                            pa.string())})
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6900,7 +7021,8 @@ _GATE_HEAD = [
     # round-5 new operators first (never checked anywhere)
     "diameter", "allen_census", "rolling_var", "dup_census",
     "dup_cross_source", "conversion_lag", "assoc_rules",
-    "rfm_segments", "pct_rank_group",
+    "rfm_segments", "pct_rank_group", "attribution",
+    "span_corruption",
     # first driver check of k_truss's value-hash oracle (r03 row was
     # rows-only; ADVICE-r04)
     "k_truss",
@@ -6916,7 +7038,7 @@ _GATE_HEAD = [
     "triangles", "similarity_join", "connected_components",
     "nb_lang", "mixture_sample", "weighted_sample",
     "importance_sample", "pack_greedy", "shard_stats", "multi_join",
-    "rolling_avg", "topk_group", "pivot", "p90_agg",
+    "rolling_avg", "topk_group",
 ]
 
 
@@ -6938,6 +7060,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": _q_assoc_rules,
         "rfm_segments": _q_rfm_segments,
         "pct_rank_group": _q_pct_rank_group,
+        "attribution": _q_attribution,
+        "span_corruption": _q_span_corruption,
         # -- new in round 4 --
         "mutual_match": _q_mutual_match,
         "greedy_matching": _q_greedy_matching,
@@ -7335,6 +7459,66 @@ def _oracle_sqls() -> dict[str, str]:
                      AS n_periphery,
                    CAST(count(*) AS BIGINT) AS n_nodes
             FROM ecc
+        """,
+        "attribution": """
+            WITH c AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                       AS BIGINT) % 5 AS ch
+              FROM events WHERE event_type = 'click'
+            ), p AS (
+              SELECT user_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'purchase'
+            ), att AS (
+              SELECT p.user_id, p.t,
+                     (SELECT c.ch FROM c
+                      WHERE c.user_id = p.user_id AND c.t < p.t
+                        AND c.t >= p.t - 604800000000
+                      ORDER BY c.t DESC, c.ch LIMIT 1) AS ch
+              FROM p
+            )
+            SELECT CAST(coalesce(ch, -1) AS BIGINT) AS channel,
+                   CAST(count(*) AS BIGINT) AS conversions
+            FROM att GROUP BY 1
+        """,
+        "span_corruption": """
+            WITH s AS (
+              SELECT doc_id, string_split(text, ' ') AS a
+              FROM documents
+            ), w AS (
+              -- DuckDB 1.0 has no WITH ORDINALITY: index the list
+              SELECT doc_id, a[i] AS w, CAST(i - 1 AS BIGINT) AS i
+              FROM s, LATERAL unnest(range(1, len(a) + 1)) AS t(i)
+            ), m AS (
+              SELECT doc_id, w, i,
+                     (i % 7) IN (3, 4) AS masked,
+                     i % 7 = 3 AS first,
+                     i // 7 AS blk
+              FROM w
+            ), runs AS (
+              SELECT doc_id, blk,
+                     dense_rank() OVER (PARTITION BY doc_id
+                                        ORDER BY blk) - 1 AS sid
+              FROM (SELECT DISTINCT doc_id, blk FROM m WHERE masked)
+            ), tok AS (
+              SELECT m.doc_id, m.i,
+                     CASE WHEN NOT m.masked THEN m.w
+                          WHEN m.first
+                            THEN '<X' || r.sid || '>'
+                          ELSE NULL END AS inp_tok,
+                     CASE WHEN NOT m.masked THEN NULL
+                          WHEN m.first
+                            THEN '<X' || r.sid || '> ' || m.w
+                          ELSE m.w END AS tgt_tok
+              FROM m LEFT JOIN runs r
+                ON r.doc_id = m.doc_id AND r.blk = m.blk
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(inp_tok, ' ' ORDER BY i), '')
+                     AS input,
+                   coalesce(string_agg(tgt_tok, ' ' ORDER BY i), '')
+                     AS target
+            FROM tok GROUP BY doc_id
         """,
         "pct_rank_group": """
             SELECT l_orderkey AS g, CAST(l_quantity AS BIGINT) AS x,
