@@ -422,8 +422,17 @@ def densest_subgraph(edges: "ray.data.Dataset", *, u: str = "u",
         rounds.append((n_nodes, m2, cur, deg))
         # drop: d·2N ≤ 3·M ⟺ d ≤ ⌊3M/(2N)⌋ (d integral) — exact
         thr = (3 * m2) // (2 * n_nodes)
-        low = (deg.filter(expr=f"d <= {thr}")
-               .select_columns(["node"]).materialize())
+
+        def below_thr(t: pa.Table, lim=thr) -> pa.Table:
+            # typed (node,) map — see k_core's below_k for why a
+            # Filter->Project chain cannot feed the anti-join here
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            nd = t.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({"node": pa.array(
+                nd[d <= lim].astype(np.int64))})
+
+        low = (deg.map_batches(below_thr, batch_format="pyarrow")
+               .materialize())
         n_low = low.count()
         if n_low == 0:
             # cannot happen (min degree ≤ average ≤ 3/2·average) —
@@ -707,8 +716,20 @@ def k_core(edges: "ray.data.Dataset", *, k: int, u: str = "u",
         deg = (cur.map_batches(degrees, batch_format="pyarrow")
                .groupby("node").aggregate(Sum("d", alias_name="d"))
                .materialize())   # consumed twice: low filter + output
-        low = (deg.filter(expr=f"d < {k}")
-               .select_columns(["node"]).materialize())
+
+        def below_k(t: pa.Table) -> pa.Table:
+            # one map emitting TYPED (node,) tables — a fused
+            # Filter->Project emits schema-unstable bundles on empty
+            # partitions, which poisons the downstream shuffle_join's
+            # captured column lists (observed: KeyError 'd' at 32
+            # CPUs; map_batches output schema is deterministic)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            nd = t.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({"node": pa.array(
+                nd[d < k].astype(np.int64))})
+
+        low = (deg.map_batches(below_k, batch_format="pyarrow")
+               .materialize())
         n_low = low.count()
         if n_low == 0:
             out = deg.filter(expr=f"d >= {k}").rename_columns(
@@ -1025,8 +1046,13 @@ def _mis_dataset(cur, sym_min, *, u: str, v: str, max_rounds: int,
     alive = None                   # (node,) Dataset, materialized
 
     def distinct_nodes(ds):
+        # typed (node,) map instead of a Project: projection chains
+        # can report schema-unstable bundles on empty partitions and
+        # poison downstream shuffle_join column capture (see k_core)
         return (ds.groupby("node").aggregate(Count(alias_name="_n"))
-                .select_columns(["node"]))
+                .map_batches(lambda t: pa.table({
+                    "node": t.column("node")}),
+                    batch_format="pyarrow"))
 
     for _ in range(max_rounds):
         if cur.count() == 0:
